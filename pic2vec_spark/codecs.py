@@ -1,0 +1,213 @@
+"""Pure NumPy/stdlib image codecs (no PIL in this environment).
+
+The reference decodes with PIL inside ``_convert_single_image``
+(/root/reference/pic2vec/feature_preprocessing.py:281-335) and treats
+any decode failure as a zero tensor + missing flag
+(feature_preprocessing.py:318-323).  This module supplies the decode
+step for the engine's Arrow-batched decode UDF:
+
+- BMP: 24-bit uncompressed (exact round-trip)
+- PNG: 8-bit gray / RGB / RGBA, zlib DEFLATE, all 5 scanline filters on
+  decode, filter-0 on encode (lossless → exact round-trip)
+- JPEG: minimal baseline DCT codec (see jpeg.py; lossy — decoded pixels
+  must hit PSNR ≥ 40 dB vs the source, per the north rule)
+
+``decode_image`` returns (H, W, 3) RGB uint8 or raises; callers map
+failure → zero tensor + missing=True, mirroring the reference.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# formats the reference accepts: ['JPEG', 'BMP', 'PNG']
+# (/root/reference/pic2vec/feature_preprocessing.py:118); gif et al. are
+# filtered out and become missing rows.
+VALID_FORMATS = {"jpg", "jpeg", "png", "bmp"}
+
+
+# --------------------------------------------------------------------------
+# BMP (24-bit uncompressed, bottom-up)
+# --------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    pixel_bytes = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    img = rows[::-1] if flip else rows
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+
+
+# --------------------------------------------------------------------------
+# PNG (8-bit, zlib)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W) gray or (H, W, 3|4) uint8 as PNG (filter 0)."""
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4). raw: (h, 1+stride)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            out[y] = cur
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = cur
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = []
+    h = bit_depth = color_type = interlace = None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if h is None or not idat:
+        raise ValueError("truncated PNG")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("bad PNG data size")
+    img = _unfilter(raw.reshape(h, stride + 1), h, stride, channels).reshape(
+        h, w, channels
+    )
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 2:  # gray+alpha
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """bytes + declared format -> (H, W, 3) RGB uint8. Raises on any
+    invalid/corrupt/unsupported input (caller maps to missing row)."""
+    fmt = (fmt or "").lower()
+    if fmt not in VALID_FORMATS:
+        raise ValueError(f"invalid format {fmt!r}")
+    if not data:
+        raise ValueError("empty bytes")
+    if fmt == "bmp":
+        return decode_bmp(bytes(data))
+    if fmt == "png":
+        return decode_png(bytes(data))
+    from pic2vec_spark.jpeg import decode_jpeg
+
+    return decode_jpeg(bytes(data))
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    fmt = fmt.lower()
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "png":
+        return encode_png(img)
+    if fmt in ("jpg", "jpeg"):
+        from pic2vec_spark.jpeg import encode_jpeg
+
+        return encode_jpeg(img)
+    raise ValueError(f"cannot encode format {fmt!r}")

@@ -1,0 +1,234 @@
+"""The distributed featurize pipeline (the engine's flagship operator).
+
+Reference lifecycle being re-expressed (not ported):
+``ImageFeaturizer.featurize`` — batch loop → decode/preprocess →
+``model.predict`` → widen (/root/reference/pic2vec/image_featurizer.py:
+362-482, feature_preprocessing.py:355-478, data_featurizing.py:20-55).
+
+Spark plan:
+
+    scan (image_id, bytes, fmt, ...)
+      -> __digest = xxhash64(bytes)            [computed at scan, pre-shuffle]
+      -> dedup: groupBy(__digest).first(bytes, fmt)
+         (replaces the reference's in-batch memo dedup,
+          feature_preprocessing.py:448-455 — here it is global: each
+          distinct image content is decoded + run through the CNN once,
+          regardless of how many rows share it)
+      -> repartition(n) round-robin              [CNN work spread evenly:
+         per-row op, order-free → safe to salt/rebalance arbitrarily;
+         this is where hot-phash duplicate clusters would otherwise skew]
+      -> mapInPandas(decode + preprocess + NumPy CNN forward)
+         (Arrow batches; zero per-row Python at the Spark level)
+      -> join features back on __digest          [AQE picks broadcast when
+         the distinct side is small; bytes are pruned out of this shuffle
+         because __digest is materialized before the exchange]
+
+Missing semantics match the reference: invalid format / empty / corrupt
+bytes → zero pixel tensor → CNN-of-zeros feature vector + missing=True
+(feature_preprocessing.py:318-323,443-446; data_featurizing.py:58-76).
+f(0) is computed once per worker, not per missing row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pic2vec_spark.codecs import decode_image
+from pic2vec_spark.model import squeezenet_features, squeezenet_weights
+from pic2vec_spark.plan import FeaturizerPlan
+from pic2vec_spark.preprocess import preprocess_pixels, resize_nearest
+
+CNN_CHUNK = 32  # images per NumPy forward pass (bounds activation memory)
+
+_DIGEST = "__digest"
+
+
+# ------------------------------------------------------------------ kernels
+# (shared verbatim by the single-machine oracle — pic2vec_spark.oracle)
+
+def decode_to_tensor(
+    data: bytes | None, fmt: str | None, plan: FeaturizerPlan
+) -> np.ndarray | None:
+    """bytes -> preprocessed (H, W, 3) float32, or None when missing."""
+    if data is None:
+        return None
+    try:
+        img = decode_image(data, fmt or "")
+    except Exception:
+        return None
+    img = resize_nearest(img, plan.target_size)
+    return preprocess_pixels(
+        img.astype(np.float32)[None], plan.preprocess_mode
+    )[0]
+
+
+def forward_features(
+    tensors: np.ndarray, plan: FeaturizerPlan, weights: dict[str, np.ndarray]
+) -> np.ndarray:
+    """(N, H, W, 3) float32 -> (N, num_features) float32 in CNN_CHUNK slices."""
+    outs = []
+    for i in range(0, len(tensors), CNN_CHUNK):
+        outs.append(squeezenet_features(tensors[i : i + CNN_CHUNK], weights, plan.depth))
+    raw = np.concatenate(outs) if outs else np.zeros((0, plan.raw_width), np.float32)
+    return plan.finalize(raw).astype(np.float32)
+
+
+def featurize_batch(
+    datas: list[bytes | None],
+    fmts: list[str | None],
+    plan: FeaturizerPlan,
+    weights: dict[str, np.ndarray],
+    zero_features: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode+preprocess+CNN one batch; returns (features, missing)."""
+    h, w = plan.target_size
+    tensors = []
+    valid_idx = []
+    missing = np.zeros(len(datas), dtype=bool)
+    for i, (d, f) in enumerate(zip(datas, fmts)):
+        t = decode_to_tensor(d, f, plan)
+        if t is None:
+            missing[i] = True
+        else:
+            tensors.append(t)
+            valid_idx.append(i)
+    features = np.tile(zero_features, (len(datas), 1))
+    if tensors:
+        feats = forward_features(np.stack(tensors), plan, weights)
+        features[np.array(valid_idx)] = feats
+    return features.astype(np.float32), missing
+
+
+_worker_cache: dict = {}
+
+
+def _zero_features(plan: FeaturizerPlan, weights: dict[str, np.ndarray]) -> np.ndarray:
+    """f(zero tensor) — what the reference's model.predict returns for
+    missing rows' zero slices; computed once and reused."""
+    key = ("zero", plan.model, plan.depth, plan.weight_seed, plan.num_features)
+    if key not in _worker_cache:
+        h, w = plan.target_size
+        zeros = np.zeros((1, h, w, 3), dtype=np.float32)
+        _worker_cache[key] = forward_features(zeros, plan, weights)[0]
+    return _worker_cache[key]
+
+
+def _get_weights(plan: FeaturizerPlan, weights_bc) -> dict[str, np.ndarray]:
+    if weights_bc is not None:
+        return weights_bc.value
+    key = ("weights", plan.model, plan.weight_seed)
+    if key not in _worker_cache:
+        _worker_cache[key] = squeezenet_weights(plan.weight_seed)
+    return _worker_cache[key]
+
+
+# ------------------------------------------------------------------ pipeline
+
+def featurize_images(
+    df: DataFrame,
+    plan: FeaturizerPlan | None = None,
+    dedup: bool = True,
+    feature_partitions: int | None = None,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Attach ``missing: boolean`` and ``features: array<float>`` to every
+    row of ``df`` (must have ``bytes`` and ``fmt`` columns).
+
+    Result is independent of partitioning and of ``dedup`` — the
+    reference's batch-invariance requirement
+    (tests/test_image_featurizer.py batch/no-batch equality).
+    """
+    plan = plan or FeaturizerPlan.build()
+    if plan.model != "squeezenet":
+        raise NotImplementedError(
+            "only squeezenet has a from-scratch NumPy forward pass; "
+            "the other five reference models need keras.applications "
+            "(unavailable here) — plan metadata still validates them"
+        )
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    weights_bc = (
+        sc.broadcast(squeezenet_weights(plan.weight_seed)) if broadcast_weights else None
+    )
+    n_parts = feature_partitions or sc.defaultParallelism * 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = _get_weights(plan, weights_bc)
+        zero_feat = _zero_features(plan, weights)
+        for pdf in batches:
+            feats, missing = featurize_batch(
+                list(pdf["bytes"]), list(pdf["fmt"]), plan, weights, zero_feat
+            )
+            yield pd.DataFrame(
+                {
+                    _DIGEST: pdf[_DIGEST].values,
+                    "missing": missing,
+                    "features": list(feats),
+                }
+            )
+
+    if not dedup:
+        # inline path: featurize every row in place, no dedup, no join —
+        # used to verify dedup-path result-invariance.
+        from pyspark.sql import types as T
+
+        inline_schema = T.StructType(
+            list(df.schema.fields)
+            + [
+                T.StructField("missing", T.BooleanType(), False),
+                T.StructField("features", T.ArrayType(T.FloatType()), False),
+            ]
+        )
+
+        def run_inline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            weights = _get_weights(plan, weights_bc)
+            zero_feat = _zero_features(plan, weights)
+            for pdf in batches:
+                feats_arr, missing = featurize_batch(
+                    list(pdf["bytes"]), list(pdf["fmt"]), plan, weights, zero_feat
+                )
+                out = pdf.copy()
+                out["missing"] = missing
+                out["features"] = list(feats_arr)
+                yield out
+
+        return df.repartition(n_parts).mapInPandas(run_inline, schema=inline_schema)
+
+    out_schema = f"{_DIGEST} long, missing boolean, features array<float>"
+    digest = F.xxhash64(F.coalesce(F.col("bytes"), F.lit(b"")), F.col("fmt"))
+    with_digest = df.withColumn(_DIGEST, digest)
+    distinct = (
+        with_digest.select(_DIGEST, "bytes", "fmt")
+        .groupBy(_DIGEST)
+        .agg(F.first("bytes").alias("bytes"), F.first("fmt").alias("fmt"))
+    )
+    feats = distinct.repartition(n_parts).mapInPandas(run, schema=out_schema)
+    return with_digest.join(feats, _DIGEST, "left").drop(_DIGEST)
+
+
+def widen_features(
+    df: DataFrame, column: str = "image", num_features: int | None = None
+) -> DataFrame:
+    """CSV-compat export: ``{col}_missing`` + ``{col}_feat_i`` columns in
+    the reference's naming/order (data_featurizing.py:58-76).
+
+    Keeps features as an array internally until this terminal projection.
+    """
+    if num_features is None:
+        num_features = len(
+            df.select("features").filter(F.col("features").isNotNull()).first()[0]
+        )
+    passthrough = [c for c in df.columns if c not in ("missing", "features")]
+    return df.select(
+        *passthrough,
+        F.col("missing").alias(f"{column}_missing"),
+        *[
+            F.col("features")[i].alias(f"{column}_feat_{i}")
+            for i in range(num_features)
+        ],
+    )

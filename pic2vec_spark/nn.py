@@ -1,0 +1,79 @@
+"""Pure-NumPy CNN kernels (conv2d / relu / maxpool / global-avg-pool).
+
+These run *inside* Arrow-batched pandas UDF workers — the cluster never
+sees a pixel tensor; Spark ships (image_id, bytes) in and gets
+(image_id, feature array) out.  All kernels are vectorized over the
+batch axis (im2col + GEMM for convolutions → BLAS), replacing the
+reference's TensorFlow kernels invoked at
+/root/reference/pic2vec/data_featurizing.py:51.
+
+Layout: NHWC activations (float32), HWIO weights — the same layout the
+reference's tf_dim_ordering weights use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def conv2d(
+    x: np.ndarray,
+    w: np.ndarray,
+    b: np.ndarray | None = None,
+    stride: int = 1,
+    padding: str = "valid",
+) -> np.ndarray:
+    """2-D convolution, NHWC x HWIO -> NHWC, via im2col + GEMM."""
+    kh, kw, cin, cout = w.shape
+    assert x.shape[-1] == cin, (x.shape, w.shape)
+    if padding == "same":
+        oh = -(-x.shape[1] // stride)
+        ow = -(-x.shape[2] // stride)
+        ph = max((oh - 1) * stride + kh - x.shape[1], 0)
+        pw = max((ow - 1) * stride + kw - x.shape[2], 0)
+        x = np.pad(
+            x,
+            ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)),
+        )
+    elif padding != "valid":
+        raise ValueError(padding)
+
+    if kh == kw == 1 and stride == 1:
+        out = x @ w.reshape(cin, cout)
+    else:
+        # im2col via kh*kw big slice-copies (each a fast contiguous-inner
+        # copy), then one GEMM — ~10x faster than gathering a 6-D
+        # sliding_window_view.
+        n, hh, ww = x.shape[:3]
+        oh = (hh - kh) // stride + 1
+        ow = (ww - kw) // stride + 1
+        col = np.empty((n, oh, ow, kh * kw, cin), dtype=np.float32)
+        for i in range(kh):
+            for j in range(kw):
+                col[:, :, :, i * kw + j, :] = x[
+                    :, i : i + oh * stride : stride, j : j + ow * stride : stride, :
+                ]
+        out = (
+            col.reshape(n * oh * ow, kh * kw * cin) @ w.reshape(kh * kw * cin, cout)
+        ).reshape(n, oh, ow, cout)
+    if b is not None:
+        out = out + b
+    return out.astype(np.float32, copy=False)
+
+
+def relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, 0, out=x)
+
+
+def maxpool2d(x: np.ndarray, pool: int = 3, stride: int = 2) -> np.ndarray:
+    """Valid max pooling (matches Keras MaxPooling2D(pool,(stride)))."""
+    win = np.lib.stride_tricks.sliding_window_view(x, (pool, pool), axis=(1, 2))
+    win = win[:, ::stride, ::stride]
+    return win.max(axis=(-2, -1))
+
+
+def global_avg_pool(x: np.ndarray) -> np.ndarray:
+    """(N, H, W, C) -> (N, C) spatial mean (reference appends
+    GlobalAvgPool2D when the decapitated output is 4-D,
+    build_featurizer.py:351-352)."""
+    return x.mean(axis=(1, 2), dtype=np.float32)

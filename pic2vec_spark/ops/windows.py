@@ -1,0 +1,131 @@
+"""Windowed timeline operators: lag/lead, forward-fill backfill,
+gap-based sessionize, tumbling time-window aggregates, top-k per entity.
+
+All operators are pure DataFrame expressions (whole-stage codegen,
+no Python UDFs) over a single ``partitionBy(entity).orderBy(ts, tiebreak)``
+window — one shuffle each, which AQE coalesces at small scale and which
+scales out linearly with entity cardinality at 100 TB.
+
+The reference has no time axis at all; these are the north-rule
+additions layered over its featurization semantics (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _us(col: Column) -> Column:
+    """Epoch microseconds; casts TIMESTAMP_NTZ -> TIMESTAMP (session TZ is
+    pinned to UTC so the cast is wall-clock exact)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def entity_window(on: str = "entity_id", ts: str = "ts", tiebreak: str | None = None) -> WindowSpec:
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    return Window.partitionBy(on).orderBy(*order)
+
+
+def lag_lead(
+    df: DataFrame,
+    col: str,
+    k: int = 1,
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach ``{col}_lag_k`` / ``{col}_lead_k`` per entity timeline."""
+    w = entity_window(on, ts, tiebreak)
+    return df.withColumn(f"{col}_lag_{k}", F.lag(col, k).over(w)).withColumn(
+        f"{col}_lead_{k}", F.lead(col, k).over(w)
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backfill nulls with the latest prior non-null value per entity
+    (``F.last ignorenulls`` over an unbounded-preceding running window)."""
+    w = entity_window(on, ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for c in cols:
+        df = df.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(w))
+    return df
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: float,
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): a new session starts
+    when the time since the previous event of the same entity exceeds
+    ``gap_s`` seconds. ``session_id`` is a per-entity 0-based counter."""
+    w = entity_window(on, ts, tiebreak)
+    run = entity_window(on, ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = int(gap_s * 1_000_000)
+    prev_ts = F.lag(ts).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (_us(F.col(ts)) - _us(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn("__new_sess", is_new).withColumn(
+        session_col, (F.sum("__new_sess").over(run) - F.lit(1)).cast("bigint")
+    ).drop("__new_sess")
+
+
+def tumbling_agg(
+    df: DataFrame,
+    window_s: int,
+    aggs: dict[str, tuple[str, str]],
+    on: str = "entity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Tumbling time-window aggregates per entity.
+
+    ``aggs`` maps output alias -> (function name, column), e.g.
+    ``{"n_events": ("count", "*"), "avg_value": ("avg", "value")}``.
+    Window start is emitted as epoch microseconds (``window_start_us``)
+    so results hash identically to the DuckDB oracle.
+    """
+    win = F.window(F.col(ts).cast("timestamp"), f"{window_s} seconds")
+    exprs = []
+    for alias, (fn, col) in aggs.items():
+        exprs.append(getattr(F, fn)(F.lit(1) if col == "*" else F.col(col)).alias(alias))
+    return (
+        df.groupBy(F.col(on), win.alias("__w"))
+        .agg(*exprs)
+        .withColumn("window_start_us", _us(F.col("__w.start")))
+        .drop("__w")
+    )
+
+
+def topk_per_entity(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    on: str = "entity_id",
+    tiebreak: str | None = None,
+    desc: bool = True,
+) -> DataFrame:
+    """Top-k rows per entity by ``order_col`` (rank column ``rk``)."""
+    order = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(on).orderBy(*order)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+All knobs here are chosen for the 100 TB design point and then scaled
+down by ``parallelism`` for local runs:
+
+- AQE on (runtime coalescing, skew-join splitting) — replaces hand
+  tuning of shuffle partition counts at every scale factor.
+- Arrow enabled with a bounded ``maxRecordsPerBatch`` so the decode +
+  CNN pandas UDFs see batches that fit comfortably in worker memory
+  (227*227*3 float32 ~= 0.6 MB/image; 64 images ~= 40 MB per batch).
+- Session timezone pinned to UTC so timestamps hash identically to the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Images per Arrow batch entering the decode/featurize UDFs.  At 100 TB
+# this bounds Python-worker peak memory regardless of partition size.
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    app_name: str = "pic2vec_spark",
+    parallelism: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``parallelism`` controls ``local[N]`` and the shuffle-partition
+    count; default is ``$SPARK_GRAFT_CPUS`` or all cores.
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{parallelism}]")
+        .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
+        .config("spark.default.parallelism", str(parallelism))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

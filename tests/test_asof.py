@@ -1,0 +1,108 @@
+"""As-of join semantics: zero temporal leakage + pandas merge_asof oracle
+on the synthetic entity timeline, plus partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pic2vec_spark.ops.asof import asof_join
+from pic2vec_spark.synth import synth_timeline_pdf
+
+
+@pytest.fixture(scope="module")
+def timeline():
+    pdf = synth_timeline_pdf(n_rows=2000, n_images=100, n_entities=25, seed=11)
+    pdf["value"] = np.random.default_rng(3).normal(size=len(pdf))
+    return pdf
+
+
+def _sides(timeline):
+    f = timeline[timeline.kind == "feature"][["entity_id", "ts", "row_id", "value"]]
+    q = timeline[timeline.kind == "query"][["entity_id", "ts", "row_id"]]
+    return f, q
+
+
+def test_zero_leakage(spark, timeline):
+    """∀ output rows: matched feature ts <= query ts."""
+    f, q = _sides(timeline)
+    out = asof_join(
+        spark.createDataFrame(q),
+        spark.createDataFrame(f),
+        value_cols=["value"],
+        tiebreak="row_id",
+    )
+    leaks = out.filter(F.col("ts_asof") > F.col("ts")).count()
+    assert leaks == 0
+    assert out.count() == len(q)
+
+
+def test_matches_pandas_merge_asof(spark, timeline):
+    f, q = _sides(timeline)
+    out = (
+        asof_join(
+            spark.createDataFrame(q),
+            spark.createDataFrame(f),
+            value_cols=["value"],
+            tiebreak="row_id",
+        )
+        .select("row_id", "value_asof")
+        .toPandas()
+        .set_index("row_id")
+        .sort_index()
+    )
+    # pandas oracle: merge_asof per entity (backward = latest ts <= query ts);
+    # with unique float timestamps there are no ties to break.
+    fs = f.sort_values("ts").reset_index(drop=True)
+    qs = q.sort_values("ts").reset_index(drop=True)
+    expected = pd.merge_asof(
+        qs, fs, on="ts", by="entity_id", direction="backward", suffixes=("", "_f")
+    ).set_index("row_id").sort_index()
+    assert len(out) == len(expected)
+    got_v = out["value_asof"].values
+    exp_v = expected["value"].values
+    both_nan = np.isnan(got_v.astype(float)) & np.isnan(exp_v.astype(float))
+    assert (both_nan | np.isclose(got_v.astype(float), exp_v.astype(float), atol=1e-12)).all()
+
+
+def test_tolerance(spark, timeline):
+    f, q = _sides(timeline)
+    out = asof_join(
+        spark.createDataFrame(q),
+        spark.createDataFrame(f),
+        value_cols=["value"],
+        tiebreak="row_id",
+        tolerance_s=60.0,
+    )
+    bad = out.filter(
+        F.col("ts_asof").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("ts_asof") > 60_000_000)
+    ).count()
+    assert bad == 0
+    # tolerance must null out some matches on this data
+    n_all = asof_join(
+        spark.createDataFrame(q), spark.createDataFrame(f),
+        value_cols=["value"], tiebreak="row_id",
+    ).filter(F.col("value_asof").isNotNull()).count()
+    n_tol = out.filter(F.col("value_asof").isNotNull()).count()
+    assert n_tol < n_all
+
+
+def test_partition_invariance(spark, timeline):
+    f, q = _sides(timeline)
+    outs = []
+    for parts in (1, 13):
+        out = asof_join(
+            spark.createDataFrame(q).repartition(parts),
+            spark.createDataFrame(f).repartition(parts),
+            value_cols=["value"],
+            tiebreak="row_id",
+        )
+        outs.append(
+            out.select("row_id", "value_asof").toPandas().set_index("row_id").sort_index()
+        )
+    a, b = outs
+    av, bv = a["value_asof"].astype(float).values, b["value_asof"].astype(float).values
+    assert ((np.isnan(av) & np.isnan(bv)) | (av == bv)).all()

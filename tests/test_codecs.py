@@ -1,0 +1,78 @@
+"""Codec correctness: lossless round-trips, JPEG PSNR >= 40 dB (the
+north-rule per-row invariant for lossy formats), failure semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pic2vec_spark.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_image,
+    encode_png,
+)
+from pic2vec_spark.jpeg import decode_jpeg, encode_jpeg, psnr
+from pic2vec_spark.synth import _gen_pixels
+
+
+@pytest.fixture(scope="module")
+def img():
+    return _gen_pixels(np.random.default_rng(7), 60, 45)
+
+
+def test_png_roundtrip_exact(img):
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_gray_and_rgba():
+    rng = np.random.default_rng(1)
+    gray = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    out = decode_png(encode_png(gray))
+    assert out.shape == (20, 30, 3)
+    assert (out[..., 0] == gray).all() and (out[..., 1] == gray).all()
+    rgba = rng.integers(0, 256, (20, 30, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba[..., :3]).all()
+
+
+def test_bmp_roundtrip_exact(img):
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_bmp_row_padding():
+    # width not a multiple of 4 exercises row padding
+    rng = np.random.default_rng(2)
+    for w in (1, 2, 3, 5, 7):
+        im = rng.integers(0, 256, (5, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(im)) == im).all()
+
+
+@pytest.mark.parametrize("size", [(8, 8), (45, 60), (227, 227), (13, 29)])
+def test_jpeg_psnr_over_40db(size):
+    img = _gen_pixels(np.random.default_rng(3), size[1], size[0])
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert psnr(img, dec) >= 40.0
+
+
+def test_decode_image_dispatch(img):
+    for fmt in ("png", "bmp", "jpg"):
+        out = decode_image(encode_image(img, fmt), fmt)
+        assert out.shape == img.shape
+
+
+def test_invalid_format_rejected(img):
+    """gif is excluded by the reference's format filter
+    (/root/reference/pic2vec/feature_preprocessing.py:118)."""
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a....", "gif")
+
+
+def test_corrupt_and_empty_bytes_raise():
+    for fmt in ("png", "bmp", "jpg"):
+        with pytest.raises(Exception):
+            decode_image(b"", fmt)
+        with pytest.raises(Exception):
+            decode_image(b"\x00\x01\x02deadbeef" * 4, fmt)
