@@ -214,12 +214,62 @@ def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# flagship: CNN featurize + point-in-time as-of join
+# --------------------------------------------------------------------------
+
+N_FLAGSHIP_IMAGES = 256
+
+
+def _timeline_from_events(spark: SparkSession, sf_dir: str, n_images: int) -> DataFrame:
+    """events → entity timeline: non-purchase events observe an image
+    (deterministic FK event_id % n_images); purchases are as-of queries."""
+    ev = _events(spark, sf_dir)
+    img_id = F.concat(
+        F.lit("img_"),
+        F.lpad((F.col("event_id") % n_images).cast("string"), 9, "0"),
+    )
+    return ev.select(
+        F.col("user_id").alias("entity_id"),
+        "ts",
+        F.when(F.col("event_type") != "purchase", img_id).alias("image_id"),
+        F.when(F.col("event_type") == "purchase", F.lit("query"))
+        .otherwise(F.lit("feature"))
+        .alias("kind"),
+        F.col("event_id").alias("row_id"),
+    )
+
+
+def q_pit_featurize_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: synth images → dedup → NumPy-SqueezeNet featurize →
+    join to event timeline → as-of join (zero temporal leakage).
+    Not SQL-expressible (CNN) → driver records a rows-only check;
+    numeric correctness is pinned by tests/test_featurize.py +
+    tests/test_pipeline.py against the single-machine NumPy oracle."""
+    from pic2vec_spark.pipeline import point_in_time_features
+    from pic2vec_spark.plan import FeaturizerPlan
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    timeline = _timeline_from_events(spark, sf_dir, N_FLAGSHIP_IMAGES)
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+    out = point_in_time_features(images, timeline, plan)
+    return out.select(
+        F.col("row_id").alias("event_id"),
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        F.col("image_id_asof"),
+        F.col("missing_asof"),
+        F.col("features_asof"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_asof_join(spark, "/root/testdata/sf0.001")
+    return q_pit_featurize_asof(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -232,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "tumbling_hourly": q_tumbling_hourly,
         "topk_per_user": q_topk_per_user,
+        "pit_featurize_asof": q_pit_featurize_asof,
     }
 
 

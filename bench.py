@@ -1,0 +1,99 @@
+"""Per-round benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the BASELINE.json north-rule metric: end-to-end
+featurize + as-of join wall time (with derived images/sec).  Each query
+is forced end-to-end with the noop sink (full computation, no driver
+collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as em  # noqa: E402
+from pic2vec_spark.session import get_spark  # noqa: E402
+
+N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4096"))
+
+RELATIONAL = [
+    "asof_join",
+    "lag_lead",
+    "forward_fill",
+    "sessionize",
+    "session_stats",
+    "tumbling_hourly",
+    "topk_per_user",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def flagship(spark, sf_dir: str, n_images: int):
+    from pic2vec_spark.pipeline import point_in_time_features
+    from pic2vec_spark.plan import FeaturizerPlan
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, n_images, seed=42)
+    timeline = em._timeline_from_events(spark, sf_dir, n_images)
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+    return point_in_time_features(images, timeline, plan)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = get_spark("pic2vec_spark_bench", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + python workers (tiny flagship) before timing
+    _force(flagship(spark, "/root/testdata/sf0.001", 64))
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    _force(flagship(spark, sf_dir, N_BENCH_IMAGES))
+    flagship_sec = time.perf_counter() - t0
+    timings["pit_featurize_asof"] = round(flagship_sec, 3)
+
+    qs = em.queries()
+    for name in RELATIONAL:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_featurize_asof_plus_windows_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images": N_BENCH_IMAGES,
+                "images_per_sec": round(N_BENCH_IMAGES / flagship_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -66,10 +66,20 @@ def relu(x: np.ndarray) -> np.ndarray:
 
 
 def maxpool2d(x: np.ndarray, pool: int = 3, stride: int = 2) -> np.ndarray:
-    """Valid max pooling (matches Keras MaxPooling2D(pool,(stride)))."""
-    win = np.lib.stride_tricks.sliding_window_view(x, (pool, pool), axis=(1, 2))
-    win = win[:, ::stride, ::stride]
-    return win.max(axis=(-2, -1))
+    """Valid max pooling (matches Keras MaxPooling2D(pool, stride)) via
+    pool*pool shifted np.maximum accumulations (no windowed gather)."""
+    n, hh, ww, c = x.shape
+    oh = (hh - pool) // stride + 1
+    ow = (ww - pool) // stride + 1
+    out = None
+    for i in range(pool):
+        for j in range(pool):
+            view = x[:, i : i + oh * stride : stride, j : j + ow * stride : stride, :]
+            if out is None:
+                out = view.copy()
+            else:
+                np.maximum(out, view, out=out)
+    return out
 
 
 def global_avg_pool(x: np.ndarray) -> np.ndarray:

@@ -1,0 +1,63 @@
+"""The flagship end-to-end pipeline: point-in-time image features.
+
+For every query row (entity_id, query_ts) of a timeline, attach the
+feature vector / caption / missing flag of the *latest* image observed
+on that entity's timeline at or before query_ts — the distributed,
+keyed, zero-leakage replacement for the reference's positional
+``featurize → pd.concat(axis=1)`` flow
+(/root/reference/pic2vec/image_featurizer.py:362-482).
+
+Plan shape (and why it scales):
+
+    images ──▶ featurize_images (digest-dedup → CNN UDF → join back)
+    timeline(feature rows) ⟕ features     [equi-join on image_id;
+                                           AQE broadcasts the feature
+                                           side when small]
+    asof_join(timeline(query rows), ·)    [one entity-hash shuffle]
+
+The CNN touches each distinct image content exactly once; the as-of
+join shuffles only (entity, ts, features) rows — never image bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pic2vec_spark.featurize import featurize_images
+from pic2vec_spark.ops.asof import asof_join
+from pic2vec_spark.plan import FeaturizerPlan
+
+
+def point_in_time_features(
+    images: DataFrame,
+    timeline: DataFrame,
+    plan: FeaturizerPlan | None = None,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """images: (image_id, bytes, fmt, caption, ...);
+    timeline: (entity_id, ts, image_id nullable, kind ∈ feature|query,
+    row_id tiebreak).  Returns one row per query-kind timeline row with
+    ``image_id_asof / caption_asof / missing_asof / features_asof``.
+    """
+    plan = plan or FeaturizerPlan.build()
+    feats = featurize_images(images, plan).select(
+        "image_id", "caption", "missing", "features"
+    )
+    observations = (
+        timeline.filter((F.col("kind") == "feature") & F.col("image_id").isNotNull())
+        .select("entity_id", "ts", "row_id", "image_id")
+        .join(feats, "image_id", "inner")
+    )
+    queries = timeline.filter(F.col("kind") == "query").select(
+        "entity_id", "ts", "row_id"
+    )
+    return asof_join(
+        queries,
+        observations,
+        on="entity_id",
+        ts="ts",
+        value_cols=["image_id", "caption", "missing", "features"],
+        tiebreak="row_id",
+        tolerance_s=tolerance_s,
+    )
