@@ -264,6 +264,128 @@ def q_pit_featurize_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline layer: dedup / text analysis / similarity search
+# --------------------------------------------------------------------------
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 16
+MINHASH_BANDS = 4
+KNN_K = 5
+KNN_QUERIES = 8
+NEARDUP_COS = 0.4
+SIMHASH_MAXDIST = 6
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.text import token_count
+
+    return token_count(_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_subwords"
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.text import quality_score
+
+    return quality_score(_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "stop_ratio", "punct_ratio", "mean_tok_len", "quality"
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.text import lang_id
+
+    return lang_id(_documents(spark, sf_dir)).select(
+        "doc_id", "en_marker_ratio", "lang_pred"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.text import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir)).select(
+        "doc_id", "fp_md5", "fp_int"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text",
+        n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _documents(spark, sf_dir), "doc_id", "text",
+        n_hashes=MINHASH_K, bands=MINHASH_BANDS, shingle_n=JACCARD_N,
+    )
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.dedup import simhash
+
+    return simhash(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, simhash
+
+    sim = simhash(_documents(spark, sf_dir), "doc_id", "text")
+    return hamming_neardup_pairs(sim, "doc_id", max_distance=SIMHASH_MAXDIST)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.knn import cosine_topk
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return cosine_topk(embs, queries, k=KNN_K)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (random-hyperplane LSH buckets + exact re-rank).
+    Rows-only driver check; recall vs the exact path is asserted in
+    tests/test_dedup_text_knn.py."""
+    from pic2vec_spark.ops.knn import lsh_bucket_topk
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return lsh_bucket_topk(embs, queries, k=KNN_K)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.knn import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=NEARDUP_COS)
+
+
+def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/resize/re-encode over binary image columns.
+    Rows-only (binary output); codec correctness is pinned by
+    tests/test_codecs.py round-trips."""
+    from pic2vec_spark.ops.multimodal import image_thumbnail
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    out = image_thumbnail(images, size=(32, 32))
+    return out.select(
+        "image_id", "fmt", "thumb_ok", F.length("thumb").alias("thumb_bytes")
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -283,6 +405,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly": q_tumbling_hourly,
         "topk_per_user": q_topk_per_user,
         "pit_featurize_asof": q_pit_featurize_asof,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "image_thumbnails": q_image_thumbnails,
     }
 
 
@@ -311,8 +446,171 @@ FROM m WHERE side = 1
 """
 
 
+# shared SQL fragments for the document-dedup oracles -----------------------
+
+_SQL_TOKS = (
+    "SELECT doc_id, regexp_split_to_array(trim(lower(trim(text))), '\\s+') AS t "
+    "FROM documents"
+)
+_SQL_SHINGLES = f"""
+  toks AS ({_SQL_TOKS}),
+  pos AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - {JACCARD_N - 1})) AS i
+    FROM toks WHERE len(t) >= {JACCARD_N}
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id,
+      CAST('0x' || substr(md5(array_to_string(t[i:i+{JACCARD_N - 1}], ' ')), 1, 15) AS BIGINT) AS sh
+    FROM pos
+  )
+"""
+
+
+def _minhash_sql() -> str:
+    from pic2vec_spark.ops.dedup import MERSENNE_P, _perm_constants
+
+    mins = ", ".join(
+        f"MIN(((sh % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS h{i}"
+        for i, (a, b) in enumerate(_perm_constants(MINHASH_K))
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+def _minhash_lsh_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_sig FROM sig".format(
+            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES}, {_minhash_sql()},
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    return f"""
+    WITH toks AS ({_SQL_TOKS}),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+_SQL_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+                   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_subwords
+            FROM documents
+        """,
+        "doc_quality": r"""
+            WITH x AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct
+              FROM documents
+            ), y AS (
+              SELECT doc_id, len(toks) AS n_tokens, n_chars, punct,
+                     len(list_filter(toks, tk -> tk IN ('the','a','and','of','to','in','is','for'))) AS stop
+              FROM x
+            )
+            SELECT doc_id, n_tokens,
+                   ROUND(stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+                   ROUND(punct / CAST(n_chars AS DOUBLE), 4) AS punct_ratio,
+                   ROUND((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4) AS mean_tok_len,
+                   ROUND(
+                     least(n_tokens / 100.0, 1.0) * 0.4
+                     + least(stop / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+                     + (1.0 - least(punct / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.2, 4) AS quality
+            FROM y
+        """,
+        "doc_lang_id": r"""
+            WITH x AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ), y AS (
+              SELECT doc_id,
+                     len(list_filter(toks, tk -> tk IN ('the','a','and','of','to','in','is','for')))
+                       / CAST(len(toks) AS DOUBLE) AS ratio
+              FROM x
+            )
+            SELECT doc_id, ROUND(ratio, 4) AS en_marker_ratio,
+                   CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+            FROM y
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+                   CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) AS fp_int
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(trim(text))) AS fp_md5,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_jaccard": f"""
+            WITH {_SQL_SHINGLES},
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2, inter,
+                   ROUND(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE ROUND(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "doc_simhash": _simhash_sql(),
+        "knn_cosine": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < {KNN_QUERIES}
+            ), c AS (
+              SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings
+            ), s AS (
+              SELECT query_id, neighbor_id,
+                     {_SQL_COS.format(a='qvec', b='cvec')} AS cos
+              FROM c, q WHERE neighbor_id <> query_id
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+              FROM s
+            )
+            SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
+        """,
+        "embedding_neardup": f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   {_SQL_COS.format(a='a.e', b='b.e')} AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {NEARDUP_COS}
+        """,
         "asof_join": _ASOF_ORACLE.format(val="value_asof", fts="epoch_us(fts)"),
         "asof_tolerance": _ASOF_ORACLE.format(
             val="CASE WHEN fts IS NOT NULL AND epoch_us(ts) - epoch_us(fts) <= 3600000000 THEN value_asof END",

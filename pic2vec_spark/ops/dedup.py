@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, orderd by cost/recall:
+
+- exact: hash-groupBy on normalized text (one shuffle on a digest key)
+- n-gram Jaccard: shingle explode -> self-join on shingle -> pair count
+  (exact set similarity; candidate space bounded by shared shingles)
+- MinHash: signature = min of k permutation-hashes over shingles;
+  LSH banding buckets near-dups without the full pair join — the scale
+  path (shuffle on (band, band-signature), never all-pairs)
+- SimHash: 64-bit sign-of-weighted-token-hash fingerprint; near-dups =
+  fingerprints at small Hamming distance
+- embedding cosine: near-dup by vector similarity (see ops/knn.py)
+
+Everything is deterministic: hashes derive from md5 (available in both
+Spark and DuckDB, so MinHash/Jaccard/exact get full SQL oracles).
+All-pairs operators take an optional ``restrict`` filter for bounded
+correctness runs; the LSH path is the one you run at 10^12 scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic affine permutation constants for MinHash.
+# p = 2^31 - 1 keeps (sh % p) * a < 2^62: the arithmetic stays inside
+# BIGINT in BOTH Spark and the DuckDB oracle (no int128/decimal needed).
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_constants(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — small LCG, no RNG dependency, so the
+    DuckDB oracle can embed the same constants."""
+    consts = []
+    x = seed
+    for _ in range(n_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (MERSENNE_P - 1)) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MERSENNE_P
+        consts.append((a, b))
+    return consts
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.lower(F.trim(F.col(text_col)))
+
+
+def shingle_hash(col: Column) -> Column:
+    """60-bit integer hash of a shingle via md5 prefix — portable to the
+    DuckDB oracle (CAST('0x'||substr(md5(s),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle_hash) — distinct word n-grams per document."""
+    toks = F.split(F.trim(_norm_text(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .withColumn("sh", shingle_hash(F.col("shingle")))
+        .select(id_col, "sh")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical normalized texts: representative (min id) + count.
+    One hash-shuffle on the md5 digest (bytes never shuffled twice)."""
+    return (
+        df.select(F.col(id_col), F.md5(_norm_text(text_col)).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------------- jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    plan: shingles -> self-join on shingle (id1 < id2) -> |∩| counts ->
+    join per-doc sizes -> J = inter / (|A| + |B| - inter) >= threshold.
+    The self-join shuffles on the shingle hash; hot shingles are the
+    skew risk — at scale, drop top-frequency shingles first (stopword
+    shingles carry no dedup signal)."""
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id1"), "sh")
+    b = sh.select(F.col(id_col).alias("id2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "inter", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature columns.
+
+    h_i(doc) = min over shingles of (a_i * H(shingle) + b_i) mod p —
+    computed as one grouped aggregation over the exploded shingle table
+    (single shuffle on id), k mins evaluated column-wise JVM-side."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    aggs = []
+    for i, (ai, bi) in enumerate(_perm_constants(n_hashes)):
+        h = (F.col("sh") % MERSENNE_P * ai + bi) % MERSENNE_P
+        aggs.append(F.min(h).alias(f"h{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: signature split into ``bands``
+    bands of ``n_hashes/bands`` rows; docs sharing any full band collide.
+
+    Scale path: never materializes all pairs — shuffle keys are
+    (band_idx, band_signature) buckets, then pairs only within buckets.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(
+                    "band_sig"
+                ),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.select(F.col(id_col).alias("id1"), "band", "band_sig")
+    b2 = buckets.select(F.col(id_col).alias("id2"), "band", "band_sig")
+    return (
+        a.join(b2, ["band", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: sum ±1 per token-hash bit, sign -> fingerprint bit.
+
+    Expressed as explode(tokens) -> per-(id, bit) signed sum -> bit
+    assembly (two shuffles on id; no UDF).  Near-dup = small Hamming
+    distance between fingerprints."""
+    toks = F.split(F.trim(_norm_text(text_col)), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = shingle_hash(F.col("tok"))  # 60-bit
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(min(bits, 60))
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_cols)
+    fp = F.lit(0).cast("bigint")
+    for i in range(min(bits, 60)):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_neardup_pairs(
+    sim: DataFrame, id_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Pairs of simhash fingerprints within ``max_distance`` bits.
+
+    Banding trick for scale: split the 60-bit fingerprint into
+    max_distance+1 chunks — any pair within distance d shares at least
+    one exact chunk (pigeonhole), so candidates come from chunk-equality
+    buckets, then exact popcount filters."""
+    chunks = max_distance + 1
+    width = 60 // chunks
+    rows = []
+    for c in range(chunks):
+        chunk = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        rows.append(
+            sim.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
+                       chunk.alias("chunk_val"))
+        )
+    buckets = rows[0]
+    for r in rows[1:]:
+        buckets = buckets.unionByName(r)
+    a = buckets.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("s1"), "chunk", "chunk_val"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("s2"), "chunk", "chunk_val"
+    )
+    pairs = (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id1", "id2", "hamming")
+    )

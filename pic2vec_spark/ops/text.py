@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All are single-pass narrow projections (no shuffle, no UDF — pure
+Catalyst expressions, whole-stage codegen), so they scale linearly and
+are SQL-checkable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords for the language-ID heuristic (English function words)
+EN_MARKERS = ("the", "a", "and", "of", "to", "in", "is", "for")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + distinct-token count + BPE-ish subword
+    estimate (word-boundary regex pieces: runs of letters, digits, or a
+    single non-alnum char — a cheap stand-in for byte-pair tokenizers)."""
+    toks = tokens(F.col(text_col))
+    bpe_ish = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1
+    )
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("bigint"),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+            "n_subwords": F.size(bpe_ish).cast("bigint"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + a composite score:
+    length, mean token length, stopword ratio, punctuation ratio.
+    Deterministic closed forms (rounded to 4) so the DuckDB oracle can
+    recompute them exactly."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    mean_tok_len = (n_chars - n_tok + 1) / n_tok  # chars excl. separators
+    stop_ratio = stop / n_tok
+    punct_ratio = punct / n_chars
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("bigint"),
+            "stop_ratio": F.round(stop_ratio, 4),
+            "punct_ratio": F.round(punct_ratio, 4),
+            "mean_tok_len": F.round(mean_tok_len, 4),
+            "quality": F.round(score, 4),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: English marker-token
+    frequency decides 'en' vs 'other'.  (The synthetic corpus is drawn
+    from an English-ish vocabulary, so the interesting part is the
+    operator shape: pure-expression scoring at scan time.)"""
+    toks = tokens(F.col(text_col))
+    en = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
+    ratio = en / F.size(toks)
+    return df.withColumns(
+        {
+            "en_marker_ratio": F.round(ratio, 4),
+            "lang_pred": F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")),
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact-dup key)
+    and a 60-bit integer prefix of it (join-friendly rolling-hash
+    stand-in; the reference has no text ops at all — these serve the
+    dedup layer)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    digest = F.md5(norm)
+    return df.withColumns(
+        {
+            "fp_md5": digest,
+            "fp_int": F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint"),
+        }
+    )

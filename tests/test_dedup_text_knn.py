@@ -1,0 +1,148 @@
+"""Training-data operators: dedup recall, LSH vs brute force, simhash
+python oracle, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    from pic2vec_spark.ops.dedup import exact_dedup
+
+    dup = docs.union(docs.limit(10))  # plant 10 exact duplicates
+    out = exact_dedup(dup, "doc_id", "text").toPandas()
+    assert (out.n_dups >= 2).sum() == 10
+    assert out.n_dups.sum() == dup.count()
+
+
+def test_lsh_candidates_catch_high_jaccard_pairs(spark, docs):
+    """LSH (16 hashes, 4 bands -> threshold ~ (1/4)^(1/4) ≈ 0.7) must
+    recover every pair with very high true Jaccard."""
+    from pic2vec_spark.ops.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    truth = jaccard_pairs(docs, "doc_id", "text", threshold=0.9).toPandas()
+    assert len(truth) > 0, "corpus should contain planted near-dups"
+    cand = lsh_candidate_pairs(docs, "doc_id", "text").toPandas()
+    cand_set = set(zip(cand.id1, cand.id2))
+    missed = [p for p in zip(truth.id1, truth.id2) if p not in cand_set]
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_python_oracle(spark, docs):
+    """Spark simhash == plain-python simhash on a sample."""
+    from pic2vec_spark.ops.dedup import simhash
+
+    got = simhash(docs.limit(20), "doc_id", "text").toPandas().set_index("doc_id")
+    sample = docs.limit(20).toPandas()
+
+    def py_simhash(text: str) -> int:
+        counts = [0] * 60
+        for tok in text.strip().lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(60) if counts[i] > 0)
+
+    for _, row in sample.iterrows():
+        assert int(got.loc[row.doc_id, "simhash"]) == py_simhash(row.text), row.doc_id
+
+
+def test_simhash_neardup_symmetric_with_hamming(spark, docs):
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, simhash
+
+    sim = simhash(docs, "doc_id", "text")
+    pairs = hamming_neardup_pairs(sim, "doc_id", max_distance=6).toPandas()
+    sims = sim.toPandas().set_index("doc_id")["simhash"]
+    for _, r in pairs.iterrows():
+        true_d = bin(int(sims[r.id1]) ^ int(sims[r.id2])).count("1")
+        assert true_d == r.hamming and true_d <= 6
+    assert (pairs.id1 < pairs.id2).all()
+
+
+def test_knn_brute_force_vs_numpy(spark, embs):
+    from pic2vec_spark.ops.knn import cosine_topk
+
+    queries = embs.filter(F.col("vec_id") < 4)
+    got = cosine_topk(embs, queries, k=5).toPandas()
+    pdf = embs.toPandas()
+    mat = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)
+    ids = pdf.vec_id.values
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(4):
+        qi = np.where(ids == q)[0][0]
+        cos = mat @ mat[qi]
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -np.round(cos, 6)))[:5]
+        expect = ids[order]
+        got_q = got[got.query_id == q].sort_values("rk").neighbor_id.values
+        assert list(got_q) == list(expect), q
+
+
+def test_lsh_knn_recall(spark, embs):
+    """Approximate ANN must hit >=40% of true top-5 on random gaussian
+    vectors (no structure = hard case for LSH) and every returned
+    neighbor's cosine must be <= true best."""
+    from pic2vec_spark.ops.knn import cosine_topk, lsh_bucket_topk
+
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(embs, queries, k=5).toPandas()
+    approx = lsh_bucket_topk(embs, queries, k=5).toPandas()
+    hits = 0
+    total = 0
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.6, f"LSH recall too low: {hits}/{total}"
+
+
+def test_multimodal_thumbnail_roundtrip(spark):
+    from pic2vec_spark.codecs import decode_png
+    from pic2vec_spark.ops.multimodal import image_thumbnail
+    from pic2vec_spark.synth import IMAGES_SCHEMA, synth_images_pdf
+
+    images = synth_images_pdf(24, seed=42)
+    out = image_thumbnail(
+        spark.createDataFrame(images, schema=IMAGES_SCHEMA), size=(16, 16)
+    ).toPandas()
+    ok = out[out.thumb_ok]
+    assert len(ok) > 12
+    for t in ok.thumb:
+        assert decode_png(bytes(t)).shape == (16, 16, 3)
+    bad = out[~out.thumb_ok]
+    assert (bad.fmt == "gif").any()  # invalid formats land here
+
+
+def test_multimodal_stubs_plumbing(spark):
+    from pic2vec_spark.ops.multimodal import audio_features, video_frame_sample
+    from pic2vec_spark.synth import IMAGES_SCHEMA, synth_images_pdf
+
+    df = spark.createDataFrame(synth_images_pdf(8, seed=1), schema=IMAGES_SCHEMA)
+    frames = video_frame_sample(df, n_frames=3, frame_size=(4, 4)).toPandas()
+    assert all(len(f) == 3 and len(f[0]) == 16 for f in frames.frames)
+    mel = audio_features(df, n_mel=8).toPandas()
+    assert all(len(m) == 8 for m in mel.mel)
+    # determinism: same bytes -> same fake signal
+    again = audio_features(df, n_mel=8).toPandas()
+    assert all(list(a) == list(b) for a, b in zip(mel.mel, again.mel))
+    # strict mode raises (documents the stub boundary)
+    with pytest.raises(Exception):
+        video_frame_sample(df, strict=True).collect()
