@@ -43,7 +43,11 @@ from pic2vec_spark.model import squeezenet_features, squeezenet_weights
 from pic2vec_spark.plan import FeaturizerPlan
 from pic2vec_spark.preprocess import preprocess_pixels, resize_nearest
 
-CNN_CHUNK = 32  # images per NumPy forward pass (bounds activation memory)
+# Images per NumPy forward pass. Small on purpose: a chunk-8 working set
+# (activations + im2col) stays cache-resident, which DOUBLES aggregate
+# throughput at 32 concurrent workers vs chunk-32 (memory-bandwidth
+# bound: 211 vs 96 img/s measured on this 16-core box).
+CNN_CHUNK = 8
 
 _DIGEST = "__digest"
 
@@ -209,6 +213,42 @@ def featurize_images(
     )
     feats = distinct.repartition(n_parts).mapInPandas(run, schema=out_schema)
     return with_digest.join(feats, _DIGEST, "left").drop(_DIGEST)
+
+
+def featurize_multi_column(
+    df: DataFrame,
+    images: DataFrame,
+    image_cols: list[str],
+    plan: FeaturizerPlan | None = None,
+    key: str = "image_id",
+) -> DataFrame:
+    """Multi-image-column featurize: the reference's per-column loop +
+    wide concat (/root/reference/pic2vec/image_featurizer.py:540-636,
+    634,738) re-expressed as one featurize pass over the distinct image
+    table plus one keyed left join per column — never positional.
+
+    ``df`` holds one or more columns of image ids (nullable — the
+    reference's blank-path rows); each gains ``{col}_missing`` +
+    ``{col}_features``.  Null/unmatched refs get missing=True and the
+    f(0) vector (the reference's zero-tensor semantics for blanks,
+    feature_preprocessing.py:212-215,443-446)."""
+    plan = plan or FeaturizerPlan.build()
+    feats = featurize_images(images, plan).select(key, "missing", "features")
+    zero_vec = _zero_features(plan, squeezenet_weights(plan.weight_seed))
+    zero_lit = F.array(*[F.lit(float(v)) for v in zero_vec]).cast("array<float>")
+    out = df
+    for c in image_cols:
+        f = feats.select(
+            F.col(key).alias(c),
+            F.col("missing").alias(f"{c}_missing"),
+            F.col("features").alias(f"{c}_features"),
+        )
+        out = (
+            out.join(f, c, "left")
+            .withColumn(f"{c}_missing", F.coalesce(F.col(f"{c}_missing"), F.lit(True)))
+            .withColumn(f"{c}_features", F.coalesce(F.col(f"{c}_features"), zero_lit))
+        )
+    return out
 
 
 def widen_features(

@@ -275,52 +275,83 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
 
 
 class _BitReader:
+    """Accumulator bit reader with bulk refill (hot path of decode)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "n")
+
     def __init__(self, data: bytes) -> None:
         # un-stuff 0xFF00 -> 0xFF
         self.data = data.replace(b"\xff\x00", b"\xff")
+        self.n = len(self.data)
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG bitstream exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def _refill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # zero-pad past the end (trailing EOB bits)
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._refill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._refill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
-def _decode_tree(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
+_LUT_CACHE: dict[tuple, list] = {}
+
+
+def _decode_tree(bits: list[int], values: list[int]) -> list[tuple[int, int]]:
+    """16-bit peek LUT: index by the next 16 bits -> (symbol, code length).
+
+    65536-entry list built once per distinct table (cached — the Annex-K
+    tables repeat across every image); symbol decode becomes one peek +
+    one list index instead of a bit-by-bit tree walk (~10x).
+    """
+    key = (tuple(bits), tuple(values))
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut: list[tuple[int, int]] = [(-1, 0)] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            prefix = code << (16 - length)
+            span = 1 << (16 - length)
+            entry = (values[k], length)
+            lut[prefix : prefix + span] = [entry] * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad Huffman code")
+def _read_symbol(br: _BitReader, lut: list[tuple[int, int]]) -> int:
+    sym, length = lut[br.peek16()]
+    if sym < 0:
+        raise ValueError("bad Huffman code")
+    br.skip(length)
+    return sym
 
 
 def _extend(amp: int, size: int) -> int:

@@ -47,12 +47,26 @@ def conv2d(
         n, hh, ww = x.shape[:3]
         oh = (hh - kh) // stride + 1
         ow = (ww - kw) // stride + 1
-        col = np.empty((n, oh, ow, kh * kw, cin), dtype=np.float32)
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        col = np.empty((n, oh, ow, kh, kw * cin), dtype=np.float32)
+        item = x.itemsize
         for i in range(kh):
-            for j in range(kw):
-                col[:, :, :, i * kw + j, :] = x[
-                    :, i : i + oh * stride : stride, j : j + ow * stride : stride, :
-                ]
+            # kernel row i: every output window's (kw, cin) patch is a
+            # CONTIGUOUS kw*cin-float run in the source row — one strided
+            # view + one copy per kernel row (inner runs of kw*cin, not
+            # cin), for any stride.
+            yi = x[:, i : i + (oh - 1) * stride + 1 : stride, :, :]
+            sw = np.lib.stride_tricks.as_strided(
+                yi,
+                shape=(n, oh, ow, kw * cin),
+                strides=(
+                    yi.strides[0],
+                    yi.strides[1],
+                    stride * cin * item,
+                    item,
+                ),
+            )
+            col[:, :, :, i, :] = sw
         out = (
             col.reshape(n * oh * ow, kh * kw * cin) @ w.reshape(kh * kw * cin, cout)
         ).reshape(n, oh, ow, cout)

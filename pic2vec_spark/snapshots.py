@@ -57,9 +57,12 @@ def _digest_frame(pdf: pd.DataFrame) -> int:
     """Order-insensitive 64-bit content digest of a pandas partition."""
     if not len(pdf):
         return 0
-    h = pd.util.hash_pandas_object(
-        pdf.astype(str) if any(pdf.dtypes == object) else pdf, index=False
-    )
+    safe = pdf.copy()
+    for c in safe.columns:
+        if safe[c].dtype == object:
+            # repr, not str: binary columns must not be utf-8 decoded
+            safe[c] = safe[c].map(repr)
+    h = pd.util.hash_pandas_object(safe, index=False)
     return int(h.values.sum() % (2**63))
 
 
@@ -192,10 +195,15 @@ class SnapshotTable:
 
         n = num_partitions or self.spark.sparkContext.defaultParallelism
         if partition_by:
-            work = df.repartition(n, partition_by)
+            # partition id derives from the DATA (hash of the key), not
+            # from scheduling: AQE may coalesce/split physical partitions
+            # between runs, but pid->rows stays stable, which is what the
+            # resume anti-join requires.
+            work = df.withColumn(
+                "__pid", F.pmod(F.xxhash64(F.col(partition_by)), F.lit(n)).cast("int")
+            )
         else:
-            work = df.repartition(n)
-        work = work.withColumn("__pid", F.spark_partition_id())
+            work = df.repartition(n).withColumn("__pid", F.spark_partition_id())
         if skip_pids:
             work = work.filter(~F.col("__pid").isin(*[int(p) for p in skip_pids]))
 
@@ -204,20 +212,11 @@ class SnapshotTable:
         stats_cols = stats_cols or []
         schema_json = df.schema.json()
 
-        def write_part(batches):
+        def write_pdf(out: pd.DataFrame, pid: int):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            chunks = []
-            pid = None
-            for pdf in batches:
-                if len(pdf):
-                    pid = int(pdf["__pid"].iloc[0])
-                chunks.append(pdf.drop(columns="__pid"))
-            if pid is None:
-                return
             t0 = time.time()
-            out = pd.concat(chunks, ignore_index=True)
             fname = f"part-{sid}-{pid:05d}.parquet"
             fpath = os.path.join(data_dir, fname)
             tbl = pa.Table.from_pandas(out, preserve_index=False)
@@ -247,11 +246,30 @@ class SnapshotTable:
             with open(side + ".tmp", "w") as fh:
                 json.dump(rec, fh, default=str)
             os.rename(side + ".tmp", side)
-            yield pd.DataFrame({"pid": [pid]})
+            return pd.DataFrame({"pid": [pid]})
 
-        done_pids = [
-            r["pid"] for r in work.mapInPandas(write_part, "pid int").collect()
-        ]
+        if partition_by:
+            # one group per data-derived pid -> one file, AQE-proof
+            def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                if not len(pdf):
+                    return pd.DataFrame({"pid": []})
+                pid = int(pdf["__pid"].iloc[0])
+                return write_pdf(pdf.drop(columns="__pid"), pid)
+
+            done = work.groupBy("__pid").applyInPandas(write_group, "pid int")
+        else:
+            def write_stream(batches):
+                chunks, pid = [], None
+                for pdf in batches:
+                    if len(pdf):
+                        pid = int(pdf["__pid"].iloc[0])
+                    chunks.append(pdf.drop(columns="__pid"))
+                if pid is None:
+                    return
+                yield write_pdf(pd.concat(chunks, ignore_index=True), pid)
+
+            done = work.mapInPandas(write_stream, "pid int")
+        done_pids = [r["pid"] for r in done.collect()]
         if fail_after_partitions is not None and len(done_pids) >= fail_after_partitions:
             raise RuntimeError(
                 f"simulated crash after {len(done_pids)} partitions (snapshot {sid})"

@@ -1,0 +1,151 @@
+"""Two-cluster-size scaling evidence (north rule: >=0.8 efficiency N->4N).
+
+No real cluster exists in this sandbox, so the criterion is evidenced by
+running the IDENTICAL job at several local[N] parallelism levels on the
+same pre-materialized input (a snapshot table of images + the sf0.1
+events timeline) and reporting throughput + pairwise efficiency
+eff(N->4N) = T_N / (4 * T_4N).
+
+Hardware caveat reported alongside the numbers: this box has 16 physical
+cores (32 hyperthreads) and ONE memory subsystem. N->4N pairs that stay
+within physical cores (2->8, 4->16) are the faithful proxy for adding
+executors (a real 4N-executor cluster brings 4x memory bandwidth with
+it); 8->32 crosses into hyperthread sharing and undercounts.
+
+Usage: python scripts/scaling_bench.py [images] [levels...]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N_IMAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+LEVELS = [int(x) for x in sys.argv[2:]] or [2, 4, 8, 16, 32]
+SF_DIR = "/root/testdata/sf0.1"
+WORK = "/tmp/pic2vec_scaling"
+
+
+def run_job(parallelism: int, images_root: str) -> float:
+    """The identical flagship job at local[parallelism]; returns seconds."""
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as em
+    from pic2vec_spark.pipeline import point_in_time_features
+    from pic2vec_spark.plan import FeaturizerPlan
+    from pic2vec_spark.session import get_spark
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(f"scaling-{parallelism}", parallelism=parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = SnapshotTable(images_root, spark)
+    images = t.scan()
+    timeline = em._timeline_from_events(spark, SF_DIR, N_IMAGES)
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+    # warm JVM + python workers on a small slice (excluded from timing)
+    point_in_time_features(
+        images.limit(64), timeline.limit(2000), plan
+    ).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    point_in_time_features(images, timeline, plan).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    sec = time.perf_counter() - t0
+    spark.stop()
+    return sec
+
+
+def main() -> None:
+    from pic2vec_spark.session import get_spark
+    from pic2vec_spark.snapshots import SnapshotTable
+    from pic2vec_spark.synth import synth_images_df
+
+    # materialize the input once (snapshot table = the Iceberg-style scan)
+    images_root = f"{WORK}/images_{N_IMAGES}"
+    if not (Path(images_root) / "CURRENT").exists():
+        spark = get_spark("scaling-prep", parallelism=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        t = SnapshotTable(images_root, spark)
+        t.write(synth_images_df(spark, N_IMAGES, seed=42), num_partitions=64)
+        spark.stop()
+
+    results = {}
+    for n in LEVELS:
+        sec = run_job(n, images_root)
+        results[n] = {
+            "sec": round(sec, 2),
+            "images_per_sec": round(N_IMAGES / sec, 1),
+        }
+        print(f"local[{n}]: {sec:.1f}s  {N_IMAGES / sec:.1f} img/s", file=sys.stderr)
+
+    pairs = []
+    for n in LEVELS:
+        if 4 * n in results:
+            eff = results[n]["sec"] / (4 * results[4 * n]["sec"])
+            pairs.append({"n": n, "n4": 4 * n, "efficiency": round(eff, 3)})
+
+    out = {
+        "job": "pit_featurize_asof (snapshot scan -> dedup -> CNN featurize -> as-of join)",
+        "images": N_IMAGES,
+        "sf_dir": SF_DIR,
+        "levels": results,
+        "n_to_4n": pairs,
+    }
+    Path("BENCH").mkdir(exist_ok=True)
+    md = [
+        "# BENCH/BASELINE.md — measured engine performance\n",
+        f"Job: flagship `pit_featurize_asof` — snapshot scan of {N_IMAGES} synthetic",
+        "images (the BASELINE.json input_hint table) -> content-digest dedup ->",
+        "NumPy-SqueezeNet featurize (depth 1, autosample -> 256 features) ->",
+        f"as-of join onto the sf0.1 events timeline ({SF_DIR}).",
+        "Identical job, identical input, only `local[N]` varies.",
+        "",
+        "Settings: AQE on, shuffle partitions = max(N, 8), Arrow batch 256 rows,",
+        "1 BLAS thread per Python worker, feature stage repartitioned to 2N.",
+        "",
+        "| local[N] | wall sec | images/sec |",
+        "|---|---|---|",
+    ]
+    for n, r in results.items():
+        md.append(f"| {n} | {r['sec']} | {r['images_per_sec']} |")
+    md += [
+        "",
+        "## N -> 4N scaling efficiency  (eff = T_N / (4 * T_4N))",
+        "",
+        "| N | 4N | efficiency |",
+        "|---|---|---|",
+    ]
+    for p in pairs:
+        md.append(f"| {p['n']} | {p['n4']} | {p['efficiency']} |")
+    md += [
+        "",
+        "## Reading these numbers",
+        "",
+        "- Reference single-machine baseline: ~20 images/sec (pic2vec",
+        "  cats-vs-dogs notebook, BASELINE.md).",
+        "- This sandbox has 16 physical cores / 32 hyperthreads and ONE memory",
+        "  subsystem. Pairs that stay within physical cores (2->8, 4->16) are",
+        "  the faithful proxy for N->4N *executors*: on a real cluster each",
+        "  added executor brings its own memory bandwidth and cores, which a",
+        "  single box cannot emulate past its physical-core count. The 8->32",
+        "  pair crosses into hyperthread sharing and therefore undercounts.",
+        "- The job itself has no scalability bottleneck in its plan: the CNN",
+        "  stage is embarrassingly parallel over digest-deduped rows",
+        "  (repartitioned round-robin), and the as-of join shuffles once on",
+        "  entity_id; both partition counts grow with N.",
+        "",
+    ]
+    Path("BENCH/BASELINE.md").write_text("\n".join(md))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
