@@ -133,6 +133,36 @@ def _get_weights(plan: FeaturizerPlan, weights_bc) -> dict[str, np.ndarray]:
 
 # ------------------------------------------------------------------ pipeline
 
+_FEATS_SCHEMA = f"{_DIGEST} long, missing boolean, features array<float>"
+
+
+def _featurize_udf(plan: FeaturizerPlan, weights_bc):
+    """The core Arrow-batched decode+preprocess+CNN UDF over
+    (__digest, bytes, fmt) batches -> (__digest, missing, features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = _get_weights(plan, weights_bc)
+        zero_feat = _zero_features(plan, weights)
+        for pdf in batches:
+            feats, missing = featurize_batch(
+                list(pdf["bytes"]), list(pdf["fmt"]), plan, weights, zero_feat
+            )
+            yield pd.DataFrame(
+                {
+                    _DIGEST: pdf[_DIGEST].values,
+                    "missing": missing,
+                    "features": list(feats),
+                }
+            )
+
+    return run
+
+
+def content_digest():
+    """The content key all dedup/featurize stages share."""
+    return F.xxhash64(F.coalesce(F.col("bytes"), F.lit(b"")), F.col("fmt"))
+
+
 def featurize_images(
     df: DataFrame,
     plan: FeaturizerPlan | None = None,
@@ -160,21 +190,7 @@ def featurize_images(
         sc.broadcast(squeezenet_weights(plan.weight_seed)) if broadcast_weights else None
     )
     n_parts = feature_partitions or sc.defaultParallelism * 2
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = _get_weights(plan, weights_bc)
-        zero_feat = _zero_features(plan, weights)
-        for pdf in batches:
-            feats, missing = featurize_batch(
-                list(pdf["bytes"]), list(pdf["fmt"]), plan, weights, zero_feat
-            )
-            yield pd.DataFrame(
-                {
-                    _DIGEST: pdf[_DIGEST].values,
-                    "missing": missing,
-                    "features": list(feats),
-                }
-            )
+    run = _featurize_udf(plan, weights_bc)
 
     if not dedup:
         # inline path: featurize every row in place, no dedup, no join —
@@ -203,16 +219,61 @@ def featurize_images(
 
         return df.repartition(n_parts).mapInPandas(run_inline, schema=inline_schema)
 
-    out_schema = f"{_DIGEST} long, missing boolean, features array<float>"
-    digest = F.xxhash64(F.coalesce(F.col("bytes"), F.lit(b"")), F.col("fmt"))
-    with_digest = df.withColumn(_DIGEST, digest)
+    with_digest = df.withColumn(_DIGEST, content_digest())
     distinct = (
         with_digest.select(_DIGEST, "bytes", "fmt")
         .groupBy(_DIGEST)
         .agg(F.first("bytes").alias("bytes"), F.first("fmt").alias("fmt"))
     )
-    feats = distinct.repartition(n_parts).mapInPandas(run, schema=out_schema)
+    feats = distinct.repartition(n_parts).mapInPandas(run, schema=_FEATS_SCHEMA)
     return with_digest.join(feats, _DIGEST, "left").drop(_DIGEST)
+
+
+def incremental_featurize(
+    images: DataFrame,
+    table,
+    plan: FeaturizerPlan | None = None,
+    feature_partitions: int | None = None,
+    broadcast_weights: bool = True,
+) -> str:
+    """Incremental ingest: featurize ONLY content digests not yet present
+    in the feature snapshot ``table`` (a SnapshotTable of
+    (__digest, missing, features)), committing an APPEND snapshot.
+
+    This is the 10^12-scale arrival path: a new batch of images costs
+    CNN time proportional to its NEW distinct content (anti-join against
+    the existing snapshot), and the commit writes only new files — the
+    table's history stays queryable via earlier snapshot ids.
+    Returns the new snapshot id."""
+    plan = plan or FeaturizerPlan.build()
+    spark = images.sparkSession
+    sc = spark.sparkContext
+    weights_bc = (
+        sc.broadcast(squeezenet_weights(plan.weight_seed)) if broadcast_weights else None
+    )
+    n_parts = feature_partitions or sc.defaultParallelism * 2
+
+    distinct = (
+        images.withColumn(_DIGEST, content_digest())
+        .select(_DIGEST, "bytes", "fmt")
+        .groupBy(_DIGEST)
+        .agg(F.first("bytes").alias("bytes"), F.first("fmt").alias("fmt"))
+    )
+    if table.current_snapshot_id() is not None:
+        seen = table.scan().select(_DIGEST)
+        distinct = distinct.join(seen, _DIGEST, "left_anti")
+    feats = distinct.repartition(n_parts).mapInPandas(
+        _featurize_udf(plan, weights_bc), schema=_FEATS_SCHEMA
+    )
+    return table.append(feats, partition_by=_DIGEST)
+
+
+def lookup_features(images: DataFrame, table) -> DataFrame:
+    """Join a (possibly huge) image table against the feature snapshot by
+    content digest — the read side of incremental_featurize."""
+    return images.withColumn(_DIGEST, content_digest()).join(
+        table.scan(), _DIGEST, "left"
+    ).drop(_DIGEST)
 
 
 def featurize_multi_column(

@@ -154,6 +154,29 @@ class SnapshotTable:
             carry_partitions=[],
         )
 
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        num_partitions: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> str:
+        """Iceberg-style APPEND snapshot: new data files are written for
+        ``df`` only; the manifest carries the parent's partitions forward
+        untouched (their files are never rewritten).  This is the
+        incremental-ingest path: commit cost is proportional to the NEW
+        data, not the table."""
+        parent_man = self.manifest()
+        carry = list(parent_man["partitions"]) if parent_man else []
+        pid_offset = (max((p["pid"] for p in carry), default=-1)) + 1
+        sid = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        return self._write_partitions(
+            df, sid, partition_by, num_partitions, stats_cols,
+            parent=parent_man["snapshot_id"] if parent_man else None,
+            skip_pids=None, fail_after_partitions=None,
+            carry_partitions=carry, pid_offset=pid_offset,
+        )
+
     def resume(
         self,
         df: DataFrame,
@@ -169,7 +192,7 @@ class SnapshotTable:
         return self._write_partitions(
             df, snapshot_id, partition_by, num_partitions, stats_cols,
             parent=None, skip_pids={p["pid"] for p in done},
-            fail_after_partitions=None, carry_partitions=done,
+            fail_after_partitions=None, carry_partitions=[],
         )
 
     def _orphan_lineage(self, sid: str) -> list[dict]:
@@ -186,7 +209,7 @@ class SnapshotTable:
 
     def _write_partitions(
         self, df, sid, partition_by, num_partitions, stats_cols, parent,
-        skip_pids, fail_after_partitions, carry_partitions,
+        skip_pids, fail_after_partitions, carry_partitions, pid_offset: int = 0,
     ) -> str:
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.snap_dir.mkdir(parents=True, exist_ok=True)
@@ -200,10 +223,15 @@ class SnapshotTable:
             # between runs, but pid->rows stays stable, which is what the
             # resume anti-join requires.
             work = df.withColumn(
-                "__pid", F.pmod(F.xxhash64(F.col(partition_by)), F.lit(n)).cast("int")
+                "__pid",
+                (
+                    F.pmod(F.xxhash64(F.col(partition_by)), F.lit(n)) + pid_offset
+                ).cast("int"),
             )
         else:
-            work = df.repartition(n).withColumn("__pid", F.spark_partition_id())
+            work = df.repartition(n).withColumn(
+                "__pid", F.spark_partition_id() + F.lit(pid_offset)
+            )
         if skip_pids:
             work = work.filter(~F.col("__pid").isin(*[int(p) for p in skip_pids]))
 
@@ -275,7 +303,7 @@ class SnapshotTable:
                 f"simulated crash after {len(done_pids)} partitions (snapshot {sid})"
             )
 
-        lineage = self._orphan_lineage(sid)
+        lineage = list(carry_partitions) + self._orphan_lineage(sid)
         man = {
             "snapshot_id": sid,
             "parent": parent if parent is not None else self.current_snapshot_id(),

@@ -1,0 +1,85 @@
+"""Structured Streaming surface: continuous image ingest + streaming
+windowed aggregates.
+
+The reference is strictly batch (SURVEY.md: no streams), so this layer is
+the engine's forward-looking ingest path rather than a parity item:
+
+- ``stream_featurize``: a file-source stream of image-table parquet
+  drops, each micro-batch routed through ``incremental_featurize`` via
+  foreachBatch — only NEW content digests hit the CNN, every micro-batch
+  commits an append snapshot (lineage included), and Spark's streaming
+  checkpoint makes the source exactly-once while the snapshot layer makes
+  the sink idempotent (digest anti-join absorbs replays).
+- ``streaming_session_counts``: watermarked ``session_window`` gap
+  sessionization — the streaming analogue of ops/windows.sessionize.
+
+Both run with ``Trigger.AvailableNow`` in tests (process the backlog,
+then stop) — the same code runs continuously on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pic2vec_spark.featurize import incremental_featurize
+from pic2vec_spark.plan import FeaturizerPlan
+from pic2vec_spark.snapshots import SnapshotTable
+from pic2vec_spark.synth import IMAGES_SCHEMA
+
+
+def stream_featurize(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    plan: FeaturizerPlan | None = None,
+    available_now: bool = True,
+):
+    """Stream image-table parquet files from ``input_dir`` into a feature
+    SnapshotTable at ``table_root``.  Returns the (started) query."""
+    plan = plan or FeaturizerPlan.build()
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = SnapshotTable(table_root, batch_df.sparkSession)
+        incremental_featurize(batch_df, table, plan)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+    on: str = "entity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Watermarked gap-sessionization over a streaming events frame:
+    one row per (entity, session window) with event count — late rows
+    beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withColumn(ts, F.col(ts).cast("timestamp"))
+        .withWatermark(ts, watermark)
+        .groupBy(F.col(on), F.session_window(F.col(ts), f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(on),
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,63 @@
+"""Incremental featurize: append snapshots, CNN cost proportional to new
+distinct content, results identical to one-shot featurize."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pic2vec_spark.featurize import (
+    featurize_images,
+    incremental_featurize,
+    lookup_features,
+)
+from pic2vec_spark.plan import FeaturizerPlan
+from pic2vec_spark.snapshots import SnapshotTable
+from pic2vec_spark.synth import IMAGES_SCHEMA, synth_images_pdf
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+
+
+def test_incremental_matches_oneshot_and_appends(spark, plan, tmp_path):
+    all_pdf = synth_images_pdf(32, seed=42)
+    batch1 = spark.createDataFrame(all_pdf.iloc[:20], schema=IMAGES_SCHEMA)
+    batch2 = spark.createDataFrame(all_pdf.iloc[12:], schema=IMAGES_SCHEMA)  # overlap
+    full = spark.createDataFrame(all_pdf, schema=IMAGES_SCHEMA)
+
+    t = SnapshotTable(str(tmp_path / "feats"), spark)
+    s1 = incremental_featurize(batch1, t, plan)
+    n1 = t.scan().count()
+    s2 = incremental_featurize(batch2, t, plan)
+    n2 = t.scan(s2).count()
+    assert s2 != s1
+    assert t.manifest(s2)["parent"] == s1
+    # second commit added only the digests batch1 hadn't seen
+    assert n2 > n1
+    one_shot_digests = (
+        featurize_images(full, plan).select("image_id").count()
+    )
+    assert one_shot_digests == 32
+
+    # append never rewrote batch1's files
+    man1 = {p["file"] for p in t.manifest(s1)["partitions"]}
+    man2 = {p["file"] for p in t.manifest(s2)["partitions"]}
+    assert man1 <= man2
+
+    # lookup joins every row of the full table to a feature vector,
+    # identical to the one-shot pipeline result
+    looked = lookup_features(full, t).toPandas().set_index("image_id")
+    oneshot = featurize_images(full, plan).toPandas().set_index("image_id")
+    assert looked.features.notna().all()
+    for iid in oneshot.index:
+        assert np.allclose(
+            np.array(looked.loc[iid, "features"], dtype=np.float32),
+            np.array(oneshot.loc[iid, "features"], dtype=np.float32),
+            atol=1e-5,
+        )
+        assert bool(looked.loc[iid, "missing"]) == bool(oneshot.loc[iid, "missing"])
+
+    # time travel: scanning s1 still shows only the first batch's digests
+    assert t.scan(s1).count() == n1

@@ -1,0 +1,114 @@
+"""Structured Streaming: file-source ingest -> incremental featurize
+snapshots; watermarked session_window sessionization."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pic2vec_spark.plan import FeaturizerPlan
+from pic2vec_spark.snapshots import SnapshotTable
+from pic2vec_spark.streaming import stream_featurize, streaming_session_counts
+from pic2vec_spark.synth import IMAGES_SCHEMA, synth_images_pdf
+
+
+def _wait(query, timeout_s=120):
+    query.awaitTermination(timeout_s)
+    if query.isActive:
+        query.stop()
+
+
+def test_stream_featurize_ingests_drops(spark, tmp_path):
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    all_pdf = synth_images_pdf(24, seed=42)
+
+    # two file drops with overlapping content (replays must be absorbed)
+    spark.createDataFrame(all_pdf.iloc[:16], schema=IMAGES_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(inp / "d1"))
+    spark.createDataFrame(all_pdf.iloc[8:], schema=IMAGES_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(inp / "d2"))
+
+    q = stream_featurize(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_root=str(tmp_path / "feats"),
+        plan=plan,
+    )
+    _wait(q)
+
+    t = SnapshotTable(str(tmp_path / "feats"), spark)
+    feats = t.scan().toPandas()
+    # every distinct content digest featurized exactly once
+    assert feats["__digest"].is_unique
+    assert len(feats) > 0
+    man = t.manifest()
+    assert man["parent"] is not None or len(man["partitions"]) > 0
+
+    # restart with the same checkpoint: no new work, table unchanged
+    before = t.current_snapshot_id()
+    q2 = stream_featurize(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_root=str(tmp_path / "feats"),
+        plan=plan,
+    )
+    _wait(q2)
+    assert t.scan().count() == len(feats)
+
+
+def test_streaming_session_counts(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "ts", "user_id"
+    ).withColumnRenamed("user_id", "entity_id")
+    src = tmp_path / "events"
+    events.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    out = streaming_session_counts(stream, gap_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_counts").toPandas()
+
+    # batch oracle: gap-sessionize the same data; append mode only emits
+    # sessions the final watermark (max_ts - 2h) has passed, so compare
+    # the emitted subset exactly and check the withheld remainder is the
+    # tail still inside the watermark horizon.
+    from pic2vec_spark.ops.windows import sessionize
+    import pandas as pd
+
+    batch = sessionize(
+        spark.read.parquet(str(src)), gap_s=1800, tiebreak=None
+    ).toPandas()
+    agg = (
+        batch.groupby(["entity_id", "session_id"])
+        .agg(start=("ts", "min"), end=("ts", "max"), n=("ts", "size"))
+        .reset_index()
+    )
+    agg["start_us"] = agg.start.astype("int64") // 1000
+    agg["end_us"] = agg.end.astype("int64") // 1000 + 1_800_000_000  # end = last + gap
+    wm_us = batch.ts.astype("int64").max() // 1000 - 2 * 3600 * 1_000_000
+    closed = agg[agg.end_us < wm_us]
+
+    got_set = set(zip(got.entity_id, got.session_start_us, got.n_events))
+    exp_set = set(zip(closed.entity_id, closed.start_us, closed.n))
+    assert exp_set <= got_set, "a watermark-closed session was not emitted"
+    # everything emitted must be a true batch session
+    all_set = set(zip(agg.entity_id, agg.start_us, agg.n))
+    assert got_set <= all_set
+    assert got.n_events.sum() <= events.count()
+    assert len(got) >= len(closed) > 0
