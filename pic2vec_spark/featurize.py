@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pic2vec_spark.codecs import decode_image
-from pic2vec_spark.model import squeezenet_features, squeezenet_weights
+from pic2vec_spark.model import model_forward, model_weights
 from pic2vec_spark.plan import FeaturizerPlan
 from pic2vec_spark.preprocess import preprocess_pixels, resize_nearest
 
@@ -77,7 +77,9 @@ def forward_features(
     """(N, H, W, 3) float32 -> (N, num_features) float32 in CNN_CHUNK slices."""
     outs = []
     for i in range(0, len(tensors), CNN_CHUNK):
-        outs.append(squeezenet_features(tensors[i : i + CNN_CHUNK], weights, plan.depth))
+        outs.append(
+            model_forward(plan.model, tensors[i : i + CNN_CHUNK], weights, plan.depth)
+        )
     raw = np.concatenate(outs) if outs else np.zeros((0, plan.raw_width), np.float32)
     return plan.finalize(raw).astype(np.float32)
 
@@ -125,9 +127,9 @@ def _zero_features(plan: FeaturizerPlan, weights: dict[str, np.ndarray]) -> np.n
 def _get_weights(plan: FeaturizerPlan, weights_bc) -> dict[str, np.ndarray]:
     if weights_bc is not None:
         return weights_bc.value
-    key = ("weights", plan.model, plan.weight_seed)
+    key = ("weights", plan.model, plan.weight_seed, plan.depth)
     if key not in _worker_cache:
-        _worker_cache[key] = squeezenet_weights(plan.weight_seed)
+        _worker_cache[key] = model_weights(plan.model, plan.weight_seed, plan.depth)
     return _worker_cache[key]
 
 
@@ -178,16 +180,21 @@ def featurize_images(
     (tests/test_image_featurizer.py batch/no-batch equality).
     """
     plan = plan or FeaturizerPlan.build()
-    if plan.model != "squeezenet":
+    from pic2vec_spark.plan import EXECUTABLE_MODELS
+
+    if plan.model not in EXECUTABLE_MODELS:
         raise NotImplementedError(
-            "only squeezenet has a from-scratch NumPy forward pass; "
-            "the other five reference models need keras.applications "
-            "(unavailable here) — plan metadata still validates them"
+            f"{plan.model!r} has no from-scratch NumPy forward pass (the "
+            "reference imports it from keras.applications, unavailable "
+            "here) — plan metadata still validates it; executable models: "
+            f"{EXECUTABLE_MODELS}"
         )
     spark = df.sparkSession
     sc = spark.sparkContext
     weights_bc = (
-        sc.broadcast(squeezenet_weights(plan.weight_seed)) if broadcast_weights else None
+        sc.broadcast(model_weights(plan.model, plan.weight_seed, plan.depth))
+        if broadcast_weights
+        else None
     )
     n_parts = feature_partitions or sc.defaultParallelism * 2
     run = _featurize_udf(plan, weights_bc)
@@ -249,7 +256,9 @@ def incremental_featurize(
     spark = images.sparkSession
     sc = spark.sparkContext
     weights_bc = (
-        sc.broadcast(squeezenet_weights(plan.weight_seed)) if broadcast_weights else None
+        sc.broadcast(model_weights(plan.model, plan.weight_seed, plan.depth))
+        if broadcast_weights
+        else None
     )
     n_parts = feature_partitions or sc.defaultParallelism * 2
 
@@ -295,7 +304,7 @@ def featurize_multi_column(
     feature_preprocessing.py:212-215,443-446)."""
     plan = plan or FeaturizerPlan.build()
     feats = featurize_images(images, plan).select(key, "missing", "features")
-    zero_vec = _zero_features(plan, squeezenet_weights(plan.weight_seed))
+    zero_vec = _zero_features(plan, model_weights(plan.model, plan.weight_seed, plan.depth))
     zero_lit = F.array(*[F.lit(float(v)) for v in zero_vec]).cast("array<float>")
     out = df
     for c in image_cols:

@@ -89,6 +89,106 @@ def _fire(x: np.ndarray, fid: int, w: dict[str, np.ndarray]) -> np.ndarray:
     return np.concatenate([left, right], axis=-1)
 
 
+# ---------------------------------------------------------------- vgg16
+# Graph per the reference's keras.applications VGG16 (M10 in SURVEY §2.3):
+# 5 conv blocks (3x3 same + relu, 2x2/s2 maxpool) -> flatten -> fc1 ->
+# fc2 -> predictions.  Depth map {1:1, 2:2, 3:4, 4:8} layers popped
+# (build_featurizer.py:46-51) lands on: d1 -> fc2 (4096), d2 -> fc1
+# (4096), d3 -> block5_pool (GAP 512), d4 -> block4_conv3 (GAP 512) —
+# matching the reference's output-size matrix.
+
+_VGG16_CONVS = [
+    # (name, cin, cout, pool_after)
+    ("block1_conv1", 3, 64, False), ("block1_conv2", 64, 64, True),
+    ("block2_conv1", 64, 128, False), ("block2_conv2", 128, 128, True),
+    ("block3_conv1", 128, 256, False), ("block3_conv2", 256, 256, False),
+    ("block3_conv3", 256, 256, True),
+    ("block4_conv1", 256, 512, False), ("block4_conv2", 512, 512, False),
+    ("block4_conv3", 512, 512, True),
+    ("block5_conv1", 512, 512, False), ("block5_conv2", 512, 512, False),
+    ("block5_conv3", 512, 512, True),
+]
+
+
+def vgg16_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    """Deterministic He-normal weights; only the layers the given depth
+    executes are generated (the fc blocks alone are ~520 MB — skipping
+    them for depth 3/4 matters per worker)."""
+    weights: dict[str, np.ndarray] = {}
+    n_convs = len(_VGG16_CONVS) if depth <= 3 else 10  # d4 stops in block4
+    for i, (name, cin, cout, _) in enumerate(_VGG16_CONVS[:n_convs]):
+        rng = np.random.default_rng([seed, 100 + i])
+        std = np.sqrt(2.0 / (9 * cin))
+        weights[f"{name}/kernel"] = rng.normal(0.0, std, (3, 3, cin, cout)).astype(
+            np.float32
+        )
+        weights[f"{name}/bias"] = np.zeros(cout, dtype=np.float32)
+    if depth <= 2:
+        rng = np.random.default_rng([seed, 200])
+        weights["fc1/kernel"] = rng.normal(
+            0.0, np.sqrt(2.0 / 25088), (25088, 4096)
+        ).astype(np.float32)
+        weights["fc1/bias"] = np.zeros(4096, dtype=np.float32)
+    if depth <= 1:
+        rng = np.random.default_rng([seed, 201])
+        weights["fc2/kernel"] = rng.normal(
+            0.0, np.sqrt(2.0 / 4096), (4096, 4096)
+        ).astype(np.float32)
+        weights["fc2/bias"] = np.zeros(4096, dtype=np.float32)
+    return weights
+
+
+def vgg16_features(
+    x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+) -> np.ndarray:
+    """Decapitated VGG16 forward: (N, 224, 224, 3) preprocessed float32
+    -> (N, width) per the depth map in the module comment."""
+    if depth not in (1, 2, 3, 4):
+        raise ValueError("depth must be in 1..4")
+    x = x.astype(np.float32, copy=False)
+    n_convs = len(_VGG16_CONVS) if depth <= 3 else 10
+    for k, (name, _, _, pool_after) in enumerate(_VGG16_CONVS[:n_convs]):
+        x = relu(
+            conv2d(x, weights[f"{name}/kernel"], weights[f"{name}/bias"], padding="same")
+        )
+        # depth 4 decapitates AT block4_conv3 — its trailing pool is
+        # part of the popped layers, so skip it
+        if pool_after and not (depth == 4 and k == n_convs - 1):
+            x = maxpool2d(x, pool=2, stride=2)
+    if depth >= 3:
+        return global_avg_pool(x)
+    flat = x.reshape(x.shape[0], -1)  # (N, 7*7*512) channels-last order
+    flat = relu(flat @ weights["fc1/kernel"] + weights["fc1/bias"])
+    if depth == 2:
+        return flat.astype(np.float32)
+    flat = relu(flat @ weights["fc2/kernel"] + weights["fc2/bias"])
+    return flat.astype(np.float32)
+
+
+# ------------------------------------------------------------ dispatch
+
+def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    if model == "squeezenet":
+        return squeezenet_weights(seed)
+    if model == "vgg16":
+        return vgg16_weights(seed, depth)
+    raise NotImplementedError(
+        f"{model!r} has no from-scratch NumPy forward pass (the reference "
+        "imports it from keras.applications, unavailable here); plan "
+        "metadata still validates it"
+    )
+
+
+def model_forward(
+    model: str, x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+) -> np.ndarray:
+    if model == "squeezenet":
+        return squeezenet_features(x, weights, depth)
+    if model == "vgg16":
+        return vgg16_features(x, weights, depth)
+    raise NotImplementedError(model)
+
+
 def squeezenet_features(
     x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
 ) -> np.ndarray:

@@ -91,10 +91,14 @@ def asof_join(
     def last_feature(col: Column) -> Column:
         return F.last(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(w)
 
-    matched_ts = last_feature(F.col(ts)).alias(f"{ts}{suffix}")
-    u = u.withColumn(f"{ts}{suffix}", matched_ts)
-    for c in value_cols:
-        u = u.withColumn(f"{c}{suffix}", last_feature(F.col(c)))
+    # single select so Catalyst emits ONE Window node for all the
+    # running-last expressions (chained withColumn produced one Window
+    # pass per value column over the same sorted partition)
+    u = u.select(
+        "*",
+        last_feature(F.col(ts)).alias(f"{ts}{suffix}"),
+        *[last_feature(F.col(c)).alias(f"{c}{suffix}") for c in value_cols],
+    )
 
     out = u.filter(F.col(_SIDE) == 1).drop(_SIDE, _TIE, *[c for c in value_cols if c not in q_cols])
 

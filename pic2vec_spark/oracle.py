@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 
 from pic2vec_spark.featurize import decode_to_tensor, forward_features
-from pic2vec_spark.model import squeezenet_weights
+from pic2vec_spark.model import model_weights
 from pic2vec_spark.plan import FeaturizerPlan
 
 
@@ -33,7 +33,7 @@ def oracle_featurize(
     """images pandas frame (image_id, bytes, fmt, ...) ->
     (image_id, missing, features) computed sequentially on one machine."""
     plan = plan or FeaturizerPlan.build()
-    weights = squeezenet_weights(plan.weight_seed)
+    weights = model_weights(plan.model, plan.weight_seed, plan.depth)
     h, w = plan.target_size
     n = len(pdf)
     tensors = np.zeros((n, h, w, 3), dtype=np.float32)

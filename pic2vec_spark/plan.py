@@ -65,11 +65,11 @@ SUPPORTED_MODELS: dict[str, dict] = {
     },
 }
 
-# Only squeezenet has a full from-scratch NumPy forward pass (the
-# reference's other five models come from keras.applications, which is
-# unavailable here); the registry keeps their plan metadata so plan
-# resolution / width validation covers all six.
-EXECUTABLE_MODELS = ("squeezenet",)
+# squeezenet and vgg16 have full from-scratch NumPy forward passes (the
+# reference's other four models come from keras.applications, which is
+# unavailable here); the registry keeps all six models' plan metadata so
+# plan resolution / width validation covers them all.
+EXECUTABLE_MODELS = ("squeezenet", "vgg16")
 
 VALID_FORMATS = ("jpg", "jpeg", "png", "bmp")  # mirrors ['JPEG','BMP','PNG']
 # at /root/reference/pic2vec/feature_preprocessing.py:118 (gif excluded)

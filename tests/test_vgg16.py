@@ -1,0 +1,54 @@
+"""VGG16 NumPy forward pass: plan-width parity at all depths + a small
+end-to-end Spark featurize vs the oracle (second executable model)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pic2vec_spark.featurize import featurize_images
+from pic2vec_spark.model import vgg16_features, vgg16_weights
+from pic2vec_spark.oracle import oracle_featurize
+from pic2vec_spark.plan import FeaturizerPlan
+from pic2vec_spark.synth import IMAGES_SCHEMA, synth_images_pdf
+
+
+@pytest.mark.parametrize("depth,width", [(1, 4096), (2, 4096), (3, 512), (4, 512)])
+def test_vgg16_widths_match_reference_matrix(depth, width):
+    """Widths per depth from the reference's output-size matrix
+    (tests/test_build_featurizer.py:280-287)."""
+    x = np.random.default_rng(1).normal(0, 50, (1, 224, 224, 3)).astype(np.float32)
+    f = vgg16_features(x, vgg16_weights(0, depth), depth)
+    assert f.shape == (1, width)
+    assert np.isfinite(f).all()
+
+
+def test_vgg16_weights_pruned_by_depth():
+    """depth>=3 must not materialize the ~520 MB fc blocks."""
+    w3 = vgg16_weights(0, 3)
+    assert "fc1/kernel" not in w3 and "fc2/kernel" not in w3
+    w2 = vgg16_weights(0, 2)
+    assert "fc1/kernel" in w2 and "fc2/kernel" not in w2
+
+
+def test_vgg16_spark_matches_oracle(spark):
+    """Small end-to-end run (VGG16 is ~20x squeezenet's FLOPs)."""
+    pdf = synth_images_pdf(6, seed=7)
+    plan = FeaturizerPlan.build("vgg16", depth=3, autosample=True)  # 256 feats
+    got = (
+        featurize_images(
+            spark.createDataFrame(pdf, schema=IMAGES_SCHEMA), plan
+        )
+        .select("image_id", "missing", "features")
+        .toPandas()
+        .set_index("image_id")
+    )
+    expected = oracle_featurize(pdf, plan).set_index("image_id")
+    for iid in expected.index:
+        assert bool(got.loc[iid, "missing"]) == bool(expected.loc[iid, "missing"])
+        assert np.allclose(
+            np.array(got.loc[iid, "features"], dtype=np.float32),
+            np.array(expected.loc[iid, "features"], dtype=np.float32),
+            atol=1e-4,  # 15 GFLOP accumulation: slightly looser than 1e-5
+        )
+    assert all(len(f) == 256 for f in got["features"])
