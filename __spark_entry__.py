@@ -514,6 +514,63 @@ _SQL_COS = (
 )
 
 
+def _simhash_pairs_sql() -> str:
+    """Oracle for simhash_neardup: direct all-pairs Hamming filter over
+    the simhash signatures (the Spark side uses pigeonhole chunk buckets,
+    which is guaranteed to find exactly the same pair set)."""
+    return f"""
+    WITH sig AS ({_simhash_sql()})
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAXDIST}
+    """
+
+
+def _knn_lsh_sql() -> str:
+    """Oracle for knn_lsh: replicate the hyperplane bucket candidate
+    generation with the SAME plane constants embedded as literals, then
+    the exact cosine re-rank (identical double-precision folds)."""
+    from pic2vec_spark.ops.knn import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 8, 13)  # (tables, planes, dim)
+
+    def sig_expr(vec: str, t: int) -> str:
+        terms = []
+        for j in range(planes.shape[1]):
+            arr = ", ".join(repr(float(v)) for v in planes[t, j])
+            terms.append(
+                f"CASE WHEN list_dot_product({vec}, [{arr}]::DOUBLE[]) >= 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {sig_expr('e', t)} AS bucket FROM v"
+        for t in range(planes.shape[0])
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), b AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, q.e AS qvec,
+                      c.vec_id AS neighbor_id, c.e AS cvec
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < {KNN_QUERIES} AND c.vec_id <> q.vec_id
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             {_SQL_COS.format(a='qvec', b='cvec')} AS cos
+      FROM cand
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_token_count": r"""
@@ -587,6 +644,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "doc_simhash": _simhash_sql(),
+        "simhash_neardup": _simhash_pairs_sql(),
+        "knn_lsh": _knn_lsh_sql(),
         "knn_cosine": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

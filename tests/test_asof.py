@@ -106,3 +106,30 @@ def test_partition_invariance(spark, timeline):
     a, b = outs
     av, bv = a["value_asof"].astype(float).values, b["value_asof"].astype(float).values
     assert ((np.isnan(av) & np.isnan(bv)) | (av == bv)).all()
+
+
+def test_query_side_own_value_column_untouched(spark, timeline):
+    """When the query side carries a column with the same name as a
+    feature value column, the query's own values must pass through and
+    the as-of result must land in the suffixed column only."""
+    f, q = _sides(timeline)
+    q2 = spark.createDataFrame(q).withColumn("value", F.lit(-1.0))
+    out = asof_join(
+        q2, spark.createDataFrame(f), value_cols=["value"], tiebreak="row_id"
+    ).toPandas()
+    assert (out["value"] == -1.0).all()
+    assert "value_asof" in out.columns
+    assert out["value_asof"].notna().sum() > 0
+
+
+def test_salted_repartition_preserves_rows(spark, timeline):
+    from pic2vec_spark.ops.skew import hot_keys, salted_repartition
+
+    f, _ = _sides(timeline)
+    df = spark.createDataFrame(f)
+    salted = salted_repartition(df, "entity_id", num_partitions=16, salt=4)
+    assert salted.count() == df.count()
+    assert salted.rdd.getNumPartitions() == 16
+    hot = hot_keys(df, "entity_id", min_count=50).toPandas()
+    counts = df.groupBy("entity_id").count().toPandas()
+    assert set(hot.entity_id) == set(counts[counts["count"] >= 50].entity_id)
