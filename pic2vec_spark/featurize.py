@@ -138,17 +138,29 @@ def _get_weights(plan: FeaturizerPlan, weights_bc) -> dict[str, np.ndarray]:
 _FEATS_SCHEMA = f"{_DIGEST} long, missing boolean, features array<float>"
 
 
-def _featurize_udf(plan: FeaturizerPlan, weights_bc):
+def _featurize_udf(plan: FeaturizerPlan, weights_bc, metrics=None):
     """The core Arrow-batched decode+preprocess+CNN UDF over
-    (__digest, bytes, fmt) batches -> (__digest, missing, features)."""
+    (__digest, bytes, fmt) batches -> (__digest, missing, features).
+    ``metrics`` (pic2vec_spark.metrics.FeaturizeMetrics) accumulates
+    per-stage worker seconds back to the driver."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _t
+
         weights = _get_weights(plan, weights_bc)
         zero_feat = _zero_features(plan, weights)
         for pdf in batches:
+            t0 = _t.time()
             feats, missing = featurize_batch(
                 list(pdf["bytes"]), list(pdf["fmt"]), plan, weights, zero_feat
             )
+            if metrics is not None:
+                metrics.add(
+                    images=float(len(pdf)),
+                    missing=float(missing.sum()),
+                    cnn_sec=_t.time() - t0,
+                    batches=1.0,
+                )
             yield pd.DataFrame(
                 {
                     _DIGEST: pdf[_DIGEST].values,
@@ -171,6 +183,7 @@ def featurize_images(
     dedup: bool = True,
     feature_partitions: int | None = None,
     broadcast_weights: bool = True,
+    metrics=None,
 ) -> DataFrame:
     """Attach ``missing: boolean`` and ``features: array<float>`` to every
     row of ``df`` (must have ``bytes`` and ``fmt`` columns).
@@ -197,7 +210,7 @@ def featurize_images(
         else None
     )
     n_parts = feature_partitions or sc.defaultParallelism * 2
-    run = _featurize_udf(plan, weights_bc)
+    run = _featurize_udf(plan, weights_bc, metrics)
 
     if not dedup:
         # inline path: featurize every row in place, no dedup, no join —

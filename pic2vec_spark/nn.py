@@ -15,6 +15,22 @@ from __future__ import annotations
 
 import numpy as np
 
+# Per-worker buffer pool for conv2d's im2col scratch.  Without it every
+# conv call mmaps + zero-fills a fresh multi-MB buffer (large numpy
+# allocations bypass the small-object allocator), and under 32
+# concurrent workers the kernel page-fault path becomes a shared
+# bottleneck.  Only the col scratch is pooled — it is dead after the
+# GEMM, so reuse is race-free within a worker.
+_COL_POOL: dict[tuple, np.ndarray] = {}
+
+
+def _col_buffer(shape: tuple[int, ...]) -> np.ndarray:
+    buf = _COL_POOL.get(shape)
+    if buf is None:
+        buf = np.empty(shape, dtype=np.float32)
+        _COL_POOL[shape] = buf
+    return buf
+
 
 def conv2d(
     x: np.ndarray,
@@ -48,7 +64,7 @@ def conv2d(
         oh = (hh - kh) // stride + 1
         ow = (ww - kw) // stride + 1
         x = np.ascontiguousarray(x, dtype=np.float32)
-        col = np.empty((n, oh, ow, kh, kw * cin), dtype=np.float32)
+        col = _col_buffer((n, oh, ow, kh, kw * cin))
         item = x.itemsize
         for i in range(kh):
             # kernel row i: every output window's (kw, cin) patch is a
@@ -71,7 +87,7 @@ def conv2d(
             col.reshape(n * oh * ow, kh * kw * cin) @ w.reshape(kh * kw * cin, cout)
         ).reshape(n, oh, ow, cout)
     if b is not None:
-        out = out + b
+        out = np.add(out, b, out=out)  # in-place: no extra alloc/copy
     return out.astype(np.float32, copy=False)
 
 

@@ -34,6 +34,7 @@ def point_in_time_features(
     timeline: DataFrame,
     plan: FeaturizerPlan | None = None,
     tolerance_s: float | None = None,
+    metrics=None,
 ) -> DataFrame:
     """images: (image_id, bytes, fmt, caption, ...);
     timeline: (entity_id, ts, image_id nullable, kind ∈ feature|query,
@@ -41,7 +42,7 @@ def point_in_time_features(
     ``image_id_asof / caption_asof / missing_asof / features_asof``.
     """
     plan = plan or FeaturizerPlan.build()
-    feats = featurize_images(images, plan).select(
+    feats = featurize_images(images, plan, metrics=metrics).select(
         "image_id", "caption", "missing", "features"
     )
     observations = (

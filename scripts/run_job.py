@@ -39,6 +39,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from pic2vec_spark.metrics import FeaturizeMetrics
     from pic2vec_spark.pipeline import point_in_time_features
     from pic2vec_spark.plan import FeaturizerPlan
     from pic2vec_spark.session import get_spark
@@ -63,8 +64,9 @@ def main() -> None:
     )
     plan = FeaturizerPlan.build("squeezenet", depth=args.depth, autosample=True)
 
+    metrics = FeaturizeMetrics(spark)
     t0 = time.perf_counter()
-    out = point_in_time_features(images, timeline, plan).withColumn(
+    out = point_in_time_features(images, timeline, plan, metrics=metrics).withColumn(
         "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
     ).drop("ts", "ts_asof")
     sink = SnapshotTable(args.output_root, spark)
@@ -82,6 +84,7 @@ def main() -> None:
                 "rows": int(lin.rows.sum()),
                 "partitions": int(len(lin)),
                 "sec": round(sec, 2),
+                "featurize_metrics": metrics.summary(),
                 "lineage_sample": lin.head(3).to_dict("records"),
             },
             default=str,

@@ -61,3 +61,15 @@ def test_incremental_matches_oneshot_and_appends(spark, plan, tmp_path):
 
     # time travel: scanning s1 still shows only the first batch's digests
     assert t.scan(s1).count() == n1
+
+
+def test_featurize_metrics_accumulate(spark, plan):
+    from pic2vec_spark.metrics import FeaturizeMetrics
+    from pic2vec_spark.synth import synth_images_df
+
+    m = FeaturizeMetrics(spark)
+    out = featurize_images(synth_images_df(spark, 20, seed=3), plan, metrics=m)
+    out.write.format("noop").mode("overwrite").save()
+    s = m.summary()
+    assert s["images"] > 0 and s["cnn_sec"] > 0 and s["batches"] >= 1
+    assert "cnn_images_per_worker_sec" in s
