@@ -61,6 +61,83 @@ def stream_featurize(
     return writer.start()
 
 
+def streaming_asof(
+    timeline: DataFrame,
+    value_col: str = "value",
+    on: str = "entity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Streaming point-in-time (as-of) join as a custom stateful operator
+    (``applyInPandasWithState`` — the prescribed tool when built-in
+    streaming operators can't express the semantics).
+
+    Input stream rows: (entity_id, ts, row_id, kind ∈ feature|query,
+    value).  Per-entity state holds the latest feature (ts, value);
+    each micro-batch is processed VECTORIZED (pd.merge_asof against the
+    batch's features plus the carried state — no per-row Python), query
+    rows are emitted with the as-of value, and the state advances.
+
+    Correctness contract: zero temporal leakage always holds (a query
+    only ever sees features with ts <= its own).  Exactness across
+    micro-batches requires event-time-ordered arrival between batches
+    (within a batch, order is irrelevant); out-of-order deliveries
+    spanning batches would need watermark buffering — the batch engine
+    (ops/asof.py) is the replay/repair path, as usual for lambda-style
+    pipelines."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            st_ts, st_val = state.get
+        else:
+            st_ts, st_val = None, None
+        chunks = [pd.concat(list(pdfs), ignore_index=True)]
+        batch = chunks[0].sort_values([ts, "row_id"]).reset_index(drop=True)
+        feats = batch[batch["kind"] == "feature"][[ts, value_col]]
+        if st_ts is not None:
+            carried = pd.DataFrame(
+                {ts: [pd.Timestamp(st_ts, unit="us")], value_col: [st_val]}
+            )
+            feats = pd.concat([carried, feats], ignore_index=True)
+        feats = feats.sort_values(ts).reset_index(drop=True)
+        queries = batch[batch["kind"] == "query"][[ts, "row_id"]]
+        if len(queries):
+            joined = pd.merge_asof(
+                queries.sort_values(ts),
+                feats.rename(columns={ts: "__fts"}),
+                left_on=ts,
+                right_on="__fts",
+                direction="backward",
+            )
+            out = pd.DataFrame(
+                {
+                    on: key[0],
+                    ts: joined[ts],
+                    "row_id": joined["row_id"],
+                    "value_asof": joined[value_col],
+                    "ts_asof": joined["__fts"],
+                }
+            )
+            yield out
+        if len(feats):
+            last = feats.iloc[-1]
+            state.update((int(pd.Timestamp(last[ts]).value // 1000), float(last[value_col])))
+
+    out_schema = (
+        f"{on} bigint, {ts} timestamp, row_id bigint, "
+        "value_asof double, ts_asof timestamp"
+    )
+    state_schema = "ts bigint, value double"
+    return (
+        timeline.withColumn(ts, F.col(ts).cast("timestamp"))
+        .groupBy(on)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def streaming_session_counts(
     events: DataFrame,
     gap_s: int = 1800,

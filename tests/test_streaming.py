@@ -112,3 +112,64 @@ def test_streaming_session_counts(spark, tmp_path):
     assert got_set <= all_set
     assert got.n_events.sum() <= events.count()
     assert len(got) >= len(closed) > 0
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Stateful streaming as-of (applyInPandasWithState) over two
+    time-ordered drops == batch as-of join on the union."""
+    import numpy as np
+    import pandas as pd
+
+    from pic2vec_spark.ops.asof import asof_join
+    from pic2vec_spark.streaming import streaming_asof
+    from pic2vec_spark.synth import synth_timeline_pdf
+
+    tl = synth_timeline_pdf(n_rows=600, n_images=10, n_entities=8, seed=21)
+    tl["value"] = np.random.default_rng(4).normal(size=len(tl)).round(6)
+    tl = tl[["entity_id", "ts", "row_id", "kind", "value"]]
+
+    # two drops split at the global median ts (event-time ordered between
+    # batches — the operator's documented contract)
+    cut = tl.ts.quantile(0.5)
+    src = tmp_path / "tl"
+    src.mkdir()
+    spark.createDataFrame(tl[tl.ts <= cut]).coalesce(1).write.parquet(str(src / "d1"))
+    spark.createDataFrame(tl[tl.ts > cut]).coalesce(1).write.parquet(str(src / "d2"))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src / "d1")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    out = streaming_asof(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_asof")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT row_id, value_asof FROM stream_asof")
+        .toPandas()
+        .set_index("row_id")
+        .sort_index()
+    )
+
+    feats = tl[tl.kind == "feature"][["entity_id", "ts", "row_id", "value"]]
+    queries = tl[tl.kind == "query"][["entity_id", "ts", "row_id"]]
+    expected = (
+        asof_join(
+            spark.createDataFrame(queries),
+            spark.createDataFrame(feats),
+            value_cols=["value"],
+            tiebreak="row_id",
+        )
+        .select("row_id", "value_asof")
+        .toPandas()
+        .set_index("row_id")
+        .sort_index()
+    )
+    assert len(got) == len(expected)
+    gv = got["value_asof"].astype(float).values
+    ev = expected["value_asof"].astype(float).values
+    assert ((np.isnan(gv) & np.isnan(ev)) | np.isclose(gv, ev, atol=1e-9)).all()
