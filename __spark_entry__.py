@@ -35,15 +35,25 @@ TUMBLE_S = 3600
 TOP_K = 3
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """The driver may run these queries in its own SparkSession; the
+    TIMESTAMP_NTZ -> TIMESTAMP casts inside ``_us`` are only wall-clock
+    exact under a UTC session timezone (what the DuckDB oracle assumes)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
