@@ -375,6 +375,45 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(embs, queries, k=KNN_K)
 
 
+IVF_CENTROIDS = 8
+IVF_NPROBE = 3
+IVF_SAMPLE = 256
+IVF_ITERS = 5
+# oracle_sql() returns fixed strings; the driver compares at sf0.01, so
+# the oracle's centroid literals are trained from that directory.  The
+# Spark query trains from its runtime sf_dir via the same deterministic
+# sample + Lloyd recipe, so both sides see identical centroids at the
+# compare scale.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _ivf_centroids(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pic2vec_spark.ops.knn import kmeans_centroids
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    x = np.array(t.column("embedding").to_pylist()[:IVF_SAMPLE], dtype=np.float64)
+    return kmeans_centroids(x, IVF_CENTROIDS, iters=IVF_ITERS)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus assigned to argmax-cosine centroid cell, queries
+    probe their nprobe nearest cells, exact re-rank inside the probed
+    cells.  Centroids are a deterministic function of the data (first-N
+    sample + Lloyd), embedded as plan literals."""
+    from pic2vec_spark.ops.knn import ivf_topk
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return ivf_topk(
+        embs, queries, _ivf_centroids(sf_dir), k=KNN_K, nprobe=IVF_NPROBE
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.knn import cosine_neardup_pairs
 
@@ -426,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "image_thumbnails": q_image_thumbnails,
     }
@@ -581,6 +621,57 @@ def _knn_lsh_sql() -> str:
     """
 
 
+def _knn_ivf_sql() -> str:
+    """Oracle for knn_ivf: same centroids (trained from the sf0.01
+    parquet by the identical deterministic recipe) embedded as literals;
+    cell assignment, probe ranking, and re-rank replicated with the same
+    round-6 double-precision cosine folds."""
+    centroids = _ivf_centroids(ORACLE_SF_DIR)
+
+    def cos_lit(vec: str, c) -> str:
+        arr = "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+        return (
+            f"ROUND(list_dot_product({vec}, {arr}) / "
+            f"(sqrt(list_dot_product({vec}, {vec})) * "
+            f"sqrt(list_dot_product({arr}, {arr}))), 6)"
+        )
+
+    cl = "[" + ", ".join(cos_lit("e", c) for c in centroids) + "]"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), ca AS (
+      SELECT vec_id, e, {cl} AS cl FROM v
+    ), corp AS (
+      SELECT vec_id AS neighbor_id, e AS cvec,
+             list_indexof(cl, list_aggregate(cl, 'max')) AS cell
+      FROM ca
+    ), qp0 AS (
+      SELECT vec_id AS query_id, e AS qvec, cl,
+             unnest(generate_series(1, {IVF_CENTROIDS})) AS cell
+      FROM ca WHERE vec_id < {KNN_QUERIES}
+    ), qp1 AS (
+      SELECT query_id, qvec, cell, cl[cell] AS ccos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cl[cell] DESC, cell ASC) AS prk
+      FROM qp0
+    ), cand AS (
+      SELECT p.query_id, p.qvec, c.neighbor_id, c.cvec
+      FROM qp1 p JOIN corp c USING (cell)
+      WHERE p.prk <= {IVF_NPROBE} AND c.neighbor_id <> p.query_id
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             {_SQL_COS.format(a='qvec', b='cvec')} AS cos
+      FROM cand
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_token_count": r"""
@@ -656,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": _knn_ivf_sql(),
         "knn_cosine": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -7,6 +7,11 @@
   and queries are bucketed by sign-bit signature; candidates come from
   bucket equality (multi-probe over ``n_tables`` independent tables),
   exact cosine re-rank inside buckets.  Never all-pairs.
+- ``ivf_topk`` (+ ``kmeans_centroids``/``sample_vectors``): IVF — the
+  scale path for *clustered* data: coarse centroids trained on a
+  bounded driver-side sample, corpus assigned to one cell each (narrow
+  map over broadcast centroid literals), queries probe their nprobe
+  nearest cells, exact re-rank inside the probed cells.
 - ``cosine_neardup_pairs``: near-duplicate vector pairs over a bounded
   subset (exact), the embedding analogue of dedup.
 
@@ -145,6 +150,111 @@ def lsh_bucket_topk(
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
+def kmeans_centroids(
+    x: np.ndarray, n_centroids: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over a driver-side sample.
+
+    Init = the first ``n_centroids`` sample rows (no RNG at all, so the
+    centroids are a pure function of the sample); an emptied cluster
+    keeps its previous centroid.  The sample is bounded (driver memory),
+    which is the standard IVF recipe: train coarse centroids on ~1e5
+    sampled vectors, then assign the full 1e12-row corpus distributedly.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_centroids):
+            mask = assign == j
+            if mask.any():
+                c[j] = x[mask].mean(axis=0)
+    return c
+
+
+def sample_vectors(
+    df: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic bounded sample for centroid training: the ``n``
+    smallest ids (order-stable under any partitioning).  At 1e12 scale
+    swap the orderBy for ``df.sample(fraction).limit(n)`` — training only
+    needs a representative sample, the ids here buy test determinism."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _centroid_cos_array(vec: Column, centroids: np.ndarray) -> Column:
+    """Array of round-6 cosines vec x each centroid (plan-embedded
+    literals; identical double folds to the DuckDB oracle)."""
+    return F.array(
+        *[
+            F.round(cosine(vec, F.array(*[F.lit(float(v)) for v in c])), 6)
+            for c in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustered-data scale
+    path, complementing ``lsh_bucket_topk``:
+
+    1. every corpus vector is assigned to ONE cell = argmax cosine to the
+       broadcast centroid literals (narrow map, no shuffle);
+    2. each query probes its ``nprobe`` nearest cells;
+    3. exact cosine re-rank of the probed cells' members only.
+
+    Tiebreaks are deterministic: cell = FIRST index attaining the max
+    (``array_position``), probe ranking orders by (cos desc, cell asc).
+    At 1e12 rows the corpus side would be written partitioned by cell so
+    probes prune files; here the cell column keeps the join narrow.
+    Output: (query_id, neighbor_id, cos, rk).
+    """
+    cos_arr = _centroid_cos_array
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.array_position(
+            cos_arr(F.col(vec_col), centroids),
+            F.array_max(cos_arr(F.col(vec_col), centroids)),
+        ).alias("cell"),
+    )
+    qc = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(cos_arr(F.col(vec_col), centroids)).alias("cell0", "ccos"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell0").asc()
+    )
+    probes = (
+        qc.withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qvec", (F.col("cell0") + 1).alias("cell"))
+    )
+    cand = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )

@@ -114,6 +114,51 @@ def test_lsh_knn_recall(spark, embs):
     assert hits / total >= 0.6, f"LSH recall too low: {hits}/{total}"
 
 
+def test_kmeans_centroids_deterministic():
+    from pic2vec_spark.ops.knn import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 16))
+    c1 = kmeans_centroids(x, 4, iters=5)
+    c2 = kmeans_centroids(x.copy(), 4, iters=5)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 16)
+    # each centroid is inside the data's bounding box (a real mean)
+    assert (c1 >= x.min(0) - 1e-9).all() and (c1 <= x.max(0) + 1e-9).all()
+
+
+def test_ivf_knn_recall_and_cell_coverage(spark, embs):
+    """IVF ANN: every returned neighbor must come from a probed cell
+    (structurally guaranteed), recall vs exact >= 40% on structureless
+    gaussian vectors (the hard case — real embeddings cluster), and the
+    result must be invariant to corpus partitioning."""
+    from pic2vec_spark.ops.knn import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+        sample_vectors,
+    )
+
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(embs, queries, k=5).toPandas()
+    approx = ivf_topk(embs, queries, centroids, k=5, nprobe=3).toPandas()
+    hits = total = 0
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.4, f"IVF recall too low: {hits}/{total}"
+
+    repart = ivf_topk(
+        embs.repartition(7), queries, centroids, k=5, nprobe=3
+    ).toPandas()
+    a = approx.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    b = repart.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_multimodal_thumbnail_roundtrip(spark):
     from pic2vec_spark.codecs import decode_png
     from pic2vec_spark.ops.multimodal import image_thumbnail
