@@ -11,12 +11,19 @@ gap sessionize, snapshot/lineage/resume).
 """
 
 from pic2vec_spark.plan import FeaturizerPlan, SUPPORTED_MODELS
-from pic2vec_spark.featurize import featurize_images, widen_features
+from pic2vec_spark.featurize import (
+    decode_images,
+    featurize_images,
+    featurize_preloaded,
+    widen_features,
+)
 
 __all__ = [
     "FeaturizerPlan",
     "SUPPORTED_MODELS",
+    "decode_images",
     "featurize_images",
+    "featurize_preloaded",
     "widen_features",
 ]
 

@@ -249,6 +249,151 @@ def featurize_images(
     return with_digest.join(feats, _DIGEST, "left").drop(_DIGEST)
 
 
+_PX_COLS = ("pixels", "px_h", "px_w", "px_c", "px_mode")
+
+
+def decode_images(
+    df: DataFrame,
+    size: tuple[int, int] = (227, 227),
+    grayscale: bool = False,
+    preprocess_mode: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Decode-only pass — the reference's two-step entry point
+    (``load_data`` then ``featurize_preloaded_data``,
+    /root/reference/pic2vec/image_featurizer.py:182-258,272-344):
+    persist decoded tensors once, featurize (or inspect) later.
+
+    Adds ``missing: boolean``, ``pixels: array<float>`` (flattened
+    row-major H*W*C), ``px_h/px_w/px_c: int``, ``px_mode: string``.
+    Reference semantics reproduced exactly
+    (feature_preprocessing.py:281-335):
+
+    - ``preprocess_mode`` ('caffe'/'tf') is applied per VALID image at
+      decode time; missing/corrupt rows store the RAW zero tensor
+      un-preprocessed (the reference returns ``np.zeros(im_size)``
+      instead of a preprocessed image, :318-323) — so a later CNN pass
+      sees literal zeros for missing rows, same as the one-step path.
+    - ``grayscale=True`` → PIL 'L' ITU-R 601-2 truncated luma,
+      channels = 3 - 2*grayscale (:321,426); mutually exclusive with
+      ``preprocess_mode`` (the imagenet modes are 3-channel).
+    """
+    from pyspark.sql import types as T
+
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.preprocess import resize_nearest, to_grayscale
+
+    if grayscale and preprocess_mode:
+        raise ValueError("grayscale and preprocess_mode are mutually exclusive")
+    channels = 3 - 2 * grayscale
+    h, w = size
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("missing", T.BooleanType(), False),
+            T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+            T.StructField("px_h", T.IntegerType(), False),
+            T.StructField("px_w", T.IntegerType(), False),
+            T.StructField("px_c", T.IntegerType(), False),
+            T.StructField("px_mode", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zero = np.zeros(h * w * channels, dtype=np.float32)
+        for pdf in batches:
+            missing = np.zeros(len(pdf), dtype=bool)
+            pixels = []
+            for i, (d, f) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                try:
+                    if d is None:
+                        raise ValueError("null bytes")
+                    img = decode_image(d, f or "")
+                except Exception:
+                    missing[i] = True
+                    pixels.append(zero)
+                    continue
+                img = resize_nearest(img, (h, w))
+                if grayscale:
+                    img = to_grayscale(img)
+                x = img.astype(np.float32)
+                if preprocess_mode:
+                    x = preprocess_pixels(x[None], preprocess_mode)[0]
+                pixels.append(x.ravel())
+            out = pdf.copy()
+            out["missing"] = missing
+            out["pixels"] = pixels
+            out["px_h"], out["px_w"], out["px_c"] = h, w, channels
+            out["px_mode"] = preprocess_mode or ""
+            yield out
+
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n_parts).mapInPandas(run, schema=schema)
+
+
+def featurize_preloaded(
+    decoded: DataFrame,
+    plan: FeaturizerPlan | None = None,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """CNN over a ``decode_images`` result (the reference's
+    ``featurize_preloaded_data``, image_featurizer.py:272-344): pixels
+    are already preprocessed (or zeros for missing rows), so this pass
+    forwards directly — no re-preprocessing, matching the reference.
+    Equals the one-step ``featurize_images`` path on the same input (the
+    reference's entry-point-2 vs entry-point-3 equality invariant,
+    tests/test_image_featurizer.py).  Shape/mode invariants are
+    re-validated like the reference's featurize_preloaded_data guards
+    (:303-312): 3 channels, plan target size, plan preprocess mode."""
+    plan = plan or FeaturizerPlan.build()
+    from pyspark.sql import types as T
+
+    spark = decoded.sparkSession
+    weights_bc = (
+        spark.sparkContext.broadcast(
+            model_weights(plan.model, plan.weight_seed, plan.depth)
+        )
+        if broadcast_weights
+        else None
+    )
+    schema = T.StructType(
+        [f for f in decoded.schema.fields if f.name not in _PX_COLS]
+        + [T.StructField("features", T.ArrayType(T.FloatType()), False)]
+    )
+    ph, pw = plan.target_size
+    mode = plan.preprocess_mode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = _get_weights(plan, weights_bc)
+        for pdf in batches:
+            if len(pdf):
+                c = int(pdf["px_c"].iloc[0])
+                hw = (int(pdf["px_h"].iloc[0]), int(pdf["px_w"].iloc[0]))
+                m = str(pdf["px_mode"].iloc[0])
+                if c != 3:
+                    raise ValueError(
+                        f"featurize_preloaded needs 3-channel pixels (got {c}); "
+                        "the CNN input layer is (H, W, 3) — decode with "
+                        "grayscale=False"
+                    )
+                if hw != (ph, pw):
+                    raise ValueError(f"pixel size {hw} != plan target_size {(ph, pw)}")
+                if m != mode:
+                    raise ValueError(
+                        f"pixels were preprocessed with mode {m!r}; the plan "
+                        f"needs {mode!r} — decode with preprocess_mode={mode!r}"
+                    )
+            x = np.stack(
+                [np.asarray(p, dtype=np.float32).reshape(ph, pw, 3) for p in pdf["pixels"]]
+            ) if len(pdf) else np.zeros((0, ph, pw, 3), np.float32)
+            feats = forward_features(x, plan, weights)
+            out = pdf.drop(columns=list(_PX_COLS))
+            out["features"] = list(feats)
+            yield out
+
+    return decoded.mapInPandas(run, schema=schema)
+
+
 def incremental_featurize(
     images: DataFrame,
     table,
