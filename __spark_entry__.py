@@ -114,6 +114,123 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir)
+    features = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id", "value"
+    )
+    queries = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id"
+    )
+    return queries, features
+
+
+def _asof_out(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        F.col("event_id"),
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        F.col("value_asof"),
+        _us("ts_asof").alias("feature_ts_us"),
+    )
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase sees the EARLIEST non-purchase event
+    at-or-after it (smallest event_id among equal-ts features)."""
+    from pic2vec_spark.ops.asof import asof_join
+
+    queries, features = _asof_sides(spark, sf_dir)
+    return _asof_out(
+        asof_join(
+            queries, features, on="entity_id", ts="ts",
+            value_cols=["value"], tiebreak="event_id", direction="forward",
+        )
+    )
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: closer of backward/forward match; exact time-distance
+    tie resolves backward (the leak-free side)."""
+    from pic2vec_spark.ops.asof import asof_join
+
+    queries, features = _asof_sides(spark, sf_dir)
+    return _asof_out(
+        asof_join(
+            queries, features, on="entity_id", ts="ts",
+            value_cols=["value"], tiebreak="event_id", direction="nearest",
+        )
+    )
+
+
+def q_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour range window per event: count + avg of value over
+    [ts - 1h, ts] within the same user (RANGE frame: equal-ts peers
+    included, per the SQL standard — identical in Spark and DuckDB)."""
+    from pic2vec_spark.ops.windows import sliding_range_agg
+
+    return sliding_range_agg(
+        _events(spark, sf_dir), window_s=3600,
+        on="user_id", ts="ts", value_col="value",
+    ).select(
+        "event_id", "user_id", _us("ts").alias("ts_us"), "n_1h", "avg_1h"
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: pushed-down date
+    filter, map-side partial aggregation, decimal-exact money sums (per
+    row cast to DECIMAL(18,2) on BOTH engines, so summation order can
+    never perturb the result)."""
+    _ensure_utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(d(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            F.sum(
+                d(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue per nation: broadcast dimension
+    joins (customer, nation) onto the orders fact, decimal-exact revenue,
+    per-nation top-k via WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    _ensure_utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "revenue", "n_orders", "rk")
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.windows import lag_lead
 
@@ -447,7 +564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join": q_asof_join,
         "asof_tolerance": q_asof_tolerance,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "lag_lead": q_lag_lead,
+        "sliding_1h": q_sliding_1h,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
         "forward_fill": q_forward_fill,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -777,6 +899,105 @@ def oracle_sql() -> dict[str, str]:
             val="CASE WHEN fts IS NOT NULL AND epoch_us(ts) - epoch_us(fts) <= 3600000000 THEN value_asof END",
             fts="CASE WHEN fts IS NOT NULL AND epoch_us(ts) - epoch_us(fts) <= 3600000000 THEN epoch_us(fts) END",
         ),
+        "asof_forward": """
+            WITH f AS (
+              SELECT user_id, ts, event_id, value, 0 AS side
+              FROM events WHERE event_type <> 'purchase'
+            ), q AS (
+              SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS value, 1 AS side
+              FROM events WHERE event_type = 'purchase'
+            ), u AS (
+              SELECT * FROM f UNION ALL SELECT * FROM q
+            ), m AS (
+              SELECT u.*,
+                first_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w AS value_asof,
+                first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS fts
+              FROM u
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, side DESC, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+              )
+            )
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value_asof,
+                   epoch_us(fts) AS feature_ts_us
+            FROM m WHERE side = 1
+        """,
+        "asof_nearest": """
+            WITH f AS (
+              SELECT user_id, ts, event_id, value, 0 AS side
+              FROM events WHERE event_type <> 'purchase'
+            ), q AS (
+              SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS value, 1 AS side
+              FROM events WHERE event_type = 'purchase'
+            ), u AS (
+              SELECT * FROM f UNION ALL SELECT * FROM q
+            ), m AS (
+              SELECT u.*,
+                last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER wb AS bval,
+                last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wb AS bts,
+                first_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER wf AS fval,
+                first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wf AS fts
+              FROM u
+              WINDOW wb AS (
+                PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ), wf AS (
+                PARTITION BY user_id ORDER BY ts, side DESC, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+              )
+            ), p AS (
+              SELECT *,
+                (fts IS NULL OR (bts IS NOT NULL AND
+                  epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))) AS pick_b
+              FROM m WHERE side = 1
+            )
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN pick_b THEN bval ELSE fval END AS value_asof,
+                   epoch_us(CASE WHEN pick_b THEN bts ELSE fts END) AS feature_ts_us
+            FROM p
+        """,
+        "sliding_1h": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   COUNT(value) OVER w AS n_1h,
+                   ROUND(AVG(value) OVER w, 4) AS avg_1h
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity::DECIMAL(18,2)) AS sum_qty,
+                   SUM(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+                   SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,2)) AS sum_disc_price,
+                   SUM((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,2)) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     SUM(o_totalprice::DECIMAL(18,2)) AS revenue,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ), j AS (
+              SELECT n_name, c_custkey, c_name, revenue, n_orders
+              FROM rev
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rk
+              FROM j
+            )
+            SELECT n_name, c_custkey, c_name, revenue, n_orders, rk
+            FROM r WHERE rk <= 3
+        """,
         "lag_lead": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
                    lag(value)  OVER w AS value_lag,

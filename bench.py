@@ -29,12 +29,16 @@ N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4096"))
 
 RELATIONAL = [
     "asof_join",
+    "asof_nearest",
     "lag_lead",
     "forward_fill",
     "sessionize",
     "session_stats",
+    "sliding_1h",
     "tumbling_hourly",
     "topk_per_user",
+    "pricing_summary",
+    "top_customers",
 ]
 
 

@@ -56,13 +56,26 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance_s: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join ``queries`` (left) with ``features`` (right).
 
     Returns the query rows with ``{v}{suffix}`` for each value column,
     plus ``{ts}{suffix}`` (the matched feature timestamp, null when no
-    feature exists at or before the query ts / outside ``tolerance_s``).
+    feature matches in ``direction`` / outside ``tolerance_s``).
+
+    ``direction`` (pandas ``merge_asof`` semantics, all one-shuffle):
+
+    - ``backward`` (default, the point-in-time case): latest feature
+      with ``feature_ts <= query_ts`` — zero temporal leakage; among
+      equal-ts features the LARGEST tiebreak wins (running last).
+    - ``forward``: earliest feature with ``feature_ts >= query_ts``;
+      among equal-ts features the SMALLEST tiebreak wins.
+    - ``nearest``: whichever of the two is closer in time; exact tie
+      resolves backward (the leak-free side).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (on, ts)]
 
@@ -82,34 +95,79 @@ def asof_join(
     )
     u = f.unionByName(q, allowMissingColumns=True)
 
-    w = (
+    # backward pass: features sort BEFORE equal-ts queries (side asc) so
+    # the running last over (unboundedPreceding..current) includes them.
+    wb = (
         Window.partitionBy(on)
         .orderBy(F.col(ts).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward pass: features sort AFTER equal-ts queries (side desc) so
+    # the running first over (current..unboundedFollowing) includes them;
+    # tie asc makes the smallest tiebreak the first match.
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col(_SIDE).desc(), F.col(_TIE).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
 
     def last_feature(col: Column) -> Column:
-        return F.last(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(w)
+        return F.last(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(wb)
 
-    # single select so Catalyst emits ONE Window node for all the
-    # running-last expressions (chained withColumn produced one Window
-    # pass per value column over the same sorted partition)
-    u = u.select(
-        "*",
-        last_feature(F.col(ts)).alias(f"{ts}{suffix}"),
-        *[last_feature(F.col(c)).alias(f"{c}{suffix}") for c in value_cols],
-    )
+    def first_feature(col: Column) -> Column:
+        return F.first(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(wf)
+
+    # single select so Catalyst emits ONE Window node per direction for
+    # all the running-last/first expressions (chained withColumn produced
+    # one Window pass per value column over the same sorted partition)
+    if direction == "backward":
+        u = u.select(
+            "*",
+            last_feature(F.col(ts)).alias(f"{ts}{suffix}"),
+            *[last_feature(F.col(c)).alias(f"{c}{suffix}") for c in value_cols],
+        )
+    elif direction == "forward":
+        u = u.select(
+            "*",
+            first_feature(F.col(ts)).alias(f"{ts}{suffix}"),
+            *[first_feature(F.col(c)).alias(f"{c}{suffix}") for c in value_cols],
+        )
+    else:  # nearest: both passes share the one entity exchange (same
+        # partitioning; Spark re-sorts in place for the second order)
+        u = u.select(
+            "*",
+            last_feature(F.col(ts)).alias("__b_ts"),
+            *[last_feature(F.col(c)).alias(f"__b_{c}") for c in value_cols],
+        ).select(
+            "*",
+            first_feature(F.col(ts)).alias("__f_ts"),
+            *[first_feature(F.col(c)).alias(f"__f_{c}") for c in value_cols],
+        )
+        qus = F.unix_micros(F.col(ts).cast("timestamp"))
+        b_dist = qus - F.unix_micros(F.col("__b_ts").cast("timestamp"))
+        f_dist = F.unix_micros(F.col("__f_ts").cast("timestamp")) - qus
+        pick_b = F.col("__f_ts").isNull() | (
+            F.col("__b_ts").isNotNull() & (b_dist <= f_dist)
+        )
+        u = u.select(
+            "*",
+            F.when(pick_b, F.col("__b_ts")).otherwise(F.col("__f_ts")).alias(f"{ts}{suffix}"),
+            *[
+                F.when(pick_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        ).drop("__b_ts", "__f_ts", *[f"__b_{c}" for c in value_cols], *[f"__f_{c}" for c in value_cols])
 
     out = u.filter(F.col(_SIDE) == 1).drop(_SIDE, _TIE, *[c for c in value_cols if c not in q_cols])
 
     if tolerance_s is not None:
-        in_range = (
-            F.col(f"{ts}{suffix}").isNotNull()
-            & (
-                F.unix_micros(F.col(ts).cast("timestamp"))
-                - F.unix_micros(F.col(f"{ts}{suffix}").cast("timestamp"))
-                <= int(tolerance_s * 1_000_000)
-            )
+        qus = F.unix_micros(F.col(ts).cast("timestamp"))
+        fus = F.unix_micros(F.col(f"{ts}{suffix}").cast("timestamp"))
+        dist = F.abs(qus - fus) if direction == "nearest" else (
+            fus - qus if direction == "forward" else qus - fus
+        )
+        in_range = F.col(f"{ts}{suffix}").isNotNull() & (
+            dist <= int(tolerance_s * 1_000_000)
         )
         for c in value_cols:
             out = out.withColumn(

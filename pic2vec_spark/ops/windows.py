@@ -112,6 +112,34 @@ def tumbling_agg(
     )
 
 
+def sliding_range_agg(
+    df: DataFrame,
+    window_s: int,
+    on: str = "entity_id",
+    ts: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing sliding window per event row: count + round-4 avg of
+    ``value_col`` over ``[ts - window_s, ts]`` within the same entity.
+
+    A RANGE frame over epoch-microseconds (numeric order key, so the
+    frame bound is exact and engine-portable; RANGE includes equal-ts
+    peers per the SQL standard).  One shuffle on the entity key; the
+    frame is evaluated in a single sorted pass (no self-join — the
+    naive range-join formulation would shuffle |df| x window rows).
+    Output columns: ``n_{H}h`` / ``avg_{H}h`` for window_s = H hours.
+    """
+    tag = f"{window_s // 3600}h" if window_s % 3600 == 0 else f"{window_s}s"
+    w = (
+        Window.partitionBy(on)
+        .orderBy(_us(F.col(ts)))
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return df.withColumn(f"n_{tag}", F.count(F.col(value_col)).over(w)).withColumn(
+        f"avg_{tag}", F.round(F.avg(F.col(value_col)).over(w), 4)
+    )
+
+
 def topk_per_entity(
     df: DataFrame,
     order_col: str,

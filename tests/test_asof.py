@@ -67,6 +67,81 @@ def test_matches_pandas_merge_asof(spark, timeline):
     assert (both_nan | np.isclose(got_v.astype(float), exp_v.astype(float), atol=1e-12)).all()
 
 
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_direction_matches_pandas_merge_asof(spark, timeline, direction):
+    """forward / nearest directions vs the pandas merge_asof oracle
+    (unique float timestamps — no ties to break)."""
+    f, q = _sides(timeline)
+    out = (
+        asof_join(
+            spark.createDataFrame(q),
+            spark.createDataFrame(f),
+            value_cols=["value"],
+            tiebreak="row_id",
+            direction=direction,
+        )
+        .select("row_id", "value_asof")
+        .toPandas()
+        .set_index("row_id")
+        .sort_index()
+    )
+    fs = f.sort_values("ts").reset_index(drop=True)
+    qs = q.sort_values("ts").reset_index(drop=True)
+    expected = pd.merge_asof(
+        qs, fs, on="ts", by="entity_id", direction=direction, suffixes=("", "_f")
+    ).set_index("row_id").sort_index()
+    assert len(out) == len(expected)
+    got_v = out["value_asof"].values.astype(float)
+    exp_v = expected["value"].values.astype(float)
+    both_nan = np.isnan(got_v) & np.isnan(exp_v)
+    assert (both_nan | np.isclose(got_v, exp_v, atol=1e-12)).all()
+
+
+def test_direction_equal_ts_tiebreaks(spark):
+    """Equal-ts semantics: a query at the exact feature ts matches in
+    BOTH directions; among equal-ts features backward takes the largest
+    tiebreak, forward the smallest; nearest tie resolves backward."""
+    f = pd.DataFrame(
+        {"entity_id": [1, 1, 1], "ts": [10.0, 10.0, 30.0], "row_id": [1, 2, 3],
+         "value": [100.0, 200.0, 300.0]}
+    )
+    q = pd.DataFrame({"entity_id": [1, 1], "ts": [10.0, 20.0], "row_id": [7, 8]})
+    def run(d):
+        return (
+            asof_join(
+                spark.createDataFrame(q), spark.createDataFrame(f),
+                value_cols=["value"], tiebreak="row_id", direction=d,
+            )
+            .toPandas().set_index("row_id")["value_asof"].to_dict()
+        )
+    assert run("backward") == {7: 200.0, 8: 200.0}   # largest tie at ts=10
+    assert run("forward") == {7: 100.0, 8: 300.0}    # smallest tie at ts=10
+    assert run("nearest") == {7: 200.0, 8: 200.0}    # 20 is 10 from both → backward
+
+
+def test_sliding_range_agg_includes_equal_ts_peers(spark):
+    from pic2vec_spark.ops.windows import sliding_range_agg
+
+    pdf = pd.DataFrame(
+        {
+            "entity_id": [1] * 4,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:30:00",
+                 "2024-01-01 00:30:00", "2024-01-01 02:00:00"]
+            ),
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = (
+        sliding_range_agg(spark.createDataFrame(pdf), window_s=3600)
+        .toPandas().sort_values(["ts", "value"]).reset_index(drop=True)
+    )
+    # both 00:30 rows see each other (RANGE peers) plus 00:00
+    assert list(out["n_1h"]) == [1, 3, 3, 1]
+    assert list(out["avg_1h"]) == [1.0, pytest.approx(7 / 3, abs=1e-4),
+                                   pytest.approx(7 / 3, abs=1e-4), 8.0]
+
+
 def test_tolerance(spark, timeline):
     f, q = _sides(timeline)
     out = asof_join(
