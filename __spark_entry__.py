@@ -537,6 +537,31 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=NEARDUP_COS)
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived DCT perceptual hash per image (rows-only: DCT is
+    not SQL-expressible; the math is pinned by tests/test_phash.py)."""
+    from pic2vec_spark.ops.multimodal import compute_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return compute_phash(images).select("image_id", "phash64", "phash64_ok")
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over the computed
+    phash (pigeonhole chunk buckets, never all-pairs).  Rows-only."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs
+    from pic2vec_spark.ops.multimodal import compute_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    ph = compute_phash(images).filter(F.col("phash64_ok"))
+    return hamming_neardup_pairs(
+        ph.select("image_id", "phash64"), "image_id",
+        max_distance=4, sig_col="phash64", bits=64,
+    )
+
+
 def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/resize/re-encode over binary image columns.
     Rows-only (binary output); codec correctness is pinned by
@@ -589,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "image_phash": q_image_phash,
+        "image_phash_neardup": q_image_phash_neardup,
         "image_thumbnails": q_image_thumbnails,
     }
 

@@ -217,20 +217,28 @@ def simhash(
 
 
 def hamming_neardup_pairs(
-    sim: DataFrame, id_col: str, max_distance: int = 3
+    sim: DataFrame,
+    id_col: str,
+    max_distance: int = 3,
+    sig_col: str = "simhash",
+    bits: int = 60,
 ) -> DataFrame:
-    """Pairs of simhash fingerprints within ``max_distance`` bits.
+    """Pairs of ``sig_col`` fingerprints within ``max_distance`` bits
+    (works for any <=64-bit signature: simhash, image phash, ...).
 
-    Banding trick for scale: split the 60-bit fingerprint into
+    Banding trick for scale: split the ``bits``-bit fingerprint into
     max_distance+1 chunks — any pair within distance d shares at least
     one exact chunk (pigeonhole), so candidates come from chunk-equality
     buckets, then exact popcount filters."""
     chunks = max_distance + 1
-    width = 60 // chunks
+    width = bits // chunks
+    sim = sim.withColumnRenamed(sig_col, "simhash") if sig_col != "simhash" else sim
     rows = []
     for c in range(chunks):
+        # the last chunk absorbs the remainder bits so all `bits` are covered
+        w = width if c < chunks - 1 else bits - width * (chunks - 1)
         chunk = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
-            F.lit((1 << width) - 1)
+            F.lit((1 << w) - 1)
         )
         rows.append(
             sim.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),

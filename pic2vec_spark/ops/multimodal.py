@@ -57,6 +57,76 @@ def image_thumbnail(
     return df.mapInPandas(run, schema=schema)
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n x n)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """Classic DCT perceptual hash of an (H, W, 3) uint8 image:
+    grayscale -> resize to (hash_size*factor)^2 -> 2-D DCT -> keep the
+    top-left hash_size^2 low-frequency block -> bit i = coef_i > median.
+    Returned as a SIGNED 64-bit int (Spark LongType two's complement).
+    Deterministic pure NumPy; robust to brightness/noise perturbations,
+    so near-duplicate images land within a few Hamming bits."""
+    from pic2vec_spark.preprocess import to_grayscale
+
+    n = hash_size * highfreq_factor
+    g = to_grayscale(resize_nearest(img, (n, n)))[..., 0].astype(np.float64)
+    d = _dct_matrix(n)
+    low = (d @ g @ d.T)[:hash_size, :hash_size].ravel()
+    med = np.median(low)
+    v = 0
+    for i, b in enumerate(low > med):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def compute_phash(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+    out_col: str = "phash64",
+) -> DataFrame:
+    """Attach a computed DCT perceptual hash (``{out_col}: long``,
+    ``{out_col}_ok: boolean``) to every row — the content-derived
+    counterpart of the input table's ``phash`` column.  Narrow map, no
+    shuffle; near-dup image pairs come from
+    ``ops.dedup.hamming_neardup_pairs(..., sig_col=out_col, bits=64)``."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_col, T.LongType(), False),
+            T.StructField(f"{out_col}_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, oks = [], []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    img = decode_image(data, fmt)
+                    hashes.append(phash64(img, hash_size, highfreq_factor))
+                    oks.append(True)
+                except Exception:
+                    hashes.append(0)
+                    oks.append(False)
+            out = pdf.copy()
+            out[out_col] = pd.array(hashes, dtype="int64")
+            out[f"{out_col}_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------- stubs
 
 STUB_NOTE = (
