@@ -197,6 +197,121 @@ def vgg19_features(
     return _vgg_features(19, x, weights, depth)
 
 
+# ------------------------------------------------------------ resnet50
+# Graph per the reference's keras.applications ResNet50 (M10): zero-pad3
+# -> conv1 7x7/s2 -> BN -> relu -> maxpool 3x3/s2 -> 4 bottleneck stages
+# [3, 4, 6, 3 blocks] -> avg_pool 7x7 -> flatten -> fc1000.  Bottleneck:
+# 1x1(+/s2) -> BN -> relu, 3x3 same -> BN -> relu, 1x1 -> BN, add
+# shortcut (identity, or 1x1(+/s2) -> BN in each stage's first block),
+# relu.  Depth map {1:2, 2:5, 3:13, 4:23} popped +
+# layers[-(n+1)].output (build_featurizer.py:55-58,147) lands on:
+# d1 -> avg_pool (1,1,2048), d2 -> bn5c_branch2c (7,7,2048; the last
+# block's final BN, BEFORE the residual add), d3 -> activation of block
+# 5b, d4 -> activation of block 5a — all GAP to 2048, matching the
+# reference's output-size matrix.  BN at inference is a per-channel
+# affine; gamma/beta/mean/var fold into (bn_scale, bn_shift), generated
+# deterministically like every other weight (ImageNet h5 unavailable).
+
+_RESNET_STAGES = [
+    # (stage, (f1, f2, f3), blocks, first_block_stride)
+    (2, (64, 64, 256), "abc", 1),
+    (3, (128, 128, 512), "abcd", 2),
+    (4, (256, 256, 1024), "abcdef", 2),
+    (5, (512, 512, 2048), "abc", 2),
+]
+
+# depth -> last stage-5 block executed ('c' for d1/d2; d2 cuts inside c)
+_RESNET_LAST_BLOCK = {1: "c", 2: "c", 3: "b", 4: "a"}
+
+
+def _resnet_conv_specs(depth: int) -> list[tuple[str, int, int, int, int]]:
+    """(name, kh, cin, cout, stride) for every conv the depth executes."""
+    specs = [("conv1", 7, 3, 64, 2)]
+    cin = 64
+    last = _RESNET_LAST_BLOCK[depth]
+    for stage, (f1, f2, f3), blocks, stride0 in _RESNET_STAGES:
+        for b in blocks:
+            s = stride0 if b == "a" else 1
+            p = f"res{stage}{b}_branch"
+            specs += [
+                (f"{p}2a", 1, cin, f1, s),
+                (f"{p}2b", 3, f1, f2, 1),
+                (f"{p}2c", 1, f2, f3, 1),
+            ]
+            if b == "a":
+                specs.append((f"{p}1", 1, cin, f3, s))
+            cin = f3
+            if stage == 5 and b == last:
+                return specs
+    return specs
+
+
+def resnet50_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    """Deterministic He-normal conv kernels + near-identity fused BN
+    affines, float32; only the layers the depth executes are generated."""
+    weights: dict[str, np.ndarray] = {}
+    for i, (name, k, cin, cout, _) in enumerate(_resnet_conv_specs(depth)):
+        rng = np.random.default_rng([seed, 500 + i])
+        std = np.sqrt(2.0 / (k * k * cin))
+        weights[f"{name}/kernel"] = rng.normal(0.0, std, (k, k, cin, cout)).astype(
+            np.float32
+        )
+        weights[f"{name}/bias"] = np.zeros(cout, dtype=np.float32)
+        weights[f"{name}/bn_scale"] = np.abs(
+            rng.normal(1.0, 0.05, cout)
+        ).astype(np.float32)
+        weights[f"{name}/bn_shift"] = rng.normal(0.0, 0.05, cout).astype(np.float32)
+    return weights
+
+
+def _conv_bn(
+    x: np.ndarray, w: dict[str, np.ndarray], name: str,
+    stride: int = 1, padding: str = "valid", act: bool = True,
+) -> np.ndarray:
+    x = conv2d(x, w[f"{name}/kernel"], w[f"{name}/bias"], stride=stride, padding=padding)
+    x *= w[f"{name}/bn_scale"]
+    x += w[f"{name}/bn_shift"]
+    return relu(x) if act else x
+
+
+def resnet50_features(
+    x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+) -> np.ndarray:
+    """Decapitated ResNet50 forward: (N, 224, 224, 3) preprocessed
+    float32 -> (N, 2048) post-GAP features at every depth (the cut point
+    moves, the channel width does not — see section comment)."""
+    if depth not in (1, 2, 3, 4):
+        raise ValueError("depth must be in 1..4")
+    x = np.pad(x.astype(np.float32, copy=False), ((0, 0), (3, 3), (3, 3), (0, 0)))
+    x = _conv_bn(x, weights, "conv1", stride=2)
+    x = maxpool2d(x, pool=3, stride=2)
+    last = _RESNET_LAST_BLOCK[depth]
+    for stage, _, blocks, stride0 in _RESNET_STAGES:
+        for b in blocks:
+            s = stride0 if b == "a" else 1
+            p = f"res{stage}{b}_branch"
+            if depth == 2 and stage == 5 and b == "c":
+                # decapitation lands on bn5c_branch2c: branch-2 only,
+                # no residual add, no final relu
+                y = _conv_bn(x, weights, f"{p}2a", stride=s)
+                y = _conv_bn(y, weights, f"{p}2b", padding="same")
+                y = _conv_bn(y, weights, f"{p}2c", act=False)
+                return global_avg_pool(y)
+            y = _conv_bn(x, weights, f"{p}2a", stride=s)
+            y = _conv_bn(y, weights, f"{p}2b", padding="same")
+            y = _conv_bn(y, weights, f"{p}2c", act=False)
+            if b == "a":
+                shortcut = _conv_bn(x, weights, f"{p}1", stride=s, act=False)
+            else:
+                shortcut = x
+            x = relu(y + shortcut)
+            if stage == 5 and b == last:
+                # d1 continues to avg_pool(7x7) == the trailing GAP;
+                # d3/d4 outputs are these block activations, GAP'd
+                return global_avg_pool(x)
+    raise AssertionError("unreachable")
+
+
 # ------------------------------------------------------------ dispatch
 
 def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
@@ -206,6 +321,8 @@ def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.nda
         return vgg16_weights(seed, depth)
     if model == "vgg19":
         return vgg19_weights(seed, depth)
+    if model == "resnet50":
+        return resnet50_weights(seed, depth)
     raise NotImplementedError(
         f"{model!r} has no from-scratch NumPy forward pass (the reference "
         "imports it from keras.applications, unavailable here); plan "
@@ -222,6 +339,8 @@ def model_forward(
         return vgg16_features(x, weights, depth)
     if model == "vgg19":
         return vgg19_features(x, weights, depth)
+    if model == "resnet50":
+        return resnet50_features(x, weights, depth)
     raise NotImplementedError(model)
 
 

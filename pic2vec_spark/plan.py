@@ -69,7 +69,7 @@ SUPPORTED_MODELS: dict[str, dict] = {
 # reference's other four models come from keras.applications, which is
 # unavailable here); the registry keeps all six models' plan metadata so
 # plan resolution / width validation covers them all.
-EXECUTABLE_MODELS = ("squeezenet", "vgg16", "vgg19")
+EXECUTABLE_MODELS = ("squeezenet", "vgg16", "vgg19", "resnet50")
 
 VALID_FORMATS = ("jpg", "jpeg", "png", "bmp")  # mirrors ['JPEG','BMP','PNG']
 # at /root/reference/pic2vec/feature_preprocessing.py:118 (gif excluded)

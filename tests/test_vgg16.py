@@ -98,3 +98,59 @@ def test_vgg19_spark_matches_oracle(spark):
             atol=1e-4,
         )
     assert all(len(f) == 256 for f in got["features"])
+
+
+def test_resnet50_structure_and_widths():
+    """53 convs at depth 1 (conv1 + 16 bottlenecks x 3 + 4 shortcut
+    convs); every depth's output is 2048-wide (the cut point moves, the
+    channel width does not — reference output-size matrix)."""
+    from pic2vec_spark.model import (
+        _resnet_conv_specs,
+        resnet50_features,
+        resnet50_weights,
+    )
+
+    assert len(_resnet_conv_specs(1)) == 53
+    assert len(_resnet_conv_specs(4)) == 53 - 2 * 3  # minus blocks 5b, 5c
+    x = np.random.default_rng(3).normal(0, 50, (1, 224, 224, 3)).astype(np.float32)
+    outs = {}
+    for depth in (1, 2, 3, 4):
+        f = resnet50_features(x, resnet50_weights(0, depth), depth)
+        assert f.shape == (1, 2048) and np.isfinite(f).all()
+        outs[depth] = f
+    # the four decapitation points are genuinely different layers
+    for a in (1, 2, 3, 4):
+        for b in (1, 2, 3, 4):
+            if a < b:
+                assert not np.allclose(outs[a], outs[b]), (a, b)
+
+
+def test_resnet50_weights_pruned_by_depth():
+    from pic2vec_spark.model import resnet50_weights
+
+    w4 = resnet50_weights(0, 4)
+    assert "res5b_branch2a/kernel" not in w4 and "res5a_branch2a/kernel" in w4
+    w3 = resnet50_weights(0, 3)
+    assert "res5c_branch2a/kernel" not in w3 and "res5b_branch2a/kernel" in w3
+
+
+def test_resnet50_spark_matches_oracle(spark):
+    pdf = synth_images_pdf(4, seed=13)
+    plan = FeaturizerPlan.build("resnet50", depth=3, autosample=True)  # 1024 feats
+    got = (
+        featurize_images(
+            spark.createDataFrame(pdf, schema=IMAGES_SCHEMA), plan
+        )
+        .select("image_id", "missing", "features")
+        .toPandas()
+        .set_index("image_id")
+    )
+    expected = oracle_featurize(pdf, plan).set_index("image_id")
+    for iid in expected.index:
+        assert bool(got.loc[iid, "missing"]) == bool(expected.loc[iid, "missing"])
+        ga = np.array(got.loc[iid, "features"], dtype=np.float64)
+        ea = np.array(expected.loc[iid, "features"], dtype=np.float64)
+        # activations reach ~1e4-1e5 after 40+ conv+BN layers, so compare
+        # with a relative tolerance (atol alone is meaningless at that scale)
+        assert np.allclose(ga, ea, rtol=1e-4, atol=1e-2)
+    assert all(len(f) == 1024 for f in got["features"])
