@@ -26,7 +26,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from pic2vec_spark.nn import conv2d, global_avg_pool, maxpool2d, relu
+from pic2vec_spark.nn import (
+    conv2d,
+    depthwise_conv2d,
+    global_avg_pool,
+    maxpool2d,
+    relu,
+)
 
 # (name, kh, kw, cin, cout) in forward order
 _FIRE_SPECS = [
@@ -312,6 +318,324 @@ def resnet50_features(
     raise AssertionError("unreachable")
 
 
+# ------------------------------------------------------------ xception
+# Graph per the reference's keras.applications Xception (M10), 134
+# layers (the reference asserts the count, tests/test_build_featurizer
+# .py:232).  Entry flow: conv32/s2 + conv64 (both valid, BN+relu), then
+# 3 residual sepconv modules (128, 256, 728) with 1x1/s2 conv-BN
+# shortcuts and 3x3/s2 same maxpools; middle flow: 8 identical residual
+# modules (relu-sepconv728-BN x3 + add); exit flow: block13 (sep728,
+# sep1024, maxpool, 1x1/s2 shortcut 1024) then sep1536 + sep2048.
+# SeparableConv2D = depthwise 3x3 same (no bias) -> pointwise 1x1 (no
+# bias) -> BN.  Depth map {1:1, 2:8, 3:18, 4:28} popped +
+# layers[-(n+1)].output: d1 -> global avg pool (2048), d2 -> block13's
+# residual add (1024), d3 -> middle block 12's add (728), d4 -> middle
+# block 11's add (728) — GAP widths match the reference's output-size
+# matrix {1:2048, 2:1024, 3:728, 4:728}.
+
+# depth -> (last middle block executed, run block13, run block14)
+_XCEPTION_CUT = {1: (12, True, True), 2: (12, True, False),
+                 3: (12, False, False), 4: (11, False, False)}
+
+
+def _xception_layer_specs(depth: int):
+    """(name, kind, cin, cout, stride) in forward order; kind is
+    'conv' | 'sep' (sepconv = depthwise cin + pointwise cin->cout)."""
+    last_mid, run13, run14 = _XCEPTION_CUT[depth]
+    specs = [
+        ("block1_conv1", "conv", 3, 32, 2),
+        ("block1_conv2", "conv", 32, 64, 1),
+    ]
+    cin = 64
+    for blk, cout in ((2, 128), (3, 256), (4, 728)):
+        specs += [
+            (f"block{blk}_res", "conv", cin, cout, 2),
+            (f"block{blk}_sepconv1", "sep", cin, cout, 1),
+            (f"block{blk}_sepconv2", "sep", cout, cout, 1),
+        ]
+        cin = cout
+    for blk in range(5, 5 + (last_mid - 4)):
+        for s in (1, 2, 3):
+            specs.append((f"block{blk}_sepconv{s}", "sep", 728, 728, 1))
+    if run13:
+        specs += [
+            ("block13_res", "conv", 728, 1024, 2),
+            ("block13_sepconv1", "sep", 728, 728, 1),
+            ("block13_sepconv2", "sep", 728, 1024, 1),
+        ]
+    if run14:
+        specs += [
+            ("block14_sepconv1", "sep", 1024, 1536, 1),
+            ("block14_sepconv2", "sep", 1536, 2048, 1),
+        ]
+    return specs
+
+
+def xception_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    """Deterministic He-normal kernels + near-identity fused-BN affines;
+    sepconvs carry (depthwise, pointwise) pairs, biasless like Keras."""
+    weights: dict[str, np.ndarray] = {}
+    for i, (name, kind, cin, cout, _) in enumerate(_xception_layer_specs(depth)):
+        rng = np.random.default_rng([seed, 700 + i])
+        if kind == "conv":
+            # the two stem convs are 3x3; every residual shortcut is 1x1
+            k = 3 if name in ("block1_conv1", "block1_conv2") else 1
+            std = np.sqrt(2.0 / (k * k * cin))
+            weights[f"{name}/kernel"] = rng.normal(
+                0.0, std, (k, k, cin, cout)
+            ).astype(np.float32)
+        else:
+            weights[f"{name}/depthwise"] = rng.normal(
+                0.0, np.sqrt(2.0 / 9), (3, 3, cin, 1)
+            ).astype(np.float32)
+            weights[f"{name}/pointwise"] = rng.normal(
+                0.0, np.sqrt(2.0 / cin), (1, 1, cin, cout)
+            ).astype(np.float32)
+        # mean 0.6 (not 1.0): 36 residual stages otherwise grow
+        # activations to ~1e5, and float32 cancellation in the final
+        # GAP then costs ~3 significant digits; damping each branch
+        # keeps features O(1e2) and the Spark-vs-oracle comparison tight
+        weights[f"{name}/bn_scale"] = np.abs(rng.normal(0.6, 0.05, cout)).astype(
+            np.float32
+        )
+        weights[f"{name}/bn_shift"] = rng.normal(0.0, 0.05, cout).astype(np.float32)
+    return weights
+
+
+def _sepconv_bn(x: np.ndarray, w: dict[str, np.ndarray], name: str) -> np.ndarray:
+    x = depthwise_conv2d(x, w[f"{name}/depthwise"], padding="same")
+    x = conv2d(x, w[f"{name}/pointwise"])
+    x *= w[f"{name}/bn_scale"]
+    x += w[f"{name}/bn_shift"]
+    return x
+
+
+def _xconv_bn(
+    x: np.ndarray, w: dict[str, np.ndarray], name: str, stride: int, act: bool
+) -> np.ndarray:
+    x = conv2d(x, w[f"{name}/kernel"], stride=stride)
+    x *= w[f"{name}/bn_scale"]
+    x += w[f"{name}/bn_shift"]
+    return relu(x) if act else x
+
+
+def xception_features(
+    x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+) -> np.ndarray:
+    """Decapitated Xception forward: (N, 299, 299, 3) tf-mode float32 ->
+    (N, width) post-GAP per the section comment's cut points."""
+    if depth not in _XCEPTION_CUT:
+        raise ValueError("depth must be in 1..4")
+    last_mid, run13, run14 = _XCEPTION_CUT[depth]
+    w = weights
+    x = x.astype(np.float32, copy=False)
+    x = _xconv_bn(x, w, "block1_conv1", 2, True)
+    x = _xconv_bn(x, w, "block1_conv2", 1, True)
+    for blk in (2, 3, 4):
+        res = _xconv_bn(x, w, f"block{blk}_res", 2, False)
+        if blk > 2:  # block2 has no leading relu (keras graph)
+            x = relu(x.copy())
+        y = relu(_sepconv_bn(x, w, f"block{blk}_sepconv1"))
+        y = _sepconv_bn(y, w, f"block{blk}_sepconv2")
+        y = maxpool2d(y, pool=3, stride=2, padding="same")
+        x = y + res
+    for blk in range(5, 5 + (last_mid - 4)):
+        y = x
+        for s in (1, 2, 3):
+            y = _sepconv_bn(relu(y.copy()), w, f"block{blk}_sepconv{s}")
+        x = x + y
+    if not run13:
+        return global_avg_pool(x)
+    res = _xconv_bn(x, w, "block13_res", 2, False)
+    y = _sepconv_bn(relu(x.copy()), w, "block13_sepconv1")
+    y = _sepconv_bn(relu(y), w, "block13_sepconv2")
+    y = maxpool2d(y, pool=3, stride=2, padding="same")
+    x = y + res
+    if not run14:
+        return global_avg_pool(x)
+    x = relu(_sepconv_bn(x, w, "block14_sepconv1"))
+    x = relu(_sepconv_bn(x, w, "block14_sepconv2"))
+    return global_avg_pool(x)
+
+
+# --------------------------------------------------------- inceptionv3
+# Graph per the reference's keras.applications InceptionV3 (M10, 313
+# layers asserted at tests/test_build_featurizer.py:231): stem (5 convs
+# + 2 maxpools) -> mixed0-2 (35x35; 5x5 branch) -> mixed3 (reduction)
+# -> mixed4-7 (17x17; factorized 1x7/7x1) -> mixed8 (reduction) ->
+# mixed9-10 (8x8; forked 1x3/3x1 branches).  Every conv is
+# conv2d_bn = biasless Conv2D -> BN -> relu.  Depth map
+# {1:2, 2:19, 3:33, 4:50} popped + layers[-(n+1)].output, under keras's
+# depth-ordered Model.layers, lands on: d1 -> mixed10 (2048), d2 -> the
+# in-block AveragePooling2D over mixed9 (8x8x2048), d3 -> mixed9
+# (2048), d4 -> the in-block AveragePooling2D over mixed8 (8x8x1280) —
+# GAP widths match the reference's executed output-size matrix
+# {1:2048, 2:2048, 3:2048, 4:1280}.
+
+_INCEPTION_SPECS: list[tuple[str, int, int, int, int]] = []  # name, kh, kw, cin, cout
+
+
+def _ispec(name: str, kh: int, kw: int, cin: int, cout: int) -> None:
+    _INCEPTION_SPECS.append((name, kh, kw, cin, cout))
+
+
+def _build_inception_specs() -> None:
+    if _INCEPTION_SPECS:
+        return
+    _ispec("stem1", 3, 3, 3, 32)
+    _ispec("stem2", 3, 3, 32, 32)
+    _ispec("stem3", 3, 3, 32, 64)
+    _ispec("stem4", 1, 1, 64, 80)
+    _ispec("stem5", 3, 3, 80, 192)
+    cin = 192
+    for m, pool_c in ((0, 32), (1, 64), (2, 64)):  # 35x35 modules
+        _ispec(f"m{m}_1x1", 1, 1, cin, 64)
+        _ispec(f"m{m}_5x5a", 1, 1, cin, 48)
+        _ispec(f"m{m}_5x5b", 5, 5, 48, 64)
+        _ispec(f"m{m}_dbla", 1, 1, cin, 64)
+        _ispec(f"m{m}_dblb", 3, 3, 64, 96)
+        _ispec(f"m{m}_dblc", 3, 3, 96, 96)
+        _ispec(f"m{m}_pool", 1, 1, cin, pool_c)
+        cin = 64 + 64 + 96 + pool_c
+    _ispec("m3_3x3", 3, 3, cin, 384)  # reduction to 17x17
+    _ispec("m3_dbla", 1, 1, cin, 64)
+    _ispec("m3_dblb", 3, 3, 64, 96)
+    _ispec("m3_dblc", 3, 3, 96, 96)
+    cin = 384 + 96 + cin  # 768
+    for m, f in ((4, 128), (5, 160), (6, 160), (7, 192)):  # 17x17 modules
+        _ispec(f"m{m}_1x1", 1, 1, cin, 192)
+        _ispec(f"m{m}_7a", 1, 1, cin, f)
+        _ispec(f"m{m}_7b", 1, 7, f, f)
+        _ispec(f"m{m}_7c", 7, 1, f, 192)
+        _ispec(f"m{m}_d7a", 1, 1, cin, f)
+        _ispec(f"m{m}_d7b", 7, 1, f, f)
+        _ispec(f"m{m}_d7c", 1, 7, f, f)
+        _ispec(f"m{m}_d7d", 7, 1, f, f)
+        _ispec(f"m{m}_d7e", 1, 7, f, 192)
+        _ispec(f"m{m}_pool", 1, 1, cin, 192)
+    _ispec("m8_3a", 1, 1, 768, 192)  # reduction to 8x8
+    _ispec("m8_3b", 3, 3, 192, 320)
+    _ispec("m8_7a", 1, 1, 768, 192)
+    _ispec("m8_7b", 1, 7, 192, 192)
+    _ispec("m8_7c", 7, 1, 192, 192)
+    _ispec("m8_7d", 3, 3, 192, 192)
+    cin = 320 + 192 + 768  # 1280
+    for m in (9, 10):  # 8x8 modules
+        _ispec(f"m{m}_1x1", 1, 1, cin, 320)
+        _ispec(f"m{m}_3a", 1, 1, cin, 384)
+        _ispec(f"m{m}_3b1", 1, 3, 384, 384)
+        _ispec(f"m{m}_3b2", 3, 1, 384, 384)
+        _ispec(f"m{m}_da", 1, 1, cin, 448)
+        _ispec(f"m{m}_db", 3, 3, 448, 384)
+        _ispec(f"m{m}_dc1", 1, 3, 384, 384)
+        _ispec(f"m{m}_dc2", 3, 1, 384, 384)
+        _ispec(f"m{m}_pool", 1, 1, cin, 192)
+        cin = 320 + 768 + 768 + 192  # 2048
+
+
+# which convs each depth needs: d4 stops at mixed8, d2/d3 at mixed9
+def _inception_needed(depth: int, name: str) -> bool:
+    if depth == 4:
+        return not name.startswith(("m9_", "m10_"))
+    if depth in (2, 3):
+        return not name.startswith("m10_")
+    return True
+
+
+def inceptionv3_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    """Deterministic He-normal biasless kernels + damped fused-BN
+    affines (see xception note on conditioning), depth-pruned."""
+    _build_inception_specs()
+    weights: dict[str, np.ndarray] = {}
+    for i, (name, kh, kw, cin, cout) in enumerate(_INCEPTION_SPECS):
+        if not _inception_needed(depth, name):
+            continue
+        rng = np.random.default_rng([seed, 900 + i])
+        std = np.sqrt(2.0 / (kh * kw * cin))
+        weights[f"{name}/kernel"] = rng.normal(0.0, std, (kh, kw, cin, cout)).astype(
+            np.float32
+        )
+        weights[f"{name}/bn_scale"] = np.abs(rng.normal(0.6, 0.05, cout)).astype(
+            np.float32
+        )
+        weights[f"{name}/bn_shift"] = rng.normal(0.0, 0.05, cout).astype(np.float32)
+    return weights
+
+
+def _icbn(
+    x: np.ndarray, w: dict[str, np.ndarray], name: str,
+    stride: int = 1, padding: str = "same",
+) -> np.ndarray:
+    x = conv2d(x, w[f"{name}/kernel"], stride=stride, padding=padding)
+    x *= w[f"{name}/bn_scale"]
+    x += w[f"{name}/bn_shift"]
+    return relu(x)
+
+
+def inceptionv3_features(
+    x: np.ndarray, weights: dict[str, np.ndarray], depth: int = 1
+) -> np.ndarray:
+    """Decapitated InceptionV3 forward: (N, 299, 299, 3) tf-mode float32
+    -> (N, width) post-GAP per the section comment's cut points."""
+    if depth not in (1, 2, 3, 4):
+        raise ValueError("depth must be in 1..4")
+    from pic2vec_spark.nn import avgpool2d_same
+
+    w = weights
+    x = x.astype(np.float32, copy=False)
+    x = _icbn(x, w, "stem1", stride=2, padding="valid")
+    x = _icbn(x, w, "stem2", padding="valid")
+    x = _icbn(x, w, "stem3")
+    x = maxpool2d(x, pool=3, stride=2)
+    x = _icbn(x, w, "stem4", padding="valid")
+    x = _icbn(x, w, "stem5", padding="valid")
+    x = maxpool2d(x, pool=3, stride=2)
+    for m in (0, 1, 2):  # 35x35
+        b1 = _icbn(x, w, f"m{m}_1x1")
+        b5 = _icbn(_icbn(x, w, f"m{m}_5x5a"), w, f"m{m}_5x5b")
+        bd = _icbn(_icbn(_icbn(x, w, f"m{m}_dbla"), w, f"m{m}_dblb"), w, f"m{m}_dblc")
+        bp = _icbn(avgpool2d_same(x), w, f"m{m}_pool")
+        x = np.concatenate([b1, b5, bd, bp], axis=-1)
+    b3 = _icbn(x, w, "m3_3x3", stride=2, padding="valid")
+    bd = _icbn(_icbn(x, w, "m3_dbla"), w, "m3_dblb")
+    bd = _icbn(bd, w, "m3_dblc", stride=2, padding="valid")
+    bp = maxpool2d(x, pool=3, stride=2)
+    x = np.concatenate([b3, bd, bp], axis=-1)  # 17x17x768
+    for m in (4, 5, 6, 7):
+        b1 = _icbn(x, w, f"m{m}_1x1")
+        b7 = _icbn(_icbn(_icbn(x, w, f"m{m}_7a"), w, f"m{m}_7b"), w, f"m{m}_7c")
+        bd = x
+        for suf in ("d7a", "d7b", "d7c", "d7d", "d7e"):
+            bd = _icbn(bd, w, f"m{m}_{suf}")
+        bp = _icbn(avgpool2d_same(x), w, f"m{m}_pool")
+        x = np.concatenate([b1, b7, bd, bp], axis=-1)
+    b3 = _icbn(_icbn(x, w, "m8_3a"), w, "m8_3b", stride=2, padding="valid")
+    b7 = _icbn(_icbn(_icbn(x, w, "m8_7a"), w, "m8_7b"), w, "m8_7c")
+    b7 = _icbn(b7, w, "m8_7d", stride=2, padding="valid")
+    bp = maxpool2d(x, pool=3, stride=2)
+    x = np.concatenate([b3, b7, bp], axis=-1)  # 8x8x1280 = mixed8
+    if depth == 4:
+        return global_avg_pool(avgpool2d_same(x))
+    for m in (9, 10):
+        b1 = _icbn(x, w, f"m{m}_1x1")
+        b3a = _icbn(x, w, f"m{m}_3a")
+        b3 = np.concatenate(
+            [_icbn(b3a, w, f"m{m}_3b1"), _icbn(b3a, w, f"m{m}_3b2")], axis=-1
+        )
+        bda = _icbn(_icbn(x, w, f"m{m}_da"), w, f"m{m}_db")
+        bd = np.concatenate(
+            [_icbn(bda, w, f"m{m}_dc1"), _icbn(bda, w, f"m{m}_dc2")], axis=-1
+        )
+        bp = _icbn(avgpool2d_same(x), w, f"m{m}_pool")
+        x = np.concatenate([b1, b3, bd, bp], axis=-1)
+        if m == 9:
+            if depth == 3:
+                return global_avg_pool(x)  # mixed9
+            if depth == 2:
+                return global_avg_pool(avgpool2d_same(x))
+    return global_avg_pool(x)  # mixed10 (d1)
+
+
 # ------------------------------------------------------------ dispatch
 
 def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
@@ -323,6 +647,10 @@ def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.nda
         return vgg19_weights(seed, depth)
     if model == "resnet50":
         return resnet50_weights(seed, depth)
+    if model == "xception":
+        return xception_weights(seed, depth)
+    if model == "inceptionv3":
+        return inceptionv3_weights(seed, depth)
     raise NotImplementedError(
         f"{model!r} has no from-scratch NumPy forward pass (the reference "
         "imports it from keras.applications, unavailable here); plan "
@@ -341,6 +669,10 @@ def model_forward(
         return vgg19_features(x, weights, depth)
     if model == "resnet50":
         return resnet50_features(x, weights, depth)
+    if model == "xception":
+        return xception_features(x, weights, depth)
+    if model == "inceptionv3":
+        return inceptionv3_features(x, weights, depth)
     raise NotImplementedError(model)
 
 

@@ -91,13 +91,58 @@ def conv2d(
     return out.astype(np.float32, copy=False)
 
 
+def depthwise_conv2d(
+    x: np.ndarray, w: np.ndarray, stride: int = 1, padding: str = "same"
+) -> np.ndarray:
+    """Depthwise conv (depth multiplier 1), NHWC x (kh, kw, C, 1) ->
+    NHWC: kh*kw shifted multiply-accumulates, each a vectorized
+    broadcast over the channel axis (no im2col needed — the per-channel
+    kernel is a scalar per tap)."""
+    kh, kw, cin, _ = w.shape
+    assert x.shape[-1] == cin
+    if padding == "same":
+        oh = -(-x.shape[1] // stride)
+        ow = -(-x.shape[2] // stride)
+        ph = max((oh - 1) * stride + kh - x.shape[1], 0)
+        pw = max((ow - 1) * stride + kw - x.shape[2], 0)
+        x = np.pad(
+            x, ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+        )
+    elif padding != "valid":
+        raise ValueError(padding)
+    n, hh, ww = x.shape[:3]
+    oh = (hh - kh) // stride + 1
+    ow = (ww - kw) // stride + 1
+    out = np.zeros((n, oh, ow, cin), dtype=np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            view = x[:, i : i + oh * stride : stride, j : j + ow * stride : stride, :]
+            out += view * w[i, j, :, 0]
+    return out
+
+
 def relu(x: np.ndarray) -> np.ndarray:
     return np.maximum(x, 0, out=x)
 
 
-def maxpool2d(x: np.ndarray, pool: int = 3, stride: int = 2) -> np.ndarray:
-    """Valid max pooling (matches Keras MaxPooling2D(pool, stride)) via
-    pool*pool shifted np.maximum accumulations (no windowed gather)."""
+def maxpool2d(
+    x: np.ndarray, pool: int = 3, stride: int = 2, padding: str = "valid"
+) -> np.ndarray:
+    """Max pooling (matches Keras MaxPooling2D(pool, stride, padding))
+    via pool*pool shifted np.maximum accumulations (no windowed gather).
+    'same' pads with -inf so padding never wins a max."""
+    if padding == "same":
+        oh = -(-x.shape[1] // stride)
+        ow = -(-x.shape[2] // stride)
+        ph = max((oh - 1) * stride + pool - x.shape[1], 0)
+        pw = max((ow - 1) * stride + pool - x.shape[2], 0)
+        x = np.pad(
+            x,
+            ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)),
+            constant_values=-np.inf,
+        )
+    elif padding != "valid":
+        raise ValueError(padding)
     n, hh, ww, c = x.shape
     oh = (hh - pool) // stride + 1
     ow = (ww - pool) // stride + 1
@@ -110,6 +155,23 @@ def maxpool2d(x: np.ndarray, pool: int = 3, stride: int = 2) -> np.ndarray:
             else:
                 np.maximum(out, view, out=out)
     return out
+
+
+def avgpool2d_same(x: np.ndarray, pool: int = 3) -> np.ndarray:
+    """Stride-1 'same' average pooling that EXCLUDES padding from the
+    divisor (TF/Keras AveragePooling2D semantics: edge windows average
+    over their valid cells only)."""
+    n, hh, ww, c = x.shape
+    p = pool // 2
+    xp = np.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    ones = np.pad(np.ones((1, hh, ww, 1), np.float32), ((0, 0), (p, p), (p, p), (0, 0)))
+    s = np.zeros((n, hh, ww, c), dtype=np.float32)
+    cnt = np.zeros((1, hh, ww, 1), dtype=np.float32)
+    for i in range(pool):
+        for j in range(pool):
+            s += xp[:, i : i + hh, j : j + ww, :]
+            cnt += ones[:, i : i + hh, j : j + ww, :]
+    return s / cnt
 
 
 def global_avg_pool(x: np.ndarray) -> np.ndarray:

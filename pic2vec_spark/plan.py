@@ -65,11 +65,13 @@ SUPPORTED_MODELS: dict[str, dict] = {
     },
 }
 
-# squeezenet and vgg16 have full from-scratch NumPy forward passes (the
-# reference's other four models come from keras.applications, which is
-# unavailable here); the registry keeps all six models' plan metadata so
-# plan resolution / width validation covers them all.
-EXECUTABLE_MODELS = ("squeezenet", "vgg16", "vgg19", "resnet50")
+# ALL SIX reference models have full from-scratch NumPy forward passes
+# (pic2vec_spark.model; the reference imports five of them from
+# keras.applications, unavailable here, so weights are deterministic
+# seeded stand-ins for the stripped ImageNet blobs).
+EXECUTABLE_MODELS = (
+    "squeezenet", "vgg16", "vgg19", "resnet50", "xception", "inceptionv3"
+)
 
 VALID_FORMATS = ("jpg", "jpeg", "png", "bmp")  # mirrors ['JPEG','BMP','PNG']
 # at /root/reference/pic2vec/feature_preprocessing.py:118 (gif excluded)

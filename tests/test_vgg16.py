@@ -154,3 +154,142 @@ def test_resnet50_spark_matches_oracle(spark):
         # with a relative tolerance (atol alone is meaningless at that scale)
         assert np.allclose(ga, ea, rtol=1e-4, atol=1e-2)
     assert all(len(f) == 1024 for f in got["features"])
+
+
+def test_depthwise_conv_matches_naive():
+    from pic2vec_spark.nn import depthwise_conv2d
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 9, 9, 5)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 5, 1)).astype(np.float32)
+    got = depthwise_conv2d(x, w, padding="valid")
+    # naive sliding window per channel
+    exp = np.zeros((2, 7, 7, 5), dtype=np.float32)
+    for n in range(2):
+        for i in range(7):
+            for j in range(7):
+                for c in range(5):
+                    exp[n, i, j, c] = (x[n, i:i+3, j:j+3, c] * w[:, :, c, 0]).sum()
+    assert np.allclose(got, exp, atol=1e-5)
+
+
+def test_maxpool_same_vs_valid():
+    from pic2vec_spark.nn import maxpool2d
+
+    x = np.arange(2 * 5 * 5 * 1, dtype=np.float32).reshape(2, 5, 5, 1)
+    assert maxpool2d(x, 3, 2, "valid").shape == (2, 2, 2, 1)
+    same = maxpool2d(x, 3, 2, "same")
+    assert same.shape == (2, 3, 3, 1)
+    assert np.isfinite(same).all()  # -inf padding never leaks out
+
+
+def test_xception_widths_and_cuts():
+    """Depth map {1:1,2:8,3:18,4:28} → avg_pool(2048) / block13 add
+    (1024) / middle block 12 add (728) / block 11 add (728) — the
+    reference's output-size matrix for xception."""
+    from pic2vec_spark.model import xception_features, xception_weights
+
+    x = np.random.default_rng(6).normal(0, 0.9, (1, 299, 299, 3)).astype(np.float32)
+    outs = {}
+    for depth, width in ((1, 2048), (2, 1024), (3, 728), (4, 728)):
+        f = xception_features(x, xception_weights(0, depth), depth)
+        assert f.shape == (1, width) and np.isfinite(f).all(), depth
+        outs[depth] = f
+    assert not np.allclose(outs[3], outs[4])  # block12 vs block11 cut
+    w4 = xception_weights(0, 4)
+    assert "block12_sepconv1/depthwise" not in w4 and "block13_res/kernel" not in w4
+    assert "block13_res/kernel" in xception_weights(0, 2)
+    # residual shortcuts are 1x1, stem convs 3x3
+    assert xception_weights(0, 2)["block13_res/kernel"].shape[:2] == (1, 1)
+    assert w4["block1_conv1/kernel"].shape[:2] == (3, 3)
+
+
+def test_xception_spark_matches_oracle(spark):
+    pdf = synth_images_pdf(4, seed=17)
+    plan = FeaturizerPlan.build("xception", depth=3, autosample=True)  # 364 feats
+    got = (
+        featurize_images(
+            spark.createDataFrame(pdf, schema=IMAGES_SCHEMA), plan
+        )
+        .select("image_id", "missing", "features")
+        .toPandas()
+        .set_index("image_id")
+    )
+    expected = oracle_featurize(pdf, plan).set_index("image_id")
+    for iid in expected.index:
+        assert bool(got.loc[iid, "missing"]) == bool(expected.loc[iid, "missing"])
+        ga = np.array(got.loc[iid, "features"], dtype=np.float64)
+        ea = np.array(expected.loc[iid, "features"], dtype=np.float64)
+        # atol scales with the activation magnitude: individual features
+        # are differences of large pre-GAP terms, so float32 noise is
+        # relative to the ACTIVATION scale, not the feature value
+        assert np.allclose(ga, ea, rtol=1e-3, atol=1e-4 * np.abs(ea).mean() + 1e-6)
+    assert all(len(f) == 364 for f in got["features"])
+
+
+def test_avgpool_same_excludes_padding():
+    from pic2vec_spark.nn import avgpool2d_same
+
+    x = np.ones((1, 4, 4, 1), dtype=np.float32)
+    out = avgpool2d_same(x)
+    # all-ones input: every window averages to exactly 1 only if padded
+    # zeros are excluded from the divisor (TF semantics)
+    assert np.allclose(out, 1.0)
+    assert out.shape == (1, 4, 4, 1)
+
+
+def test_inceptionv3_widths_and_cuts():
+    """Depth map {1:2,2:19,3:33,4:50} → mixed10 / in-block avgpool over
+    mixed9 / mixed9 / in-block avgpool over mixed8 — widths
+    {2048, 2048, 2048, 1280} per the reference's output-size matrix."""
+    from pic2vec_spark.model import inceptionv3_features, inceptionv3_weights
+
+    x = np.random.default_rng(8).normal(0, 0.9, (1, 299, 299, 3)).astype(np.float32)
+    outs = {}
+    for depth, width in ((1, 2048), (2, 2048), (3, 2048), (4, 1280)):
+        f = inceptionv3_features(x, inceptionv3_weights(0, depth), depth)
+        assert f.shape == (1, width) and np.isfinite(f).all(), depth
+        outs[depth] = f
+    # d2 is the smoothed (3x3 avgpool) version of d3's map — close in
+    # mean, different per-feature
+    assert not np.allclose(outs[2], outs[3])
+    w4 = inceptionv3_weights(0, 4)
+    assert "m9_1x1/kernel" not in w4 and "m8_3b/kernel" in w4
+    w3 = inceptionv3_weights(0, 3)
+    assert "m10_1x1/kernel" not in w3 and "m9_1x1/kernel" in w3
+
+
+def test_inceptionv3_spark_matches_oracle(spark):
+    pdf = synth_images_pdf(4, seed=21)
+    plan = FeaturizerPlan.build("inceptionv3", depth=4, autosample=True)  # 640
+    got = (
+        featurize_images(
+            spark.createDataFrame(pdf, schema=IMAGES_SCHEMA), plan
+        )
+        .select("image_id", "missing", "features")
+        .toPandas()
+        .set_index("image_id")
+    )
+    expected = oracle_featurize(pdf, plan).set_index("image_id")
+    for iid in expected.index:
+        assert bool(got.loc[iid, "missing"]) == bool(expected.loc[iid, "missing"])
+        ga = np.array(got.loc[iid, "features"], dtype=np.float64)
+        ea = np.array(expected.loc[iid, "features"], dtype=np.float64)
+        assert np.allclose(ga, ea, rtol=1e-3, atol=1e-4 * np.abs(ea).mean() + 1e-7)
+    assert all(len(f) == 640 for f in got["features"])
+
+
+def test_all_six_models_execute_through_plan():
+    """The reference's full model registry is executable end-to-end (the
+    'switch a user over' criterion): one tiny forward per model."""
+    from pic2vec_spark.model import model_forward, model_weights
+    from pic2vec_spark.plan import SUPPORTED_MODELS, FeaturizerPlan
+
+    rng = np.random.default_rng(11)
+    for name, meta in SUPPORTED_MODELS.items():
+        plan = FeaturizerPlan.build(name, depth=4, autosample=False)
+        h, w = meta["size"]
+        x = rng.normal(0, 0.9, (1, h, w, 3)).astype(np.float32)
+        f = model_forward(name, x, model_weights(name, 0, 4), 4)
+        assert f.shape == (1, meta["widths"][4]), name
+        assert np.isfinite(f).all(), name
