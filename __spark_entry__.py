@@ -479,6 +479,56 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup_pairs(sim, "doc_id", max_distance=SIMHASH_MAXDIST)
 
 
+def q_neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: near-duplicate document pairs flagged by at
+    least 2 of {n-gram Jaccard, MinHash-LSH candidates, SimHash Hamming}
+    — the production dedup recipe (cheap candidate generators voting
+    before an expensive human/exact check)."""
+    j = q_dedup_jaccard(spark, sf_dir).select("id1", "id2", F.lit("jaccard").alias("m"))
+    m = q_dedup_minhash_lsh(spark, sf_dir).select("id1", "id2", F.lit("minhash").alias("m"))
+    s = q_simhash_neardup(spark, sf_dir).select("id1", "id2", F.lit("simhash").alias("m"))
+    return (
+        j.unionByName(m).unionByName(s)
+        .groupBy("id1", "id2")
+        .agg(
+            F.count(F.lit(1)).alias("n_methods"),
+            F.concat_ws(",", F.array_sort(F.collect_list("m"))).alias("methods"),
+        )
+        .filter(F.col("n_methods") >= 2)
+    )
+
+
+def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot / lineage / incremental-resume surface through the
+    driver contract: write an initial feature snapshot, append an
+    OVERLAPPING second batch (only new content digests hit the CNN —
+    the anti-join resume path), and return the per-partition lineage
+    rows (pid, rows, digest) of the final table state.  Rows-only:
+    snapshot ids and write timings are inherently run-specific; the
+    kill-and-resume semantics are pinned by tests/test_snapshots.py
+    and test_incremental.py."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.featurize import incremental_featurize
+    from pic2vec_spark.plan import FeaturizerPlan
+    from pic2vec_spark.snapshots import SnapshotTable
+    from pic2vec_spark.synth import synth_images_df
+
+    root = tempfile.mkdtemp(prefix="drv_snapshot_")
+    try:
+        table = SnapshotTable(root, spark)
+        plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+        incremental_featurize(synth_images_df(spark, 48, seed=42), table, plan)
+        incremental_featurize(synth_images_df(spark, 64, seed=42), table, plan)
+        lin = table.lineage()[["pid", "rows", "digest"]]
+        n_rows = table.scan().count()
+        out = spark.createDataFrame(lin)
+        return out.withColumn("table_rows", F.lit(n_rows))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.knn import cosine_topk
 
@@ -616,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "simhash_neardup": q_simhash_neardup,
+        "neardup_consensus": q_neardup_consensus,
+        "snapshot_lineage": q_snapshot_lineage,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -828,6 +880,25 @@ def _knn_ivf_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # composition oracle: reuse the three member oracles as subqueries
+    # (DuckDB supports CTEs inside derived tables), so the consensus
+    # check can never drift from the member checks
+    d["neardup_consensus"] = f"""
+        WITH j AS (SELECT id1, id2, 'jaccard' AS m FROM ({d['dedup_jaccard']})),
+        mh AS (SELECT id1, id2, 'minhash' AS m FROM ({d['dedup_minhash_lsh']})),
+        sh AS (SELECT id1, id2, 'simhash' AS m FROM ({d['simhash_neardup']})),
+        u AS (
+          SELECT * FROM j UNION ALL SELECT * FROM mh UNION ALL SELECT * FROM sh
+        )
+        SELECT id1, id2, COUNT(*) AS n_methods,
+               string_agg(m, ',' ORDER BY m) AS methods
+        FROM u GROUP BY id1, id2 HAVING COUNT(*) >= 2
+    """
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "doc_token_count": r"""
             SELECT doc_id,
