@@ -47,6 +47,113 @@ _SIDE = "__asof_side"
 _TIE = "__asof_tie"
 
 
+def asof_join_broadcast(
+    queries: DataFrame,
+    features: DataFrame,
+    on: str = "entity_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    tolerance_s: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join with a BROADCAST feature side — the scale
+    path when features are dimension-sized and queries are the 10^12-row
+    fact side.
+
+    ``asof_join`` shuffles BOTH sides by entity (one exchange, but the
+    exchange moves the huge query side).  Here the feature side is
+    collected, sorted per entity, and broadcast; each query partition
+    probes it with vectorized ``np.searchsorted`` inside ``mapInPandas``
+    — a NARROW map, zero shuffle of the query side, no Python per-row
+    work.  Same semantics as ``asof_join(direction='backward')``: latest
+    feature with ``feature_ts <= query_ts``, equal-ts feature wins,
+    largest tiebreak among equal-ts features, null when nothing precedes
+    (or outside ``tolerance_s``).
+
+    Use when ``features`` fits on an executor (same judgement call as a
+    broadcast hash join; e.g. last-known-state tables).  Correctness is
+    pinned against ``asof_join`` in tests/test_asof.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (on, ts)]
+
+    def ts_key(series: pd.Series) -> np.ndarray:
+        """Order key: float64 for numeric ts columns, epoch-ns int64
+        for datetime columns (both sides use the same rule)."""
+        if np.issubdtype(series.dtype, np.number):
+            return series.to_numpy(np.float64)
+        return pd.to_datetime(series).astype("int64").to_numpy()
+
+    order_cols = [on, ts] + ([tiebreak] if tiebreak else [])
+    fpdf = (
+        features.select(on, ts, *([tiebreak] if tiebreak else []), *value_cols)
+        .toPandas()
+        .sort_values(order_cols, kind="mergesort")
+    )
+    numeric_ts = np.issubdtype(fpdf[ts].dtype, np.number)
+    # per-entity sorted arrays: order key + raw ts + value columns
+    lookup: dict = {}
+    for eid, grp in fpdf.groupby(on, sort=False):
+        lookup[eid] = (
+            ts_key(grp[ts]),
+            grp[ts].to_numpy(),
+            {c: grp[c].to_numpy() for c in value_cols},
+        )
+    bc = queries.sparkSession.sparkContext.broadcast(lookup)
+
+    from pyspark.sql import types as T
+
+    out_fields = list(queries.schema.fields)
+    out_fields.append(T.StructField(f"{ts}{suffix}", features.schema[ts].dataType, True))
+    for c in value_cols:
+        out_fields.append(T.StructField(f"{c}{suffix}", features.schema[c].dataType, True))
+    schema = T.StructType(out_fields)
+    tol = None if tolerance_s is None else (
+        float(tolerance_s) if numeric_ts else int(tolerance_s * 1e9)
+    )
+
+    def probe(batches):
+        lk = bc.value
+        for pdf in batches:
+            q_ts = ts_key(pdf[ts])
+            if numeric_ts:
+                matched_ts = np.full(len(pdf), np.nan)
+            else:
+                matched_ts = np.full(len(pdf), np.datetime64("NaT"), "datetime64[ns]")
+            matched_vals = {
+                c: np.full(len(pdf), None, dtype=object) for c in value_cols
+            }
+            ents = pdf[on].to_numpy()
+            for eid in pd.unique(ents):
+                hit = lk.get(eid)
+                if hit is None:
+                    continue
+                rows = np.nonzero(ents == eid)[0]
+                f_key, f_ts, f_vals = hit
+                # rightmost feature with f_ts <= q_ts (searchsorted
+                # 'right' gives the insertion point; -1 = that feature)
+                idx = np.searchsorted(f_key, q_ts[rows], side="right") - 1
+                ok = idx >= 0
+                if tol is not None:
+                    dist = q_ts[rows] - f_key[np.maximum(idx, 0)]
+                    ok &= np.where(idx >= 0, dist, tol + 1) <= tol
+                grows, gidx = rows[ok], idx[ok]
+                matched_ts[grows] = f_ts[gidx]
+                for c in value_cols:
+                    matched_vals[c][grows] = f_vals[c][gidx]
+            out = pdf.copy()
+            out[f"{ts}{suffix}"] = matched_ts
+            for c in value_cols:
+                out[f"{c}{suffix}"] = matched_vals[c]
+            yield out
+
+    return queries.mapInPandas(probe, schema=schema)
+
+
 def asof_join(
     queries: DataFrame,
     features: DataFrame,

@@ -142,6 +142,38 @@ def test_sliding_range_agg_includes_equal_ts_peers(spark):
                                    pytest.approx(7 / 3, abs=1e-4), 8.0]
 
 
+@pytest.mark.parametrize("tol", [None, 30.0])
+def test_broadcast_asof_equals_shuffle_asof(spark, timeline, tol):
+    """asof_join_broadcast (broadcast features + searchsorted probe, no
+    query-side shuffle) must produce exactly the shuffle implementation's
+    result, including tolerance nulling and equal-ts/tiebreak rules."""
+    from pic2vec_spark.ops.asof import asof_join_broadcast
+
+    f, q = _sides(timeline)
+    kw = dict(value_cols=["value"], tiebreak="row_id", tolerance_s=tol)
+    a = (
+        asof_join(spark.createDataFrame(q), spark.createDataFrame(f), **kw)
+        .select("row_id", "ts_asof", "value_asof")
+        .toPandas().set_index("row_id").sort_index()
+    )
+    b = (
+        asof_join_broadcast(spark.createDataFrame(q), spark.createDataFrame(f), **kw)
+        .select("row_id", "ts_asof", "value_asof")
+        .toPandas().set_index("row_id").sort_index()
+    )
+    for col in ("ts_asof", "value_asof"):
+        av = a[col].to_numpy(dtype=float)
+        bv = b[col].to_numpy(dtype=float)
+        nan = np.isnan(av) & np.isnan(bv)
+        assert (nan | np.isclose(av, bv, atol=1e-9)).all(), col
+    # and the probe plan has NO exchange on the query side
+    plan = asof_join_broadcast(
+        spark.createDataFrame(q), spark.createDataFrame(f),
+        value_cols=["value"], tiebreak="row_id",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_tolerance(spark, timeline):
     f, q = _sides(timeline)
     out = asof_join(
