@@ -163,6 +163,48 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null out value except on purchases, backward-fill per user (next
+    non-null — end-of-history imputation; never for point-in-time
+    features, it reads the future)."""
+    from pic2vec_spark.ops.windows import backward_fill
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    out = backward_fill(ev, ["pval"], tiebreak="event_id")
+    return out.select(
+        "event_id",
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        F.col("pval_bfill").alias("value_bfill"),
+    )
+
+
+DECAY_TAU_S = 86400
+
+
+def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponentially time-decayed running sum of value (1-day
+    tau) — the standard recency-weighted feature, computed in one sorted
+    window pass with overflow-proof max-anchored exponents."""
+    from pic2vec_spark.ops.windows import decayed_sum
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("user_id").alias("entity_id"), "ts", "value"
+    )
+    out = decayed_sum(ev, tau_s=DECAY_TAU_S, tiebreak="event_id")
+    return out.select(
+        "event_id",
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        F.col("decayed_sum"),
+    )
+
+
 def q_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour range window per event: count + avg of value over
     [ts - 1h, ts] within the same user (RANGE frame: equal-ts peers
@@ -652,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "forward_fill": q_forward_fill,
+        "backward_fill": q_backward_fill,
+        "decayed_sum": q_decayed_sum,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "tumbling_hourly": q_tumbling_hourly,
@@ -1115,6 +1159,27 @@ def _oracle_sql_base() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
             FROM events
+        """,
+        "backward_fill": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
+            FROM events
+        """,
+        "decayed_sum": f"""
+            WITH x AS (
+              SELECT event_id, user_id, ts, value,
+                (epoch_us(ts) - MAX(epoch_us(ts)) OVER (PARTITION BY user_id))
+                  / {float(DECAY_TAU_S) * 1e6} AS rel
+              FROM events
+            )
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   ROUND(exp(-rel) * SUM(value * exp(rel))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS decayed_sum
+            FROM x
         """,
         "sessionize": f"""
             WITH x AS (

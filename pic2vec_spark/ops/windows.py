@@ -59,6 +59,56 @@ def forward_fill(
     return df
 
 
+def backward_fill(
+    df: DataFrame,
+    cols: list[str],
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Fill nulls with the NEXT non-null value per entity (the mirror of
+    ``forward_fill``: ``F.first ignorenulls`` over current..unbounded
+    following).  Useful for end-of-history imputation; note it reads
+    future rows, so it must never feed point-in-time features."""
+    w = entity_window(on, ts, tiebreak).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    for c in cols:
+        df = df.withColumn(f"{c}_bfill", F.first(c, ignorenulls=True).over(w))
+    return df
+
+
+def decayed_sum(
+    df: DataFrame,
+    tau_s: float,
+    on: str = "entity_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+    out_col: str = "decayed_sum",
+) -> DataFrame:
+    """Exponentially time-decayed running sum per entity:
+    ``S(t) = sum_{t_i <= t} v_i * exp(-(t - t_i) / tau)`` — the standard
+    recency-weighted feature (EWMA-style) for training pipelines.
+
+    Single sorted window pass, no UDF: with T0 = the entity's max ts,
+    ``S(t) = exp(-(t-T0)/tau) * cumsum(v_i * exp((t_i-T0)/tau))``.
+    Anchoring exponents at the per-entity max keeps every ``exp``
+    argument <= 0, so nothing overflows at any history span (very old
+    rows underflow to a zero contribution, which is also their true
+    weight).  Round-6 output for engine-portable comparison."""
+    w = entity_window(on, ts, tiebreak)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy(on)
+    t_us = _us(F.col(ts))
+    t0_us = F.max(t_us).over(whole)
+    rel = (t_us - t0_us).cast("double") / F.lit(tau_s * 1e6)
+    weighted = F.col(value_col) * F.exp(rel)
+    return df.withColumn(
+        out_col, F.round(F.exp(-rel) * F.sum(weighted).over(run), 6)
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap_s: float,
