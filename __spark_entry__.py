@@ -205,6 +205,19 @@ def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event value (population stddev), the
+    standard per-group feature scaling."""
+    from pic2vec_spark.ops.windows import entity_zscore
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("user_id").alias("entity_id"), "value"
+    )
+    return entity_zscore(ev).select(
+        "event_id", F.col("entity_id").alias("user_id"), F.col("value_z")
+    )
+
+
 def q_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour range window per event: count + avg of value over
     [ts - 1h, ts] within the same user (RANGE frame: equal-ts peers
@@ -696,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "backward_fill": q_backward_fill,
         "decayed_sum": q_decayed_sum,
+        "entity_zscore": q_entity_zscore,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "tumbling_hourly": q_tumbling_hourly,
@@ -1159,6 +1173,14 @@ def _oracle_sql_base() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
             FROM events
+        """,
+        "entity_zscore": """
+            SELECT event_id, user_id,
+                   ROUND(CASE WHEN stddev_pop(value) OVER w > 0
+                         THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w
+                         END, 6) AS value_z
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
         """,
         "backward_fill": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -109,6 +109,24 @@ def decayed_sum(
     )
 
 
+def entity_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    on: str = "entity_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-entity z-score normalization (value minus the entity's mean,
+    over its population stddev) — the standard per-group feature
+    scaling.  One whole-partition window (no ordering needed), all
+    JVM-side; entities with zero variance yield null.  Round-6 output
+    for engine-portable comparison."""
+    w = Window.partitionBy(on)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_pop(value_col).over(w)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std)
+    return df.withColumn(out_col or f"{value_col}_z", F.round(z, 6))
+
+
 def sessionize(
     df: DataFrame,
     gap_s: float,
