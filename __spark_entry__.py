@@ -1197,10 +1197,11 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events
             )
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                   ROUND(exp(-rel) * SUM(value * exp(rel))
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-                     AS decayed_sum
+                   CASE WHEN rel >= -600.0 THEN
+                     ROUND(exp(-rel) * SUM(value * exp(rel))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   END AS decayed_sum
             FROM x
         """,
         "sessionize": f"""

@@ -367,21 +367,29 @@ def featurize_preloaded(
         weights = _get_weights(plan, weights_bc)
         for pdf in batches:
             if len(pdf):
-                c = int(pdf["px_c"].iloc[0])
-                hw = (int(pdf["px_h"].iloc[0]), int(pdf["px_w"].iloc[0]))
-                m = str(pdf["px_mode"].iloc[0])
-                if c != 3:
+                # validate EVERY row (a union of differently-decoded
+                # frames can mix rows within one Arrow batch — a
+                # first-row-only check would silently featurize wrong
+                # pixels for the rest)
+                cs = pdf["px_c"].unique()
+                hs = pdf["px_h"].unique()
+                ws = pdf["px_w"].unique()
+                ms = pdf["px_mode"].unique()
+                if len(cs) != 1 or int(cs[0]) != 3:
                     raise ValueError(
-                        f"featurize_preloaded needs 3-channel pixels (got {c}); "
-                        "the CNN input layer is (H, W, 3) — decode with "
-                        "grayscale=False"
+                        f"featurize_preloaded needs 3-channel pixels (got "
+                        f"channels={sorted(int(c) for c in cs)}); the CNN input "
+                        "layer is (H, W, 3) — decode with grayscale=False"
                     )
-                if hw != (ph, pw):
-                    raise ValueError(f"pixel size {hw} != plan target_size {(ph, pw)}")
-                if m != mode:
+                if len(hs) != 1 or len(ws) != 1 or (int(hs[0]), int(ws[0])) != (ph, pw):
                     raise ValueError(
-                        f"pixels were preprocessed with mode {m!r}; the plan "
-                        f"needs {mode!r} — decode with preprocess_mode={mode!r}"
+                        f"pixel sizes {sorted(zip(map(int, hs), map(int, ws)))} "
+                        f"!= plan target_size {(ph, pw)}"
+                    )
+                if len(ms) != 1 or str(ms[0]) != mode:
+                    raise ValueError(
+                        f"pixels were preprocessed with mode(s) {sorted(map(str, ms))}; "
+                        f"the plan needs {mode!r} — decode with preprocess_mode={mode!r}"
                     )
             x = np.stack(
                 [np.asarray(p, dtype=np.float32).reshape(ph, pw, 3) for p in pdf["pixels"]]
@@ -409,8 +417,23 @@ def incremental_featurize(
     CNN time proportional to its NEW distinct content (anti-join against
     the existing snapshot), and the commit writes only new files — the
     table's history stays queryable via earlier snapshot ids.
+
+    The plan's ``fingerprint()`` is recorded in the manifest; appending
+    with a DIFFERENT fingerprint (other model/depth/seed, or an engine
+    upgrade that changed forward semantics) raises instead of silently
+    mixing two feature spaces in one column.
     Returns the new snapshot id."""
     plan = plan or FeaturizerPlan.build()
+    man = table.manifest()
+    if man is not None:
+        existing = (man.get("properties") or {}).get("plan_fingerprint")
+        if existing is not None and existing != plan.fingerprint():
+            raise ValueError(
+                f"feature table at {table.root} holds fingerprint "
+                f"{existing!r}; refusing to append {plan.fingerprint()!r} "
+                "— rebuild the table (or use a new root) after a plan or "
+                "engine-semantics change"
+            )
     spark = images.sparkSession
     sc = spark.sparkContext
     weights_bc = (
@@ -432,7 +455,11 @@ def incremental_featurize(
     feats = distinct.repartition(n_parts).mapInPandas(
         _featurize_udf(plan, weights_bc), schema=_FEATS_SCHEMA
     )
-    return table.append(feats, partition_by=_DIGEST)
+    return table.append(
+        feats,
+        partition_by=_DIGEST,
+        properties={"plan_fingerprint": plan.fingerprint()},
+    )
 
 
 def lookup_features(images: DataFrame, table) -> DataFrame:

@@ -472,16 +472,18 @@ def xception_features(
 # GAP widths match the reference's executed output-size matrix
 # {1:2048, 2:2048, 3:2048, 4:1280}.
 
-_INCEPTION_SPECS: list[tuple[str, int, int, int, int]] = []  # name, kh, kw, cin, cout
+from functools import lru_cache
 
 
-def _ispec(name: str, kh: int, kw: int, cin: int, cout: int) -> None:
-    _INCEPTION_SPECS.append((name, kh, kw, cin, cout))
+@lru_cache(maxsize=1)
+def _inception_specs() -> tuple:
+    """(name, kh, kw, cin, cout) per conv, forward order.  Pure + cached
+    (no mutable module global: concurrent first calls are safe)."""
+    specs: list[tuple[str, int, int, int, int]] = []
 
+    def _ispec(name: str, kh: int, kw: int, cin: int, cout: int) -> None:
+        specs.append((name, kh, kw, cin, cout))
 
-def _build_inception_specs() -> None:
-    if _INCEPTION_SPECS:
-        return
     _ispec("stem1", 3, 3, 3, 32)
     _ispec("stem2", 3, 3, 32, 32)
     _ispec("stem3", 3, 3, 32, 64)
@@ -531,6 +533,7 @@ def _build_inception_specs() -> None:
         _ispec(f"m{m}_dc2", 3, 1, 384, 384)
         _ispec(f"m{m}_pool", 1, 1, cin, 192)
         cin = 320 + 768 + 768 + 192  # 2048
+    return tuple(specs)
 
 
 # which convs each depth needs: d4 stops at mixed8, d2/d3 at mixed9
@@ -545,9 +548,8 @@ def _inception_needed(depth: int, name: str) -> bool:
 def inceptionv3_weights(seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
     """Deterministic He-normal biasless kernels + damped fused-BN
     affines (see xception note on conditioning), depth-pruned."""
-    _build_inception_specs()
     weights: dict[str, np.ndarray] = {}
-    for i, (name, kh, kw, cin, cout) in enumerate(_INCEPTION_SPECS):
+    for i, (name, kh, kw, cin, cout) in enumerate(_inception_specs()):
         if not _inception_needed(depth, name):
             continue
         rng = np.random.default_rng([seed, 900 + i])

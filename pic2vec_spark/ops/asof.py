@@ -95,14 +95,19 @@ def asof_join_broadcast(
         .sort_values(order_cols, kind="mergesort")
     )
     numeric_ts = np.issubdtype(fpdf[ts].dtype, np.number)
-    # per-entity sorted arrays: order key + raw ts + value columns
+    # per-entity sorted arrays: order key + raw ts, plus PER VALUE COLUMN
+    # the (key, value) arrays of that column's NON-NULL rows — matching
+    # asof_join's F.last(col, ignorenulls=True): each value column
+    # independently takes its latest non-null at-or-before the query ts,
+    # while ts_asof tracks the latest feature ROW regardless of nulls.
     lookup: dict = {}
     for eid, grp in fpdf.groupby(on, sort=False):
-        lookup[eid] = (
-            ts_key(grp[ts]),
-            grp[ts].to_numpy(),
-            {c: grp[c].to_numpy() for c in value_cols},
-        )
+        keys = ts_key(grp[ts])
+        per_col = {}
+        for c in value_cols:
+            nn = grp[c].notna().to_numpy()
+            per_col[c] = (keys[nn], grp[c].to_numpy()[nn])
+        lookup[eid] = (keys, grp[ts].to_numpy(), per_col)
     bc = queries.sparkSession.sparkContext.broadcast(lookup)
 
     from pyspark.sql import types as T
@@ -133,8 +138,8 @@ def asof_join_broadcast(
                 if hit is None:
                     continue
                 rows = np.nonzero(ents == eid)[0]
-                f_key, f_ts, f_vals = hit
-                # rightmost feature with f_ts <= q_ts (searchsorted
+                f_key, f_ts, per_col = hit
+                # rightmost feature ROW with f_ts <= q_ts (searchsorted
                 # 'right' gives the insertion point; -1 = that feature)
                 idx = np.searchsorted(f_key, q_ts[rows], side="right") - 1
                 ok = idx >= 0
@@ -144,7 +149,13 @@ def asof_join_broadcast(
                 grows, gidx = rows[ok], idx[ok]
                 matched_ts[grows] = f_ts[gidx]
                 for c in value_cols:
-                    matched_vals[c][grows] = f_vals[c][gidx]
+                    # per-column last NON-NULL at-or-before the query ts;
+                    # tolerance gates on the matched ROW's ts (the `ok`
+                    # mask), exactly like asof_join's post-filter
+                    ck, cv = per_col[c]
+                    cidx = np.searchsorted(ck, q_ts[rows], side="right") - 1
+                    cok = ok & (cidx >= 0)
+                    matched_vals[c][rows[cok]] = cv[cidx[cok]]
             out = pdf.copy()
             out[f"{ts}{suffix}"] = matched_ts
             for c in value_cols:

@@ -232,17 +232,18 @@ def hamming_neardup_pairs(
     buckets, then exact popcount filters."""
     chunks = max_distance + 1
     width = bits // chunks
-    sim = sim.withColumnRenamed(sig_col, "simhash") if sig_col != "simhash" else sim
     rows = []
     for c in range(chunks):
         # the last chunk absorbs the remainder bits so all `bits` are covered
         w = width if c < chunks - 1 else bits - width * (chunks - 1)
-        chunk = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+        chunk = F.shiftright(F.col(sig_col), c * width).bitwiseAND(
             F.lit((1 << w) - 1)
         )
         rows.append(
-            sim.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
-                       chunk.alias("chunk_val"))
+            # alias (not rename) the signature: no collision when the
+            # input already carries a column named 'simhash'
+            sim.select(F.col(id_col), F.col(sig_col).alias("simhash"),
+                       F.lit(c).alias("chunk"), chunk.alias("chunk_val"))
         )
     buckets = rows[0]
     for r in rows[1:]:

@@ -78,6 +78,12 @@ def backward_fill(
     return df
 
 
+# fast-path domain for decayed_sum: rows further than this many tau
+# below the entity's max ts would hit exp overflow/underflow in the
+# factored prefix form (double overflows near exp(709))
+DECAY_SAFE_TAU = 600.0
+
+
 def decayed_sum(
     df: DataFrame,
     tau_s: float,
@@ -93,10 +99,14 @@ def decayed_sum(
 
     Single sorted window pass, no UDF: with T0 = the entity's max ts,
     ``S(t) = exp(-(t-T0)/tau) * cumsum(v_i * exp((t_i-T0)/tau))``.
-    Anchoring exponents at the per-entity max keeps every ``exp``
-    argument <= 0, so nothing overflows at any history span (very old
-    rows underflow to a zero contribution, which is also their true
-    weight).  Round-6 output for engine-portable comparison."""
+    Anchoring exponents at the per-entity max keeps every stored weight
+    finite, so the RECENT rows (within ``DECAY_SAFE_TAU`` tau of the
+    entity's max ts) are exact at any history span.  Rows older than
+    that would hit double overflow in the factored form (exp(-rel)
+    -> inf while the prefix underflows -> NaN), so they are explicitly
+    NULLed — use ``decayed_sum_grouped`` when you need exact values
+    over unbounded spans.  Round-6 output for engine-portable
+    comparison."""
     w = entity_window(on, ts, tiebreak)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     whole = Window.partitionBy(on)
@@ -104,9 +114,64 @@ def decayed_sum(
     t0_us = F.max(t_us).over(whole)
     rel = (t_us - t0_us).cast("double") / F.lit(tau_s * 1e6)
     weighted = F.col(value_col) * F.exp(rel)
+    safe = rel >= -DECAY_SAFE_TAU
     return df.withColumn(
-        out_col, F.round(F.exp(-rel) * F.sum(weighted).over(run), 6)
+        out_col,
+        F.when(safe, F.round(F.exp(-rel) * F.sum(weighted).over(run), 6)),
     )
+
+
+def decayed_sum_grouped(
+    df: DataFrame,
+    tau_s: float,
+    on: str = "entity_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    out_col: str = "decayed_sum",
+) -> DataFrame:
+    """Exact decayed running sum at ANY history span — the fallback for
+    histories wider than ``DECAY_SAFE_TAU`` tau.
+
+    ``applyInPandas`` per entity with SEGMENTED anchoring: the history
+    splits into fixed 300-tau time buckets; within a bucket the prefix
+    uses bucket-max-anchored exponents (bounded arguments), and the
+    carry across buckets decays by ``exp(-(t - prev_end)/tau)`` whose
+    argument is always <= 0.  Vectorized per segment — the only Python
+    loop is over segments, not rows."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    seg_span = 300.0 * tau_s
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        if np.issubdtype(pdf[ts].dtype, np.number):
+            t = pdf[ts].to_numpy(np.float64)
+        else:
+            t = pd.to_datetime(pdf[ts]).astype("int64").to_numpy() / 1e9
+        v = pdf[value_col].to_numpy(np.float64)
+        s = np.empty(len(pdf))
+        seg = np.floor((t - t[0]) / seg_span).astype(np.int64)
+        carry, carry_t = 0.0, t[0]
+        for sid in pd.unique(seg):
+            m = seg == sid
+            ts_s, vs = t[m], v[m]
+            a = ts_s[-1]  # sorted: segment max
+            local = np.exp(-(ts_s - a) / tau_s) * np.cumsum(
+                vs * np.exp((ts_s - a) / tau_s)
+            )
+            s[m] = local + carry * np.exp(-(ts_s - carry_t) / tau_s)
+            carry, carry_t = s[m][-1], ts_s[-1]
+        out = pdf.copy()
+        out[out_col] = np.round(s, 6)
+        return out
+
+    return df.groupBy(on).applyInPandas(fn, schema=schema)
 
 
 def entity_zscore(

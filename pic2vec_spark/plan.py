@@ -190,3 +190,20 @@ class FeaturizerPlan:
         if self.downsample:
             return splice_average_downsample(features, self.num_pooled_features)
         return features
+
+    def fingerprint(self) -> str:
+        """Identity of the feature SPACE this plan produces.  Persisted
+        feature snapshots record it (manifest properties) so incremental
+        appends refuse to mix incompatible spaces.  FEATURE_SEMVER bumps
+        whenever forward-pass semantics change for the same parameters
+        (e.g. the vgg16 depth-4 decapitation fix)."""
+        return (
+            f"{self.model}/d{self.depth}/seed{self.weight_seed}"
+            f"/n{self.num_features}/v{FEATURE_SEMVER}"
+        )
+
+
+# bump when a model's forward math changes for identical plan params —
+# makes old persisted feature snapshots visibly incompatible instead of
+# silently mixing feature spaces across an engine upgrade
+FEATURE_SEMVER = 2

@@ -15,7 +15,7 @@ Layout of a table directory::
 
 Manifest schema::
 
-    {"snapshot_id", "parent", "created_utc", "schema", "partitions": [
+    {"snapshot_id", "parent", "created_utc", "schema", "properties", "partitions": [
         {"pid", "file", "rows", "digest", "bytes", "write_sec"}]}
 
 Commit protocol (task-then-driver, idempotent):
@@ -141,9 +141,13 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         parent: str | None = None,
         fail_after_partitions: int | None = None,
+        properties: dict | None = None,
     ) -> str:
         """Commit ``df`` as a new snapshot; returns the snapshot id.
 
+        ``properties`` are free-form table metadata recorded in the
+        manifest (e.g. the featurizer-plan fingerprint — readers can
+        refuse to mix incompatible feature spaces).
         ``fail_after_partitions`` deliberately crashes the driver commit
         after N task files are written — test hook for kill/resume.
         """
@@ -151,7 +155,7 @@ class SnapshotTable:
         return self._write_partitions(
             df, sid, partition_by, num_partitions, stats_cols, parent,
             skip_pids=None, fail_after_partitions=fail_after_partitions,
-            carry_partitions=[],
+            carry_partitions=[], properties=properties,
         )
 
     def append(
@@ -160,21 +164,26 @@ class SnapshotTable:
         partition_by: str | None = None,
         num_partitions: int | None = None,
         stats_cols: list[str] | None = None,
+        properties: dict | None = None,
     ) -> str:
         """Iceberg-style APPEND snapshot: new data files are written for
         ``df`` only; the manifest carries the parent's partitions forward
         untouched (their files are never rewritten).  This is the
         incremental-ingest path: commit cost is proportional to the NEW
-        data, not the table."""
+        data, not the table.  ``properties`` default to the parent's
+        (carried forward across appends)."""
         parent_man = self.manifest()
         carry = list(parent_man["partitions"]) if parent_man else []
         pid_offset = (max((p["pid"] for p in carry), default=-1)) + 1
         sid = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        if properties is None and parent_man is not None:
+            properties = parent_man.get("properties")
         return self._write_partitions(
             df, sid, partition_by, num_partitions, stats_cols,
             parent=parent_man["snapshot_id"] if parent_man else None,
             skip_pids=None, fail_after_partitions=None,
             carry_partitions=carry, pid_offset=pid_offset,
+            properties=properties,
         )
 
     def resume(
@@ -184,6 +193,7 @@ class SnapshotTable:
         partition_by: str | None = None,
         num_partitions: int | None = None,
         stats_cols: list[str] | None = None,
+        properties: dict | None = None,
     ) -> str:
         """Finish an interrupted ``write`` of the same ``df``: partitions
         whose data files + lineage sidecars already exist are anti-joined
@@ -193,6 +203,7 @@ class SnapshotTable:
             df, snapshot_id, partition_by, num_partitions, stats_cols,
             parent=None, skip_pids={p["pid"] for p in done},
             fail_after_partitions=None, carry_partitions=[],
+            properties=properties,
         )
 
     def _orphan_lineage(self, sid: str) -> list[dict]:
@@ -210,6 +221,7 @@ class SnapshotTable:
     def _write_partitions(
         self, df, sid, partition_by, num_partitions, stats_cols, parent,
         skip_pids, fail_after_partitions, carry_partitions, pid_offset: int = 0,
+        properties: dict | None = None,
     ) -> str:
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.snap_dir.mkdir(parents=True, exist_ok=True)
@@ -309,6 +321,7 @@ class SnapshotTable:
             "parent": parent if parent is not None else self.current_snapshot_id(),
             "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "schema": schema_json,
+            "properties": properties or {},
             "partitions": sorted(lineage, key=lambda r: r["pid"]),
         }
         tmp = self.snap_dir / f"{sid}.json.tmp"

@@ -240,3 +240,70 @@ def test_salted_repartition_preserves_rows(spark, timeline):
     hot = hot_keys(df, "entity_id", min_count=50).toPandas()
     counts = df.groupBy("entity_id").count().toPandas()
     assert set(hot.entity_id) == set(counts[counts["count"] >= 50].entity_id)
+
+
+def test_broadcast_asof_null_value_semantics(spark):
+    """A null value on the matched feature ROW must not mask an older
+    non-null value: both implementations take the latest NON-NULL per
+    value column (F.last ignorenulls semantics), while ts_asof tracks
+    the latest feature row regardless."""
+    from pic2vec_spark.ops.asof import asof_join_broadcast
+
+    f = pd.DataFrame(
+        {"entity_id": [1, 1], "ts": [1.0, 2.0], "row_id": [1, 2],
+         "value": [5.0, None]}
+    )
+    q = pd.DataFrame({"entity_id": [1], "ts": [3.0], "row_id": [7]})
+    kw = dict(value_cols=["value"], tiebreak="row_id")
+    a = asof_join(spark.createDataFrame(q), spark.createDataFrame(f), **kw).toPandas()
+    b = asof_join_broadcast(
+        spark.createDataFrame(q), spark.createDataFrame(f), **kw
+    ).toPandas()
+    assert a.loc[0, "value_asof"] == 5.0 and b.loc[0, "value_asof"] == 5.0
+    assert a.loc[0, "ts_asof"] == 2.0 and b.loc[0, "ts_asof"] == 2.0
+
+
+def test_decayed_sum_matches_bruteforce_and_huge_span(spark):
+    """Fast path: exact vs O(n^2) brute force within the safe span, NULL
+    (not NaN/inf) beyond it.  Grouped segmented path: exact at ANY span,
+    including one that would overflow the factored single-pass form."""
+    from pic2vec_spark.ops.windows import decayed_sum, decayed_sum_grouped
+
+    tau = 10.0
+    rng = np.random.default_rng(5)
+    # entity 1: normal span; entity 2: 2000*tau span (overflow territory)
+    t1 = np.sort(rng.uniform(0, 50 * tau, 40))
+    t2 = np.sort(np.concatenate([[0.0, tau], rng.uniform(1900 * tau, 2000 * tau, 20)]))
+    pdf = pd.DataFrame(
+        {
+            "entity_id": [1] * len(t1) + [2] * len(t2),
+            "ts": np.concatenate([t1, t2]),
+            "value": rng.normal(1.0, 0.3, len(t1) + len(t2)),
+        }
+    )
+
+    def brute(t, v):
+        return np.array(
+            [sum(v[j] * np.exp(-(t[i] - t[j]) / tau) for j in range(i + 1)) for i in range(len(t))]
+        )
+
+    fast = (
+        decayed_sum(spark.createDataFrame(pdf), tau_s=tau)
+        .toPandas().sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    )
+    grouped = (
+        decayed_sum_grouped(spark.createDataFrame(pdf), tau_s=tau)
+        .toPandas().sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    )
+    for eid in (1, 2):
+        sub = pdf[pdf.entity_id == eid].sort_values("ts")
+        expect = brute(sub.ts.to_numpy(), sub.value.to_numpy())
+        g = grouped[grouped.entity_id == eid]["decayed_sum"].to_numpy(float)
+        assert np.allclose(g, expect, atol=1e-5), eid  # grouped: exact anywhere
+        f = fast[fast.entity_id == eid]["decayed_sum"].to_numpy(float)
+        if eid == 1:
+            assert np.allclose(f, expect, atol=1e-5)
+        else:
+            # the two ancient rows are beyond the safe span: NULL, never NaN/inf
+            assert np.isnan(f[:2]).all() and np.isfinite(f[2:]).all()
+            assert np.allclose(f[2:], expect[2:], atol=1e-5)

@@ -73,3 +73,23 @@ def test_featurize_metrics_accumulate(spark, plan):
     s = m.summary()
     assert s["images"] > 0 and s["cnn_sec"] > 0 and s["batches"] >= 1
     assert "cnn_images_per_worker_sec" in s
+
+
+def test_incremental_refuses_mixed_feature_spaces(spark, plan, tmp_path):
+    """The manifest records the plan fingerprint; appending with a
+    different plan (or after a FEATURE_SEMVER bump) raises instead of
+    silently mixing two feature spaces in one column."""
+    from pic2vec_spark.synth import synth_images_df
+
+    t = SnapshotTable(str(tmp_path / "feats"), spark)
+    imgs = synth_images_df(spark, 16, seed=42)
+    incremental_featurize(imgs, t, plan)
+    assert t.manifest()["properties"]["plan_fingerprint"] == plan.fingerprint()
+
+    other = FeaturizerPlan.build("squeezenet", depth=2, autosample=True)
+    with pytest.raises(ValueError, match="fingerprint"):
+        incremental_featurize(synth_images_df(spark, 8, seed=1), t, other)
+
+    # same plan appends fine, fingerprint carried forward
+    incremental_featurize(synth_images_df(spark, 24, seed=42), t, plan)
+    assert t.manifest()["properties"]["plan_fingerprint"] == plan.fingerprint()

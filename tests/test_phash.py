@@ -101,3 +101,23 @@ def test_pigeonhole_complete_vs_all_pairs(spark):
             if d <= 4:
                 expect.add((i, j, d))
     assert got_pairs == expect and len(expect) >= 6
+
+
+def test_hamming_sig_col_no_collision_with_existing_simhash(spark):
+    """A non-default sig_col must work even when the input already has a
+    'simhash' column (alias, not rename)."""
+    import pandas as pd
+
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "simhash": pd.array([999, 998, 997], dtype="int64"),
+         "phash64": pd.array([0b1010, 0b1011, 0b110000], dtype="int64")}
+    )
+    out = hamming_neardup_pairs(
+        spark.createDataFrame(pdf), "doc_id",
+        max_distance=2, sig_col="phash64", bits=64,
+    ).toPandas()
+    got = {(r.id1, r.id2, r.hamming) for _, r in out.iterrows()}
+    assert got == {(1, 2, 1)}  # 0b1010 vs 0b1011; others are 4+ bits apart
