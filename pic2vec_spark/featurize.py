@@ -8,7 +8,7 @@ Reference lifecycle being re-expressed (not ported):
 Spark plan:
 
     scan (image_id, bytes, fmt, ...)
-      -> __digest = xxhash64(bytes)            [computed at scan, pre-shuffle]
+      -> __digest = md5(bytes, fmt)            [computed at scan, pre-shuffle]
       -> dedup: groupBy(__digest).first(bytes, fmt)
          (replaces the reference's in-batch memo dedup,
           feature_preprocessing.py:448-455 — here it is global: each
@@ -135,7 +135,7 @@ def _get_weights(plan: FeaturizerPlan, weights_bc) -> dict[str, np.ndarray]:
 
 # ------------------------------------------------------------------ pipeline
 
-_FEATS_SCHEMA = f"{_DIGEST} long, missing boolean, features array<float>"
+_FEATS_SCHEMA = f"{_DIGEST} string, missing boolean, features array<float>"
 
 
 def _featurize_udf(plan: FeaturizerPlan, weights_bc, metrics=None):
@@ -173,8 +173,19 @@ def _featurize_udf(plan: FeaturizerPlan, weights_bc, metrics=None):
 
 
 def content_digest():
-    """The content key all dedup/featurize stages share."""
-    return F.xxhash64(F.coalesce(F.col("bytes"), F.lit(b"")), F.col("fmt"))
+    """The content key all dedup/featurize stages share: md5 over
+    (bytes, fmt) — 128 bits.  64-bit keys are not enough at the 10^12-row
+    design point (birthday collisions there are ~n^2/2^65 ≈ tens of
+    thousands of silently-merged images); at 128 bits the expected
+    collision count is ~1e-15.  Hashing cost is negligible next to the
+    CNN; the 32-char hex key adds ~24 bytes/row to the dedup shuffle,
+    which moves digests only (bytes are pruned before the exchange)."""
+    return F.md5(
+        F.concat(
+            F.coalesce(F.col("bytes"), F.lit(b"")),
+            F.encode(F.coalesce(F.col("fmt"), F.lit("")), "utf-8"),
+        )
+    )
 
 
 def featurize_images(
@@ -488,7 +499,11 @@ def featurize_multi_column(
     f(0) vector (the reference's zero-tensor semantics for blanks,
     feature_preprocessing.py:212-215,443-446)."""
     plan = plan or FeaturizerPlan.build()
-    feats = featurize_images(images, plan).select(key, "missing", "features")
+    # persist: each per-column join below references this subtree — an
+    # uncached plan would re-run the CNN once PER image column
+    feats = (
+        featurize_images(images, plan).select(key, "missing", "features").persist()
+    )
     zero_vec = _zero_features(plan, model_weights(plan.model, plan.weight_seed, plan.depth))
     zero_lit = F.array(*[F.lit(float(v)) for v in zero_vec]).cast("array<float>")
     out = df
@@ -515,9 +530,15 @@ def widen_features(
     Keeps features as an array internally until this terminal projection.
     """
     if num_features is None:
-        num_features = len(
-            df.select("features").filter(F.col("features").isNotNull()).first()[0]
-        )
+        # inferring the width runs an extra job over the upstream plan —
+        # prefer passing plan.num_features when you have the plan
+        row = df.select("features").filter(F.col("features").isNotNull()).first()
+        if row is None:
+            raise ValueError(
+                "cannot infer num_features: the features column is empty "
+                "or all-null — pass num_features (= plan.num_features)"
+            )
+        num_features = len(row[0])
     passthrough = [c for c in df.columns if c not in ("missing", "features")]
     return df.select(
         *passthrough,

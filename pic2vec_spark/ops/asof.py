@@ -126,7 +126,10 @@ def asof_join_broadcast(
         for pdf in batches:
             q_ts = ts_key(pdf[ts])
             if numeric_ts:
-                matched_ts = np.full(len(pdf), np.nan)
+                # object array of None (not float NaN): Arrow turns None
+                # into a true SQL NULL, matching asof_join's unmatched
+                # rows — and never garbage-casts into integer ts types
+                matched_ts = np.full(len(pdf), None, dtype=object)
             else:
                 matched_ts = np.full(len(pdf), np.datetime64("NaT"), "datetime64[ns]")
             matched_vals = {

@@ -102,7 +102,10 @@ def jaccard_pairs(
     The self-join shuffles on the shingle hash; hot shingles are the
     skew risk — at scale, drop top-frequency shingles first (stopword
     shingles carry no dedup signal)."""
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    # no .cache(): a session-lifetime cache here leaks storage memory on
+    # every call; shingle generation is cheap JVM work and Spark reuses
+    # the shuffle outputs of the shared subtree anyway
+    sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id1"), "sh")
     b = sh.select(F.col(id_col).alias("id2"), "sh")

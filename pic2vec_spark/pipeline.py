@@ -45,10 +45,24 @@ def point_in_time_features(
     feats = featurize_images(images, plan, metrics=metrics).select(
         "image_id", "caption", "missing", "features"
     )
+    # LEFT join: a timeline observation referencing an image_id absent
+    # from the images table is still an observation — it gets the
+    # engine's unmatched-ref semantics (missing=True + the f(0) zero
+    # vector, same as featurize_multi_column), instead of being dropped
+    # (which would silently substitute an older image at as-of time).
+    from pic2vec_spark.featurize import _zero_features
+    from pic2vec_spark.model import model_weights
+
+    zero_vec = _zero_features(
+        plan, model_weights(plan.model, plan.weight_seed, plan.depth)
+    )
+    zero_lit = F.array(*[F.lit(float(v)) for v in zero_vec]).cast("array<float>")
     observations = (
         timeline.filter((F.col("kind") == "feature") & F.col("image_id").isNotNull())
         .select("entity_id", "ts", "row_id", "image_id")
-        .join(feats, "image_id", "inner")
+        .join(feats, "image_id", "left")
+        .withColumn("missing", F.coalesce(F.col("missing"), F.lit(True)))
+        .withColumn("features", F.coalesce(F.col("features"), zero_lit))
     )
     queries = timeline.filter(F.col("kind") == "query").select(
         "entity_id", "ts", "row_id"

@@ -33,6 +33,7 @@ def get_spark(
     ``parallelism`` controls ``local[N]`` and the shuffle-partition
     count; default is ``$SPARK_GRAFT_CPUS`` or all cores.
     """
+    explicit_parallelism = parallelism is not None
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     # One BLAS thread per Python worker: with N workers in flight, letting
@@ -41,9 +42,27 @@ def get_spark(
     # by local-mode python workers) and executorEnv (cluster mode).
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    builder = SparkSession.builder.appName(app_name)
+    # Respect an externally-provided master (spark-submit --master /
+    # $SPARK_MASTER): hard-coding .master() here would override the
+    # submit-time cluster master and silently run local on the driver
+    # box.  Default to local[N] when nothing was provided.  An EXPLICIT
+    # ``parallelism`` argument still forces local[N] — that is the
+    # benchmark/test contract (and a stopped session can leave a stale
+    # spark.master in the JVM system properties, which must not leak
+    # into the next local session's core count).
+    try:
+        from pyspark import SparkConf
+
+        external_master = SparkConf().contains("spark.master")
+    except Exception:
+        external_master = False
+    if os.environ.get("SPARK_MASTER"):
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    elif explicit_parallelism or not external_master:
+        builder = builder.master(f"local[{parallelism}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{parallelism}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
         .config("spark.default.parallelism", str(parallelism))
         .config("spark.sql.session.timeZone", "UTC")

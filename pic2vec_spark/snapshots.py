@@ -53,6 +53,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _stat_norm(v):
+    """Normalize a partition-stat bound to a JSON-stable comparable:
+    datetimes -> epoch microseconds (int), numpy scalars -> python
+    scalars.  Applied on BOTH the write side and scan(min_stats=...)
+    bounds, so pruning compares typed values, never reprs."""
+    if v is None:
+        return None
+    import datetime as _dt
+
+    import numpy as _np
+
+    if isinstance(v, (pd.Timestamp, _np.datetime64, _dt.datetime)):
+        return int(pd.Timestamp(v).value // 1000)
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
 def _digest_frame(pdf: pd.DataFrame) -> int:
     """Order-insensitive 64-bit content digest of a pandas partition."""
     if not len(pdf):
@@ -111,8 +129,9 @@ class SnapshotTable:
         if min_stats:
             def keep(p: dict) -> bool:
                 for col, (lo, hi) in min_stats.items():
+                    lo, hi = _stat_norm(lo), _stat_norm(hi)
                     st = p.get("stats", {}).get(col)
-                    if st is not None and (st[1] < lo or st[0] > hi):
+                    if st is not None and None not in st and (st[1] < lo or st[0] > hi):
                         return False
                 return True
             parts = [p for p in parts if keep(p)]
@@ -197,7 +216,25 @@ class SnapshotTable:
     ) -> str:
         """Finish an interrupted ``write`` of the same ``df``: partitions
         whose data files + lineage sidecars already exist are anti-joined
-        out (not recomputed); only the missing ones run."""
+        out (not recomputed); only the missing ones run.
+
+        Requires DATA-DERIVED pids: the original write (and this call)
+        must use the same ``partition_by``.  Scheduling-derived pids
+        (``partition_by=None``) can map rows to different pids across
+        runs, silently losing or duplicating rows — refused here."""
+        mode_file = self.snap_dir / f"{snapshot_id}.partials" / "_mode.json"
+        orig_mode = (
+            json.loads(mode_file.read_text()).get("partition_by")
+            if mode_file.exists()
+            else None
+        )
+        if partition_by is None or (orig_mode is not None and orig_mode != partition_by):
+            raise ValueError(
+                "resume requires the data-derived pid mode of the original "
+                f"write: original partition_by={orig_mode!r}, resume called "
+                f"with {partition_by!r} — pids from repartition()+"
+                "spark_partition_id() are not stable across runs"
+            )
         done = self._orphan_lineage(snapshot_id)
         return self._write_partitions(
             df, snapshot_id, partition_by, num_partitions, stats_cols,
@@ -213,6 +250,8 @@ class SnapshotTable:
             return []
         rows = []
         for f in sorted(side.glob("*.json")):
+            if f.name.startswith("_"):  # metadata markers (e.g. _mode.json)
+                continue
             rec = json.loads(f.read_text())
             if (self.data_dir / rec["file"]).exists():
                 rows.append(rec)
@@ -227,6 +266,11 @@ class SnapshotTable:
         self.snap_dir.mkdir(parents=True, exist_ok=True)
         partials = self.snap_dir / f"{sid}.partials"
         partials.mkdir(exist_ok=True)
+        # record the pid-derivation mode so resume() can verify it is
+        # data-derived (scheduling-derived pids are not replay-stable)
+        mode_file = partials / "_mode.json"
+        if not mode_file.exists():
+            mode_file.write_text(json.dumps({"partition_by": partition_by}))
 
         n = num_partitions or self.spark.sparkContext.defaultParallelism
         if partition_by:
@@ -274,10 +318,8 @@ class SnapshotTable:
                 "write_sec": round(time.time() - t0, 4),
                 "stats": {
                     c: [
-                        None if out[c].isna().all() else out[c].min().item()
-                        if hasattr(out[c].min(), "item") else out[c].min(),
-                        None if out[c].isna().all() else out[c].max().item()
-                        if hasattr(out[c].max(), "item") else out[c].max(),
+                        None if out[c].isna().all() else _stat_norm(out[c].min()),
+                        None if out[c].isna().all() else _stat_norm(out[c].max()),
                     ]
                     for c in stats_cols
                 },

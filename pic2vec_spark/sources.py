@@ -98,13 +98,20 @@ def combined_csv_directory(
     dir_df = scan_image_directory(spark, directory).withColumnRenamed(
         "image_id", image_column
     )
-    out = csv_df.join(F.broadcast(dir_df), image_column, "left")
-    if out.filter(F.col("bytes").isNotNull()).limit(1).count() == 0:
+    # never force-broadcast the directory side: it carries raw image
+    # BYTES (a broadcast would ship every image to the driver and all
+    # executors); let AQE pick the join strategy from actual sizes.
+    # The zero-overlap guard probes a bytes-free projection instead of
+    # forcing a second evaluation of the full join.
+    overlap = csv_df.select(image_column).join(
+        dir_df.select(image_column), image_column, "inner"
+    )
+    if overlap.limit(1).count() == 0:
         raise ValueError(
             "Something is wrong: no images in the directory match "
             "the CSV's image column (zero overlap)."
         )
-    return out
+    return csv_df.join(dir_df, image_column, "left")
 
 
 def image_source(
