@@ -232,6 +232,41 @@ def q_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: distinct event types, totals, first /
+    last seen — the distinct-aggregation class (map-side partials for
+    the plain aggs, expand+agg for the distinct)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
+    )
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal and grand-total
+    rows alongside the leaf groups (the grouping-sets operator class;
+    null-marker columns via grouping())."""
+    _ensure_utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: pushed-down date
     filter, map-side partial aggregation, decimal-exact money sums (per
@@ -648,6 +683,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=NEARDUP_COS)
 
 
+def q_multi_column_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's multi-image-column flow (O2/O5) + CSV-compat
+    widening (S8/P6) through the driver: a table with two image-ref
+    columns (one with blanks) gains {col}_missing + {col}_feat_i in the
+    reference's naming/order.  Rows-only (CNN output); the widening
+    order/naming is pinned byte-exactly against the reference's golden
+    CSV by tests/test_reference_fixtures.py."""
+    from pic2vec_spark.featurize import featurize_multi_column
+    from pic2vec_spark.plan import FeaturizerPlan
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, 32, seed=42)
+    ids = [r.image_id for r in images.select("image_id").orderBy("image_id").collect()]
+    rows = [
+        (i, ids[i % len(ids)], ids[(i * 7) % len(ids)] if i % 5 else None)
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "row_id int, img_a string, img_b string")
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+    wide = featurize_multi_column(df, images, ["img_a", "img_b"], plan)
+    # widen to the reference's column naming for the first 4 features
+    return wide.select(
+        "row_id",
+        F.col("img_a_missing"),
+        *[F.col("img_a_features")[i].alias(f"img_a_feat_{i}") for i in range(4)],
+        F.col("img_b_missing"),
+        *[F.col("img_b_features")[i].alias(f"img_b_feat_{i}") for i in range(4)],
+    )
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-derived DCT perceptual hash per image (rows-only: DCT is
     not SQL-expressible; the math is pinned by tests/test_phash.py)."""
@@ -704,8 +769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "lag_lead": q_lag_lead,
         "sliding_1h": q_sliding_1h,
+        "user_activity": q_user_activity,
+        "pricing_rollup": q_pricing_rollup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "multi_column_widened": q_multi_column_widened,
         "forward_fill": q_forward_fill,
         "backward_fill": q_backward_fill,
         "decayed_sum": q_decayed_sum,
@@ -1127,6 +1195,23 @@ def _oracle_sql_base() -> dict[str, str]:
               PARTITION BY user_id ORDER BY epoch_us(ts)
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
             )
+        """,
+        "user_activity": """
+            SELECT user_id,
+                   COUNT(DISTINCT event_type) AS n_event_types,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   epoch_us(MIN(ts)) AS first_us,
+                   epoch_us(MAX(ts)) AS last_us
+            FROM events GROUP BY user_id
+        """,
+        "pricing_rollup": """
+            SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+                   COALESCE(l_linestatus, '<all>') AS linestatus,
+                   COUNT(*) AS n_rows,
+                   SUM(l_quantity::DECIMAL(18,2)) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
