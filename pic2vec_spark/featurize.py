@@ -180,12 +180,17 @@ def content_digest():
     collision count is ~1e-15.  Hashing cost is negligible next to the
     CNN; the 32-char hex key adds ~24 bytes/row to the dedup shuffle,
     which moves digests only (bytes are pruned before the exchange)."""
-    return F.md5(
-        F.concat(
-            F.coalesce(F.col("bytes"), F.lit(b"")),
-            F.encode(F.coalesce(F.col("fmt"), F.lit("")), "utf-8"),
-        )
+    # length-prefixed header makes the (bytes, fmt) encoding injective:
+    # without it, (X, 'png') and (X + b'png', '') would hash identically
+    header = F.encode(
+        F.concat_ws(
+            "|",
+            F.length(F.coalesce(F.col("bytes"), F.lit(b""))).cast("string"),
+            F.coalesce(F.col("fmt"), F.lit("")),
+        ),
+        "utf-8",
     )
+    return F.md5(F.concat(header, F.coalesce(F.col("bytes"), F.lit(b""))))
 
 
 def featurize_images(
@@ -499,10 +504,16 @@ def featurize_multi_column(
     f(0) vector (the reference's zero-tensor semantics for blanks,
     feature_preprocessing.py:212-215,443-446)."""
     plan = plan or FeaturizerPlan.build()
-    # persist: each per-column join below references this subtree — an
-    # uncached plan would re-run the CNN once PER image column
+    # localCheckpoint(eager): each per-column join below references this
+    # subtree — an unmaterialized plan would re-run the CNN once PER
+    # image column.  Unlike persist() (whose CacheManager entry lives
+    # until an explicit unpersist), checkpoint blocks are RDD-level and
+    # the ContextCleaner reclaims them when the result is GC'd — no
+    # session-lifetime storage leak across repeated calls.
     feats = (
-        featurize_images(images, plan).select(key, "missing", "features").persist()
+        featurize_images(images, plan)
+        .select(key, "missing", "features")
+        .localCheckpoint(eager=True)
     )
     zero_vec = _zero_features(plan, model_weights(plan.model, plan.weight_seed, plan.depth))
     zero_lit = F.array(*[F.lit(float(v)) for v in zero_vec]).cast("array<float>")

@@ -171,10 +171,18 @@ class _BitWriter:
             self.nbits -= 8
             self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec padding)."""
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def raw_marker(self, second_byte: int) -> None:
+        """Append an unstuffed marker (e.g. a restart FFD0-FFD7)."""
+        self.out += bytes([0xFF, second_byte])
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -187,7 +195,12 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, amp
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, quality: int = 95, restart_interval: int = 0
+) -> bytes:
+    """Baseline 4:4:4 JPEG.  ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (with DC-predictor reset) every that
+    many MCUs — what hardware encoders produce for error resilience."""
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)
     h, w = img.shape[:2]
@@ -210,7 +223,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
     bw_ = _BitWriter()
     nblocks = comp_zz[0].shape[0]
     prev_dc = [0, 0, 0]
+    rst = 0
     for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw_.byte_align()
+            bw_.raw_marker(0xD0 + (rst % 8))
+            rst += 1
+            prev_dc = [0, 0, 0]
         for ci in range(3):
             tsel = 0 if ci == 0 else 1
             zz = comp_zz[ci][bi]
@@ -261,6 +280,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
             0xFFC4,
             bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = struct.pack(">B", 3)
     for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += struct.pack(">BB", cid, tsel)
@@ -314,6 +335,17 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker: drop partial padding bits to the byte
+        boundary, then expect FF D0-D7 (the marker bytes may already sit
+        in the accumulator)."""
+        self.skip(self.nbits % 8)
+        b1, b2 = self.read_bits(8), self.read_bits(8)
+        if b1 != 0xFF or not (0xD0 <= b2 <= 0xD7):
+            raise ValueError(
+                f"expected restart marker, got {b1:#04x}{b2:02x}"
+            )
 
 
 _LUT_CACHE: dict[tuple, list] = {}
@@ -370,6 +402,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
     scan_comps: list[tuple[int, int, int]] = []
     scan_data = b""
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -401,6 +434,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, samp, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline JPEG supported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -429,6 +464,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     out_coefs = [np.zeros((nblocks, 64), dtype=np.float64) for _ in comps]
     prev_dc = [0] * len(comps)
     for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            br.restart()
+            prev_dc = [0] * len(comps)
         for ci, (cid, dc_t, ac_t) in enumerate(scan_comps):
             dct = htables[(0, dc_t)]
             act = htables[(1, ac_t)]

@@ -267,26 +267,31 @@ def asof_join(
         qus = F.unix_micros(F.col(ts).cast("timestamp"))
         b_dist = qus - F.unix_micros(F.col("__b_ts").cast("timestamp"))
         f_dist = F.unix_micros(F.col("__f_ts").cast("timestamp")) - qus
-        pick_b = F.col("__f_ts").isNull() | (
-            F.col("__b_ts").isNotNull() & (b_dist <= f_dist)
-        )
+        # merge_asof semantics: tolerance filters EACH side before the
+        # nearest pick — an out-of-tolerance nearer side must not mask a
+        # valid farther side
+        b_ok = F.col("__b_ts").isNotNull()
+        f_ok = F.col("__f_ts").isNotNull()
+        if tolerance_s is not None:
+            tol_us = int(tolerance_s * 1_000_000)
+            b_ok = b_ok & (b_dist <= tol_us)
+            f_ok = f_ok & (f_dist <= tol_us)
+        pick_b = b_ok & (~f_ok | (b_dist <= f_dist))
         u = u.select(
             "*",
-            F.when(pick_b, F.col("__b_ts")).otherwise(F.col("__f_ts")).alias(f"{ts}{suffix}"),
+            F.when(pick_b, F.col("__b_ts")).when(f_ok, F.col("__f_ts")).alias(f"{ts}{suffix}"),
             *[
-                F.when(pick_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(f"{c}{suffix}")
+                F.when(pick_b, F.col(f"__b_{c}")).when(f_ok, F.col(f"__f_{c}")).alias(f"{c}{suffix}")
                 for c in value_cols
             ],
         ).drop("__b_ts", "__f_ts", *[f"__b_{c}" for c in value_cols], *[f"__f_{c}" for c in value_cols])
 
     out = u.filter(F.col(_SIDE) == 1).drop(_SIDE, _TIE, *[c for c in value_cols if c not in q_cols])
 
-    if tolerance_s is not None:
+    if tolerance_s is not None and direction != "nearest":  # nearest: applied pre-pick above
         qus = F.unix_micros(F.col(ts).cast("timestamp"))
         fus = F.unix_micros(F.col(f"{ts}{suffix}").cast("timestamp"))
-        dist = F.abs(qus - fus) if direction == "nearest" else (
-            fus - qus if direction == "forward" else qus - fus
-        )
+        dist = fus - qus if direction == "forward" else qus - fus
         in_range = F.col(f"{ts}{suffix}").isNotNull() & (
             dist <= int(tolerance_s * 1_000_000)
         )

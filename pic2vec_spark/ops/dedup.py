@@ -166,6 +166,11 @@ def lsh_candidate_pairs(
     Scale path: never materializes all pairs — shuffle keys are
     (band_idx, band_signature) buckets, then pairs only within buckets.
     """
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into bands ({bands}) "
+            "— a remainder would silently waste the trailing hash functions"
+        )
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     band_rows = []
@@ -196,13 +201,21 @@ def lsh_candidate_pairs(
 # --------------------------------------------------------------- simhash
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
 ) -> DataFrame:
-    """64-bit SimHash: sum ±1 per token-hash bit, sign -> fingerprint bit.
+    """SimHash fingerprint (up to 60 bits — the token hash itself is
+    60-bit, see ``shingle_hash``): sum ±1 per token-hash bit, sign ->
+    fingerprint bit.
 
     Expressed as explode(tokens) -> per-(id, bit) signed sum -> bit
     assembly (two shuffles on id; no UDF).  Near-dup = small Hamming
     distance between fingerprints."""
+    if bits > 60:
+        raise ValueError(
+            f"bits={bits} > 60: the underlying token hash is 60-bit, so "
+            "higher bit positions would never vary (silently weaker "
+            "fingerprints) — use bits <= 60"
+        )
     toks = F.split(F.trim(_norm_text(text_col)), r"\s+")
     tok = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     h = shingle_hash(F.col("tok"))  # 60-bit

@@ -224,13 +224,21 @@ def ivf_topk(
     Output: (query_id, neighbor_id, cos, rk).
     """
     cos_arr = _centroid_cos_array
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.array_position(
-            cos_arr(F.col(vec_col), centroids),
-            F.array_max(cos_arr(F.col(vec_col), centroids)),
-        ).alias("cell"),
+    # materialize the cosine array in its own projection so the argmax
+    # computes it ONCE per row (array_position(expr, array_max(expr))
+    # would duplicate the n_centroids-fold subtree — ~2x assignment CPU
+    # at scale, since Catalyst does not reliably CSE across arguments)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            cos_arr(F.col(vec_col), centroids).alias("__cos"),
+        )
+        .select(
+            "neighbor_id",
+            "cvec",
+            F.array_position(F.col("__cos"), F.array_max(F.col("__cos"))).alias("cell"),
+        )
     )
     qc = queries.select(
         F.col(id_col).alias("query_id"),

@@ -223,17 +223,31 @@ class SnapshotTable:
         (``partition_by=None``) can map rows to different pids across
         runs, silently losing or duplicating rows — refused here."""
         mode_file = self.snap_dir / f"{snapshot_id}.partials" / "_mode.json"
-        orig_mode = (
-            json.loads(mode_file.read_text()).get("partition_by")
-            if mode_file.exists()
-            else None
-        )
-        if partition_by is None or (orig_mode is not None and orig_mode != partition_by):
+        mode = json.loads(mode_file.read_text()) if mode_file.exists() else {}
+        orig_key = mode.get("partition_by")
+        orig_n = mode.get("num_partitions")
+        if orig_key is None:
+            # covers both a missing marker and an original write with
+            # scheduling-derived pids — neither is replay-stable
             raise ValueError(
-                "resume requires the data-derived pid mode of the original "
-                f"write: original partition_by={orig_mode!r}, resume called "
-                f"with {partition_by!r} — pids from repartition()+"
-                "spark_partition_id() are not stable across runs"
+                "resume requires the original write to have used "
+                "data-derived pids (partition_by=<key column>); this "
+                "snapshot's pids came from repartition()+spark_partition_id(), "
+                "which is not stable across runs"
+            )
+        if partition_by != orig_key:
+            raise ValueError(
+                f"resume must use the original write's partition key: "
+                f"original partition_by={orig_key!r}, got {partition_by!r}"
+            )
+        if num_partitions is None:
+            num_partitions = orig_n  # pid = pmod(hash, n): n must match
+        elif orig_n is not None and num_partitions != orig_n:
+            raise ValueError(
+                f"resume must use the original write's partition count: "
+                f"original num_partitions={orig_n}, got {num_partitions} "
+                "(pids are pmod(hash(key), n) — a different n skips/"
+                "duplicates rows)"
             )
         done = self._orphan_lineage(snapshot_id)
         return self._write_partitions(
@@ -266,13 +280,15 @@ class SnapshotTable:
         self.snap_dir.mkdir(parents=True, exist_ok=True)
         partials = self.snap_dir / f"{sid}.partials"
         partials.mkdir(exist_ok=True)
-        # record the pid-derivation mode so resume() can verify it is
-        # data-derived (scheduling-derived pids are not replay-stable)
+        n = num_partitions or self.spark.sparkContext.defaultParallelism
+        # record the pid-derivation mode so resume() can verify both the
+        # key AND the modulus (pids are pmod(hash(key), n): resuming with
+        # a different n would skip/duplicate rows silently)
         mode_file = partials / "_mode.json"
         if not mode_file.exists():
-            mode_file.write_text(json.dumps({"partition_by": partition_by}))
-
-        n = num_partitions or self.spark.sparkContext.defaultParallelism
+            mode_file.write_text(
+                json.dumps({"partition_by": partition_by, "num_partitions": n})
+            )
         if partition_by:
             # partition id derives from the DATA (hash of the key), not
             # from scheduling: AQE may coalesce/split physical partitions

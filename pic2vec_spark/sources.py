@@ -37,13 +37,15 @@ _EXT_TO_FMT = {
 def natural_sort_key(col):
     """S2: digit-aware sort key so img2 < img10 (reference natural_key,
     feature_preprocessing.py:89-91).  Every digit run is zero-padded to
-    width 10, making lexicographic order equal natural order (Spark has
-    no per-match callback, so the padding is applied per run width)."""
+    width 20, making lexicographic order equal natural order for any
+    run up to 20 digits — beyond epoch-nanosecond ids (Spark has no
+    per-match callback, so the padding is applied per run width)."""
+    pad_to = 20
     padded = F.regexp_replace(F.lower(col), r"(\d+)", r"__NUM$1NUM__")
     out = padded
-    for width in range(1, 10):
+    for width in range(1, pad_to):
         out = F.regexp_replace(
-            out, rf"__NUM(\d{{{width}}})NUM__", "0" * (10 - width) + r"$1"
+            out, rf"__NUM(\d{{{width}}})NUM__", "0" * (pad_to - width) + r"$1"
         )
     return F.regexp_replace(out, r"__NUM(\d+)NUM__", r"$1")
 

@@ -307,3 +307,44 @@ def test_decayed_sum_matches_bruteforce_and_huge_span(spark):
             # the two ancient rows are beyond the safe span: NULL, never NaN/inf
             assert np.isnan(f[:2]).all() and np.isfinite(f[2:]).all()
             assert np.allclose(f[2:], expect[2:], atol=1e-5)
+
+
+def test_nearest_tolerance_per_direction(spark):
+    """merge_asof semantics: an out-of-tolerance NEARER side must not
+    mask a valid farther side — tolerance filters each direction before
+    the nearest pick."""
+    # backward feature 30s before (out of 60s? no - in); forward 100s after (out)
+    f = pd.DataFrame(
+        {"entity_id": [1, 1], "ts": [0.0, 130.0], "row_id": [1, 2],
+         "value": [10.0, 20.0]}
+    )
+    # query at ts=100: backward dist 100 (out of tol 50), forward dist 30 (in)
+    q = pd.DataFrame({"entity_id": [1], "ts": [100.0], "row_id": [7]})
+    out = asof_join(
+        spark.createDataFrame(q), spark.createDataFrame(f),
+        value_cols=["value"], tiebreak="row_id",
+        direction="nearest", tolerance_s=50.0,
+    ).toPandas()
+    # nearer side is FORWARD (30s) and in tolerance -> 20.0
+    assert out.loc[0, "value_asof"] == 20.0
+    # flip: query at 30 -> backward dist 30 in-tol, forward dist 100 out
+    q2 = pd.DataFrame({"entity_id": [1], "ts": [30.0], "row_id": [8]})
+    out2 = asof_join(
+        spark.createDataFrame(q2), spark.createDataFrame(f),
+        value_cols=["value"], tiebreak="row_id",
+        direction="nearest", tolerance_s=50.0,
+    ).toPandas()
+    assert out2.loc[0, "value_asof"] == 10.0
+    # both out of tolerance -> null
+    out3 = asof_join(
+        spark.createDataFrame(q), spark.createDataFrame(f),
+        value_cols=["value"], tiebreak="row_id",
+        direction="nearest", tolerance_s=10.0,
+    ).toPandas()
+    assert pd.isna(out3.loc[0, "value_asof"]) and pd.isna(out3.loc[0, "ts_asof"])
+    # pandas agreement on the masked case
+    exp = pd.merge_asof(
+        q.sort_values("ts"), f.sort_values("ts"), on="ts", by="entity_id",
+        direction="nearest", tolerance=50.0, suffixes=("", "_f"),
+    )
+    assert exp.loc[0, "value"] == 20.0

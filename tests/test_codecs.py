@@ -76,3 +76,23 @@ def test_corrupt_and_empty_bytes_raise():
             decode_image(b"", fmt)
         with pytest.raises(Exception):
             decode_image(b"\x00\x01\x02deadbeef" * 4, fmt)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn support: restart markers (byte-aligned, DC predictors
+    reset, RST0-7 wraparound) reconstruct identically to the plain
+    stream — what hardware encoders emit for error resilience."""
+    import numpy as np
+
+    from pic2vec_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = np.clip(
+        np.linspace(0, 255, 48)[None, :, None] + rng.normal(0, 20, (40, 48, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=95))
+    for ri in (1, 2, 5, 7):  # ri=1 over 30 MCUs exercises RST0-7 wraparound
+        data = encode_jpeg(img, quality=95, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert np.array_equal(decode_jpeg(data), plain), ri
