@@ -256,7 +256,13 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            # per-row DECIMAL keeps the sum order-proof; the OUTPUT is cast
+            # to double (exact here: magnitudes << 2^53) because DuckDB's
+            # fetchdf() renders DECIMAL as float64 and the driver gate
+            # compares string renderings ('508966.00' != '508966.0').
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
@@ -282,15 +288,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # at (price/qty: 2 decimals; x one 2-dec factor: 4; x two: 6)
             # — no value ever sits on a rounding boundary, so Spark's
             # HALF_UP and DuckDB's half-even can never disagree.
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            # final decimal sums are cast to double (exact: magnitudes
+            # << 2^53) so Spark's Decimal repr and DuckDB's float64 repr
+            # hash identically in the driver gate; the per-row decimal
+            # casts above them are what keep summation order-proof.
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
                 .cast("decimal(18,6)")
-            ).alias("sum_charge"),
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -311,7 +325,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.groupBy("o_custkey")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -476,13 +492,26 @@ def q_pit_featurize_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeline = _timeline_from_events(spark, sf_dir, N_FLAGSHIP_IMAGES)
     plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
     out = point_in_time_features(images, timeline, plan)
+    # The driver canonicalizes with pandas sort_values over ALL columns,
+    # which cannot hash/sort array cells — so the feature vector is
+    # projected to scalars: a round-5 md5 digest of the whole vector
+    # (order-sensitive, catches any element change) plus the first four
+    # elements as spot-check scalars.  The full-vector numeric pin lives
+    # in tests/test_featurize.py / test_pipeline.py vs the NumPy oracle.
+    feats_r5 = F.transform("features_asof", lambda x: F.round(x, 5))
     return out.select(
         F.col("row_id").alias("event_id"),
         F.col("entity_id").alias("user_id"),
         _us("ts").alias("ts_us"),
         F.col("image_id_asof"),
         F.col("missing_asof"),
-        F.col("features_asof"),
+        F.coalesce(F.md5(F.to_json(feats_r5)), F.lit("<missing>")).alias(
+            "features_md5"
+        ),
+        F.round(F.col("features_asof")[0], 5).alias("feat_0"),
+        F.round(F.col("features_asof")[1], 5).alias("feat_1"),
+        F.round(F.col("features_asof")[2], 5).alias("feat_2"),
+        F.round(F.col("features_asof")[3], 5).alias("feat_3"),
     )
 
 
@@ -683,33 +712,57 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=NEARDUP_COS)
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH bucket
+    candidates + exact cosine re-rank (never all-pairs).  Note the demo
+    threshold (0.4 ~ 66deg, chosen so the synthetic gaussian embeddings
+    yield any pairs at all) is LSH-hostile — recall at the boundary is
+    ~0.75 with the 4x8 defaults and rises steeply with cos; at real
+    near-dup thresholds (>=0.9) the same defaults give >0.999 recall.
+    Oracle replicates the same plane literals, so parity is exact."""
+    from pic2vec_spark.ops.knn import cosine_neardup_pairs_lsh
+
+    return cosine_neardup_pairs_lsh(
+        _embeddings(spark, sf_dir), threshold=NEARDUP_COS
+    )
+
+
 def q_multi_column_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's multi-image-column flow (O2/O5) + CSV-compat
     widening (S8/P6) through the driver: a table with two image-ref
-    columns (one with blanks) gains {col}_missing + {col}_feat_i in the
-    reference's naming/order.  Rows-only (CNN output); the widening
-    order/naming is pinned byte-exactly against the reference's golden
-    CSV by tests/test_reference_fixtures.py."""
+    columns (with blank and unmatched refs) gains {col}_missing +
+    {col}_features; the driver oracle checks the full missing-flag/null
+    structure, the widening order/naming + feature values are pinned
+    byte-exactly against the reference's golden CSV by
+    tests/test_reference_fixtures.py."""
     from pic2vec_spark.featurize import featurize_multi_column
     from pic2vec_spark.plan import FeaturizerPlan
     from pic2vec_spark.synth import synth_images_df
 
     images = synth_images_df(spark, 32, seed=42)
-    ids = [r.image_id for r in images.select("image_id").orderBy("image_id").collect()]
+    # synth ids are deterministic ('img_%09d'), so the ref table is
+    # constructed without any driver-side collect; three ref classes:
+    # matched, NULL (i%5==0), and unmatched (i%7==3) — the last two must
+    # both come back missing=True per the reference's blank semantics.
     rows = [
-        (i, ids[i % len(ids)], ids[(i * 7) % len(ids)] if i % 5 else None)
+        (
+            i,
+            f"img_{i % 32:09d}",
+            None
+            if i % 5 == 0
+            else (f"img_unmatched_{i}" if i % 7 == 3 else f"img_{(i * 7) % 32:09d}"),
+        )
         for i in range(64)
     ]
-    df = spark.createDataFrame(rows, "row_id int, img_a string, img_b string")
+    df = spark.createDataFrame(rows, "row_id long, img_a string, img_b string")
     plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
     wide = featurize_multi_column(df, images, ["img_a", "img_b"], plan)
-    # widen to the reference's column naming for the first 4 features
+    # Emit only the SQL-expressible structure (refs + missing flags) so
+    # the driver can oracle-check which rows went missing; the CNN
+    # feature VALUES stay pinned byte-exactly against the reference's
+    # golden CSV by tests/test_reference_fixtures.py + test_multicolumn.py.
     return wide.select(
-        "row_id",
-        F.col("img_a_missing"),
-        *[F.col("img_a_features")[i].alias(f"img_a_feat_{i}") for i in range(4)],
-        F.col("img_b_missing"),
-        *[F.col("img_b_features")[i].alias(f"img_b_feat_{i}") for i in range(4)],
+        "row_id", "img_a", "img_a_missing", "img_b", "img_b_missing"
     )
 
 
@@ -798,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "image_phash": q_image_phash,
         "image_phash_neardup": q_image_phash_neardup,
         "image_thumbnails": q_image_thumbnails,
@@ -954,6 +1008,79 @@ def _knn_lsh_sql() -> str:
     """
 
 
+def _multi_column_widened_sql() -> str:
+    """Oracle for multi_column_widened: the ref-table construction is
+    pure arithmetic over row_id, and the missing flag adds the synth
+    generator's deterministic decode failures (gif/corrupt/empty rows of
+    the 32-image table — a fixed artifact of (seed=42, n=32), computed
+    here once and embedded as literals, same technique as the IVF
+    centroids).  missing=True iff the ref is NULL, unmatched, or points
+    at an undecodable image (reference decode-failure semantics,
+    feature_preprocessing.py:318-323)."""
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.synth import synth_image_row
+
+    bad = []
+    for i in range(32):
+        r = synth_image_row(i, 32, 42)
+        try:
+            if not r["bytes"]:
+                raise ValueError("empty")
+            decode_image(r["bytes"], r["fmt"])
+        except Exception:
+            bad.append(i)
+    bad_list = ", ".join(str(i) for i in bad) or "-1"
+    return f"""
+        SELECT row_id,
+               'img_' || lpad((row_id % 32)::VARCHAR, 9, '0') AS img_a,
+               (row_id % 32) IN ({bad_list}) AS img_a_missing,
+               CASE WHEN row_id % 5 = 0 THEN NULL
+                    WHEN row_id % 7 = 3 THEN 'img_unmatched_' || row_id::VARCHAR
+                    ELSE 'img_' || lpad(((row_id * 7) % 32)::VARCHAR, 9, '0')
+               END AS img_b,
+               (row_id % 5 = 0 OR row_id % 7 = 3
+                OR ((row_id * 7) % 32) IN ({bad_list})) AS img_b_missing
+        FROM (SELECT unnest(generate_series(0, 63)) AS row_id)
+    """
+
+
+def _embedding_neardup_lsh_sql() -> str:
+    """Oracle for embedding_neardup_lsh: the same hyperplane constants
+    as the Spark plan, candidate pairs sharing any (table, bucket),
+    exact round-6 double cosine + threshold."""
+    from pic2vec_spark.ops.knn import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 8, 13)  # (tables, planes, dim)
+
+    def sig_expr(vec: str, t: int) -> str:
+        terms = []
+        for j in range(planes.shape[1]):
+            arr = ", ".join(repr(float(v)) for v in planes[t, j])
+            terms.append(
+                f"CASE WHEN list_dot_product({vec}, [{arr}]::DOUBLE[]) >= 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {sig_expr('e', t)} AS bucket FROM v"
+        for t in range(planes.shape[0])
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), b AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, a.e AS v1, c.vec_id AS id2, c.e AS v2
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT id1, id2, cos FROM (
+      SELECT id1, id2, {_SQL_COS.format(a='v1', b='v2')} AS cos FROM cand
+    ) WHERE cos >= {NEARDUP_COS}
+    """
+
+
 def _knn_ivf_sql() -> str:
     """Oracle for knn_ivf: same centroids (trained from the sf0.01
     parquet by the identical deterministic recipe) embedded as literals;
@@ -1099,6 +1226,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),
         "knn_lsh": _knn_lsh_sql(),
+        "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
         "knn_cosine": f"""
             WITH q AS (
@@ -1209,16 +1337,16 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
                    COALESCE(l_linestatus, '<all>') AS linestatus,
                    COUNT(*) AS n_rows,
-                   SUM(l_quantity::DECIMAL(18,2)) AS sum_qty
+                   SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(l_quantity::DECIMAL(18,2)) AS sum_qty,
-                   SUM(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-                   SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS sum_disc_price,
-                   SUM((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6)) AS sum_charge,
+                   SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+                   SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+                   SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc_price,
+                   SUM((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge,
                    ROUND(AVG(l_quantity), 4) AS avg_qty,
                    ROUND(AVG(l_discount), 4) AS avg_disc,
                    COUNT(*) AS count_order
@@ -1226,10 +1354,11 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "multi_column_widened": _multi_column_widened_sql(),
         "top_customers": """
             WITH rev AS (
               SELECT o_custkey,
-                     SUM(o_totalprice::DECIMAL(18,2)) AS revenue,
+                     SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue,
                      COUNT(*) AS n_orders
               FROM orders GROUP BY o_custkey
             ), j AS (

@@ -11,6 +11,7 @@ gap sessionize, snapshot/lineage/resume).
 """
 
 from pic2vec_spark.plan import FeaturizerPlan, SUPPORTED_MODELS
+from pic2vec_spark.facade import ImageFeaturizer
 from pic2vec_spark.featurize import (
     decode_images,
     featurize_images,
@@ -20,6 +21,7 @@ from pic2vec_spark.featurize import (
 
 __all__ = [
     "FeaturizerPlan",
+    "ImageFeaturizer",
     "SUPPORTED_MODELS",
     "decode_images",
     "featurize_images",

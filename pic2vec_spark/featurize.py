@@ -443,7 +443,18 @@ def incremental_featurize(
     man = table.manifest()
     if man is not None:
         existing = (man.get("properties") or {}).get("plan_fingerprint")
-        if existing is not None and existing != plan.fingerprint():
+        if existing is None:
+            # A non-empty manifest with NO recorded fingerprint predates
+            # fingerprint tracking (or was written by another tool): its
+            # feature space is unknowable, so appending would silently
+            # mix spaces.  Refuse, same as a mismatch.
+            raise ValueError(
+                f"feature table at {table.root} has no plan_fingerprint "
+                "in its manifest (pre-fingerprint table?); refusing to "
+                f"append {plan.fingerprint()!r} — rebuild the table (or "
+                "use a new root)"
+            )
+        if existing != plan.fingerprint():
             raise ValueError(
                 f"feature table at {table.root} holds fingerprint "
                 f"{existing!r}; refusing to append {plan.fingerprint()!r} "

@@ -89,6 +89,10 @@ def asof_join_broadcast(
         return pd.to_datetime(series).astype("int64").to_numpy()
 
     order_cols = [on, ts] + ([tiebreak] if tiebreak else [])
+    # NULL entity keys never match on either side (parity with
+    # asof_join, which drops null-key feature rows): dropna=True below
+    # discards null-key feature groups, and a null/NaN query key misses
+    # the dict probe, yielding null matches.
     fpdf = (
         features.select(on, ts, *([tiebreak] if tiebreak else []), *value_cols)
         .toPandas()
@@ -101,7 +105,7 @@ def asof_join_broadcast(
     # independently takes its latest non-null at-or-before the query ts,
     # while ts_asof tracks the latest feature ROW regardless of nulls.
     lookup: dict = {}
-    for eid, grp in fpdf.groupby(on, sort=False):
+    for eid, grp in fpdf.groupby(on, sort=False, dropna=True):
         keys = ts_key(grp[ts])
         per_col = {}
         for c in value_cols:
@@ -200,7 +204,13 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (on, ts)]
 
-    f = features.select(
+    # NULL entity keys never match (SQL join semantics, and identical to
+    # asof_join_broadcast where pandas groupby/dict-probe drop them):
+    # null-key feature rows are dropped here so the NULL window partition
+    # carries no features, and null-key query rows fall through with null
+    # matches.  Without this filter Window.partitionBy would group all
+    # NULLs together and let null-key queries see null-key features.
+    f = features.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias(_SIDE),

@@ -93,6 +93,24 @@ def _signature(vec: Column, planes: np.ndarray) -> Column:
     return sig
 
 
+def _bucketize(df: DataFrame, idc: str, vecc: str, planes: np.ndarray) -> DataFrame:
+    """Replicate df once per LSH table with (table, bucket) columns."""
+    rows = []
+    for t in range(planes.shape[0]):
+        rows.append(
+            df.select(
+                F.col(idc),
+                F.col(vecc),
+                F.lit(t).alias("table"),
+                _signature(F.col(vecc), planes[t]).alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -115,20 +133,7 @@ def lsh_bucket_topk(
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
 
     def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        rows = []
-        for t in range(n_tables):
-            rows.append(
-                df.select(
-                    F.col(idc),
-                    F.col(vecc),
-                    F.lit(t).alias("table"),
-                    _signature(F.col(vecc), planes[t]).alias("bucket"),
-                )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        return _bucketize(df, idc, vecc, planes)
 
     cb = bucketize(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
@@ -281,6 +286,54 @@ def cosine_neardup_pairs(
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-duplicate vector pairs via LSH buckets — the scale path for
+    ``cosine_neardup_pairs``: candidate pairs are rows sharing a bucket
+    in ANY of ``n_tables`` random-hyperplane tables, exact cosine
+    re-rank + threshold inside buckets only.  Never all-pairs.
+
+    Recall math: cos >= t means angle <= acos(t); one hyperplane splits
+    the pair with prob angle/pi, so P(same bucket in one table) =
+    (1 - angle/pi)^n_planes and missing all tables is exponentially
+    unlikely — at t=0.95 (<=18.2deg), 4 planes x 8 tables gives
+    P(candidate) > 0.999.  Candidate volume ~= sum of squared bucket
+    sizes per table: with 2^4 buckets over random directions that is
+    ~n^2/16 per table worst-case on unclustered data, but real near-dup
+    corpora cluster, concentrating true pairs and spreading non-pairs.
+    Output: (id1, id2, cos), id1 < id2."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    b = _bucketize(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        "vid", "v", planes,
+    )
+    left = b.select(
+        "table", "bucket", F.col("vid").alias("id1"), F.col("v").alias("v1")
+    )
+    right = b.select(
+        "table", "bucket", F.col("vid").alias("id2"), F.col("v").alias("v2")
+    )
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "v1", "id2", "v2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )

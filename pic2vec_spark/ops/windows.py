@@ -127,6 +127,7 @@ def decayed_sum_grouped(
     on: str = "entity_id",
     ts: str = "ts",
     value_col: str = "value",
+    tiebreak: str | None = None,
     out_col: str = "decayed_sum",
 ) -> DataFrame:
     """Exact decayed running sum at ANY history span — the fallback for
@@ -137,7 +138,11 @@ def decayed_sum_grouped(
     uses bucket-max-anchored exponents (bounded arguments), and the
     carry across buckets decays by ``exp(-(t - prev_end)/tau)`` whose
     argument is always <= 0.  Vectorized per segment — the only Python
-    loop is over segments, not rows."""
+    loop is over segments, not rows.
+
+    ``tiebreak`` orders rows with equal timestamps (same contract as
+    ``decayed_sum``); without it, equal-ts running values inherit
+    Spark's nondeterministic partition order."""
     import numpy as np
     import pandas as pd
 
@@ -148,8 +153,10 @@ def decayed_sum_grouped(
     )
     seg_span = 300.0 * tau_s
 
+    sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         if np.issubdtype(pdf[ts].dtype, np.number):
             t = pdf[ts].to_numpy(np.float64)
         else:

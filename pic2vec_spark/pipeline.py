@@ -25,8 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pic2vec_spark.featurize import featurize_images
-from pic2vec_spark.ops.asof import asof_join
+from pic2vec_spark.ops.asof import asof_join, asof_join_broadcast
 from pic2vec_spark.plan import FeaturizerPlan
+
+# auto-switch bound for the broadcast as-of path: rows x (feature vector
+# ~1 KB + per-entity numpy overhead) must fit comfortably in the driver
+# and every executor — 50k rows ~ 50-100 MB, the same judgement call as
+# spark.sql.autoBroadcastJoinThreshold scaled for wide feature payloads
+BROADCAST_ASOF_MAX_ROWS = 50_000
 
 
 def point_in_time_features(
@@ -35,11 +41,20 @@ def point_in_time_features(
     plan: FeaturizerPlan | None = None,
     tolerance_s: float | None = None,
     metrics=None,
+    asof_strategy: str = "auto",
+    broadcast_max_rows: int = BROADCAST_ASOF_MAX_ROWS,
 ) -> DataFrame:
     """images: (image_id, bytes, fmt, caption, ...);
     timeline: (entity_id, ts, image_id nullable, kind ∈ feature|query,
     row_id tiebreak).  Returns one row per query-kind timeline row with
     ``image_id_asof / caption_asof / missing_asof / features_asof``.
+
+    ``asof_strategy``: ``"shuffle"`` = windowed ``asof_join`` (one
+    entity exchange of BOTH sides); ``"broadcast"`` = collect+broadcast
+    the feature side, zero shuffle of the query side (the scale path
+    when features are dimension-sized and queries are the fact side);
+    ``"auto"`` counts the timeline's feature rows (a cheap scan — no CNN
+    runs) and broadcasts when they fit ``broadcast_max_rows``.
     """
     plan = plan or FeaturizerPlan.build()
     feats = featurize_images(images, plan, metrics=metrics).select(
@@ -67,7 +82,20 @@ def point_in_time_features(
     queries = timeline.filter(F.col("kind") == "query").select(
         "entity_id", "ts", "row_id"
     )
-    return asof_join(
+    if asof_strategy not in ("auto", "shuffle", "broadcast"):
+        raise ValueError(
+            f"asof_strategy must be auto|shuffle|broadcast, got {asof_strategy!r}"
+        )
+    strategy = asof_strategy
+    if strategy == "auto":
+        # count the timeline's feature rows, NOT `observations`: the
+        # former is a cheap parquet scan, the latter would run the CNN
+        n_obs = timeline.filter(
+            (F.col("kind") == "feature") & F.col("image_id").isNotNull()
+        ).count()
+        strategy = "broadcast" if n_obs <= broadcast_max_rows else "shuffle"
+    join_fn = asof_join_broadcast if strategy == "broadcast" else asof_join
+    return join_fn(
         queries,
         observations,
         on="entity_id",

@@ -57,9 +57,14 @@ def get_spark(
         external_master = SparkConf().contains("spark.master")
     except Exception:
         external_master = False
-    if os.environ.get("SPARK_MASTER"):
+    # Precedence: an explicit ``parallelism`` argument wins over
+    # $SPARK_MASTER — the documented benchmark/test contract above.
+    # $SPARK_MASTER then wins over any stale JVM spark.master.
+    if explicit_parallelism:
+        builder = builder.master(f"local[{parallelism}]")
+    elif os.environ.get("SPARK_MASTER"):
         builder = builder.master(os.environ["SPARK_MASTER"])
-    elif explicit_parallelism or not external_master:
+    elif not external_master:
         builder = builder.master(f"local[{parallelism}]")
     builder = (
         builder

@@ -249,6 +249,11 @@ class SnapshotTable:
                 "(pids are pmod(hash(key), n) — a different n skips/"
                 "duplicates rows)"
             )
+        if properties is None:
+            # recover the original write's properties (mirrors the
+            # num_partitions recovery above): a resumed write must not
+            # lose its plan_fingerprint protection
+            properties = mode.get("properties")
         done = self._orphan_lineage(snapshot_id)
         return self._write_partitions(
             df, snapshot_id, partition_by, num_partitions, stats_cols,
@@ -286,8 +291,18 @@ class SnapshotTable:
         # a different n would skip/duplicate rows silently)
         mode_file = partials / "_mode.json"
         if not mode_file.exists():
+            # properties are recorded too, so resume() can recover the
+            # original write's metadata (e.g. plan_fingerprint) instead
+            # of committing a manifest that silently dropped it
             mode_file.write_text(
-                json.dumps({"partition_by": partition_by, "num_partitions": n})
+                json.dumps(
+                    {
+                        "partition_by": partition_by,
+                        "num_partitions": n,
+                        "properties": properties,
+                    },
+                    default=str,
+                )
             )
         if partition_by:
             # partition id derives from the DATA (hash of the key), not

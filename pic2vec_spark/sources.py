@@ -136,11 +136,36 @@ def image_source(
     raise ValueError("provide directory and/or csv_path")
 
 
+def named_path(
+    csv_name: str,
+    model_str: str,
+    model_depth: int,
+    model_output: int,
+    omit_model: bool = False,
+    omit_depth: bool = False,
+    omit_output: bool = False,
+    omit_time: bool = False,
+) -> str:
+    """S8 naming with all four independent omit switches, mirroring the
+    reference's ``_named_path_finder`` exactly — including its gmtime
+    ``%d-%b-%Y-%H.%M.%S`` stamp format (image_featurizer.py:804-857)."""
+    saved_time = (
+        ""
+        if omit_time
+        else "_({})".format(_time.strftime("%d-%b-%Y-%H.%M.%S", _time.gmtime()))
+    )
+    saved_model = "" if omit_model else f"_{model_str}"
+    saved_depth = "" if omit_depth else f"_depth-{model_depth}"
+    saved_output = "" if omit_output else f"_output-{model_output}"
+    return f"{csv_name}{saved_model}{saved_depth}{saved_output}{saved_time}"
+
+
 def csv_compat_name(
     base: str, model: str, depth: int, num_features: int, omit_time: bool = False
 ) -> str:
     """S8 naming: {base}_{model}_depth-{d}_output-{n}_({time}).csv
-    (image_featurizer.py:804-857)."""
+    (image_featurizer.py:804-857).  Kept for back-compat; ``named_path``
+    carries the full omit-switch set."""
     stamp = "" if omit_time else f"_({_time.strftime('%Y-%m-%d_%H-%M-%S')})"
     return f"{base}_{model}_depth-{depth}_output-{num_features}{stamp}.csv"
 

@@ -111,6 +111,7 @@ def main() -> None:
         "levels": results,
         "n_to_4n": pairs,
     }
+    out_md = os.environ.get("SCALING_OUT_MD", "BENCH/BASELINE.md")
     Path("BENCH").mkdir(exist_ok=True)
     md = [
         "# BENCH/BASELINE.md — measured engine performance\n",
@@ -161,7 +162,7 @@ def main() -> None:
         "  entity_id; both partition counts grow with N.",
         "",
     ]
-    Path("BENCH/BASELINE.md").write_text("\n".join(md))
+    Path(out_md).write_text("\n".join(md))
     print(json.dumps(out))
 
 

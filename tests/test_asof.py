@@ -348,3 +348,57 @@ def test_nearest_tolerance_per_direction(spark):
         direction="nearest", tolerance=50.0, suffixes=("", "_f"),
     )
     assert exp.loc[0, "value"] == 20.0
+
+
+def test_null_entity_key_parity(spark):
+    """NULL entity keys never match on either side, in BOTH
+    implementations (SQL join semantics): null-key feature rows are
+    invisible, null-key query rows come back with null matches — the
+    window version must not group NULLs into a matchable partition."""
+    from pic2vec_spark.ops.asof import asof_join_broadcast
+
+    f = pd.DataFrame(
+        {"entity_id": ["a", None, None], "ts": [1.0, 1.0, 2.0],
+         "row_id": [1, 2, 3], "value": [10.0, 20.0, 30.0]}
+    )
+    q = pd.DataFrame(
+        {"entity_id": ["a", None, "b"], "ts": [5.0, 5.0, 5.0],
+         "row_id": [7, 8, 9]}
+    )
+    kw = dict(value_cols=["value"], tiebreak="row_id")
+    for fn in (asof_join, asof_join_broadcast):
+        out = (
+            fn(spark.createDataFrame(q), spark.createDataFrame(f), **kw)
+            .toPandas().set_index("row_id").sort_index()
+        )
+        assert len(out) == 3, fn.__name__
+        assert out.loc[7, "value_asof"] == 10.0, fn.__name__
+        assert pd.isna(out.loc[8, "value_asof"]), fn.__name__
+        assert pd.isna(out.loc[9, "value_asof"]), fn.__name__
+
+
+def test_decayed_sum_grouped_tiebreak_matches_window(spark):
+    """decayed_sum_grouped(tiebreak=...) must reproduce
+    decayed_sum(tiebreak=...) exactly on tied timestamps — running sums
+    at a tied ts differ per-row by which rows sort first."""
+    from pic2vec_spark.ops.windows import decayed_sum, decayed_sum_grouped
+
+    pdf = pd.DataFrame(
+        {"entity_id": [1] * 4 + [2] * 2,
+         "ts": [1.0, 1.0, 1.0, 2.0, 5.0, 5.0],
+         "row_id": [3, 1, 2, 4, 6, 5],
+         "value": [10.0, 20.0, 30.0, 5.0, 7.0, 11.0]}
+    )
+    a = (
+        decayed_sum(spark.createDataFrame(pdf), 10.0, tiebreak="row_id")
+        .toPandas().set_index("row_id").sort_index()
+    )
+    b = (
+        decayed_sum_grouped(spark.createDataFrame(pdf), 10.0, tiebreak="row_id")
+        .toPandas().set_index("row_id").sort_index()
+    )
+    assert np.allclose(
+        a["decayed_sum"].to_numpy(float), b["decayed_sum"].to_numpy(float)
+    )
+    # the tied rows must carry DIFFERENT running values (order matters)
+    assert a.loc[1, "decayed_sum"] != a.loc[2, "decayed_sum"]

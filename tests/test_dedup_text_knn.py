@@ -191,3 +191,44 @@ def test_multimodal_stubs_plumbing(spark):
     # strict mode raises (documents the stub boundary)
     with pytest.raises(Exception):
         video_frame_sample(df, strict=True).collect()
+
+
+def test_cosine_neardup_lsh_subset_and_recall(spark):
+    """LSH near-dup pairs are a SUBSET of the exact pairs (buckets can
+    only miss candidates, never invent them — the cosine re-rank is
+    exact), with ~1.0 recall on genuinely-near pairs (cos>=0.95) and
+    bounded recall even at the LSH-hostile loose threshold."""
+    import numpy as np
+
+    from pic2vec_spark.ops.knn import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    pert = base[:10] + rng.normal(scale=0.01, size=(10, 16))  # cos ~ 0.9999
+    vecs = np.vstack([base, pert])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    exact = cosine_neardup_pairs(df, threshold=0.95).toPandas()
+    lsh = cosine_neardup_pairs_lsh(df, threshold=0.95).toPandas()
+    e = set(zip(exact.id1, exact.id2))
+    got = set(zip(lsh.id1, lsh.id2))
+    assert got <= e
+    assert len(e) >= 10  # the planted pairs are there
+    assert len(got) / len(e) >= 0.95  # >0.999 expected per the math
+
+    # loose threshold (the driver query's 0.4): recall is weaker by
+    # design (angle ~66deg barely prefers shared buckets) but bounded
+    g = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id int, embedding array<float>",
+    )
+    e2 = cosine_neardup_pairs(g, threshold=0.4).toPandas()
+    l2 = cosine_neardup_pairs_lsh(g, threshold=0.4).toPandas()
+    assert set(zip(l2.id1, l2.id2)) <= set(zip(e2.id1, e2.id2))
+    if len(e2):
+        assert len(l2) / len(e2) >= 0.5

@@ -93,3 +93,28 @@ def test_incremental_refuses_mixed_feature_spaces(spark, plan, tmp_path):
     # same plan appends fine, fingerprint carried forward
     incremental_featurize(synth_images_df(spark, 24, seed=42), t, plan)
     assert t.manifest()["properties"]["plan_fingerprint"] == plan.fingerprint()
+
+
+def test_missing_fingerprint_manifest_refused(spark, tmp_path):
+    """A non-empty feature table whose manifest lacks a plan_fingerprint
+    (pre-fingerprint era / foreign writer) is an unknowable feature
+    space: incremental_featurize must refuse to append, not silently mix."""
+    import pytest
+
+    from pic2vec_spark.featurize import incremental_featurize
+    from pic2vec_spark.plan import FeaturizerPlan
+    from pic2vec_spark.snapshots import SnapshotTable
+    from pic2vec_spark.synth import synth_images_df
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+    # simulate a pre-fingerprint table: a write with no properties
+    t.write(
+        spark.createDataFrame(
+            [("0" * 34, False, [0.0] * plan.num_features)],
+            "__digest string, missing boolean, features array<float>",
+        ),
+        num_partitions=1,
+    )
+    with pytest.raises(ValueError, match="no plan_fingerprint"):
+        incremental_featurize(synth_images_df(spark, 8, seed=1), t, plan)

@@ -98,6 +98,65 @@ def test_entry_contract(spark):
     df = em.entry(spark)
     assert df.count() > 0
     names = [f.name for f in df.schema.fields]
+    # driver-canonicalizable scalars only (pandas sort_values over all
+    # columns cannot hash array cells): the feature vector is projected
+    # to a round-5 md5 digest + first-4 spot-check scalars
     assert names == [
-        "event_id", "user_id", "ts_us", "image_id_asof", "missing_asof", "features_asof",
+        "event_id", "user_id", "ts_us", "image_id_asof", "missing_asof",
+        "features_md5", "feat_0", "feat_1", "feat_2", "feat_3",
     ]
+    assert not any("array" in f.dataType.simpleString() for f in df.schema.fields)
+
+
+def test_flagship_broadcast_strategy_equivalent_and_shuffle_free(spark, data, plan):
+    """asof_strategy='broadcast' must (1) produce exactly the shuffle
+    path's result and (2) run the as-of probe with NO entity Exchange —
+    the flagship's biggest remaining shuffle disappears when the deduped
+    feature side is dimension-sized (auto picks it via a cheap
+    feature-row count, no CNN run)."""
+    images, timeline = data
+    img_df = spark.createDataFrame(images, schema=IMAGES_SCHEMA)
+    tl_df = spark.createDataFrame(timeline, schema=TIMELINE_SCHEMA)
+
+    outs = {}
+    for strat in ("shuffle", "broadcast"):
+        out = point_in_time_features(
+            img_df, tl_df, plan, asof_strategy=strat
+        )
+        outs[strat] = (
+            out.select("row_id", "image_id_asof", "missing_asof", "features_asof")
+            .toPandas().set_index("row_id").sort_index()
+        )
+    a, b = outs["shuffle"], outs["broadcast"]
+    assert a["image_id_asof"].fillna("-").tolist() == b["image_id_asof"].fillna("-").tolist()
+    assert a["missing_asof"].fillna(False).tolist() == b["missing_asof"].fillna(False).tolist()
+    for x, y in zip(a["features_asof"], b["features_asof"]):
+        if x is None or (isinstance(x, float) and pd.isna(x)):
+            assert y is None or (isinstance(y, float) and pd.isna(y))
+        else:
+            assert np.allclose(np.asarray(x, float), np.asarray(y, float))
+
+    # plan audit: the broadcast probe adds no Exchange AFTER the CNN
+    # stage — assert the executed plan's as-of section. The featurize
+    # subtree legitimately shuffles (dedup + round-robin), so check that
+    # the PROBE (mapInPandas over queries) sits directly on the query
+    # scan: build it in isolation from a pre-joined observation frame.
+    from pic2vec_spark.ops.asof import asof_join_broadcast
+
+    obs = tl_df.filter(
+        (F.col("kind") == "feature") & F.col("image_id").isNotNull()
+    ).select("entity_id", "ts", "row_id", F.lit(1.0).alias("value"))
+    q = tl_df.filter(F.col("kind") == "query").select("entity_id", "ts", "row_id")
+    probe_plan = (
+        asof_join_broadcast(q, obs, value_cols=["value"], tiebreak="row_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in probe_plan
+
+    # auto on this small timeline resolves to broadcast
+    auto = point_in_time_features(img_df, tl_df, plan, asof_strategy="auto")
+    c = (
+        auto.select("row_id", "image_id_asof").toPandas()
+        .set_index("row_id").sort_index()
+    )
+    assert c["image_id_asof"].fillna("-").tolist() == a["image_id_asof"].fillna("-").tolist()

@@ -102,3 +102,22 @@ def test_crash_preserves_previous_snapshot(spark, events, tmp_path):
     # reader still sees s1, untouched
     assert t.current_snapshot_id() == s1
     assert t.scan().count() == 50
+
+
+def test_resume_recovers_properties(spark, events, tmp_path):
+    """A resumed write must not lose the original write's properties
+    (e.g. plan_fingerprint): they are recorded in _mode.json at first
+    write and recovered when resume() is called without properties."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root, spark)
+    props = {"plan_fingerprint": "squeezenet/d1/seed0/n256/v2"}
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.write(
+            events, partition_by="user_id", num_partitions=8,
+            fail_after_partitions=3, properties=props,
+        )
+    sid = next((Path(root) / "snapshots").glob("*.partials")).name.replace(
+        ".partials", ""
+    )
+    t.resume(events, sid, partition_by="user_id", num_partitions=8)
+    assert t.manifest()["properties"] == props
