@@ -598,6 +598,62 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup_pairs(sim, "doc_id", max_distance=SIMHASH_MAXDIST)
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level near-dup → actionable duplicate GROUPS: connected
+    components over the simhash near-dup pairs (min-label propagation;
+    pairs chain, so survivors must be picked per component).  Output:
+    (doc_id, cluster_id=component min)."""
+    from pic2vec_spark.ops.dedup import neardup_clusters
+
+    return neardup_clusters(q_simhash_neardup(spark, sf_dir))
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup recipe: keep ONE document per near-dup
+    cluster (the min doc_id) plus every unpaired document — an
+    anti-join of the corpus against non-canonical cluster members, so
+    singletons are never materialized.  Output: surviving doc_ids."""
+    clusters = q_neardup_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id")
+        .join(drop, "doc_id", "left_anti")
+    )
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level tf-idf top-3 terms per document (term extraction →
+    tf agg → vocabulary-sized idf broadcast join → WindowGroupLimit
+    top-k)."""
+    from pic2vec_spark.ops.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(_documents(spark, sf_dir), "doc_id", "text", k=3)
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/test assignment (stable under
+    repartitions and incremental appends; no RNG)."""
+    from pic2vec_spark.ops.sampling import hash_split
+
+    return hash_split(
+        _documents(spark, sf_dir).select("doc_id"), "doc_id", test_pct=10
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% per-source document sample with EXACT
+    per-stratum proportions (hash-ranked, not Bernoulli)."""
+    from pic2vec_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf_dir).select("doc_id", "source"),
+        stratum_col="source",
+        key_col="doc_id",
+        fraction=0.2,
+    )
+
+
 def q_neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator composition: near-duplicate document pairs flagged by at
     least 2 of {n-gram Jaccard, MinHash-LSH candidates, SimHash Hamming}
@@ -846,6 +902,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "simhash_neardup": q_simhash_neardup,
         "neardup_consensus": q_neardup_consensus,
+        "neardup_clusters": q_neardup_clusters,
+        "dedup_survivors": q_dedup_survivors,
+        "doc_tfidf": q_doc_tfidf,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
         "snapshot_lineage": q_snapshot_lineage,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -1137,6 +1198,70 @@ def oracle_sql() -> dict[str, str]:
     # composition oracle: reuse the three member oracles as subqueries
     # (DuckDB supports CTEs inside derived tables), so the consensus
     # check can never drift from the member checks
+    # connected components over the simhash pairs: recursive min-label
+    # reachability (terminates under UNION set semantics); reuses the
+    # member pair oracle so the cluster check can never drift from it
+    cc = f"""
+        WITH RECURSIVE edges AS (
+          SELECT id1 AS src, id2 AS dst FROM ({d['simhash_neardup']})
+          UNION
+          SELECT id2 AS src, id1 AS dst FROM ({d['simhash_neardup']})
+        ),
+        reach(v, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.v
+        )
+        SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY v
+    """
+    d["neardup_clusters"] = cc
+    d["dedup_survivors"] = f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT doc_id FROM ({cc}) WHERE doc_id <> cluster_id
+        )
+    """
+    d["doc_tfidf"] = """
+        WITH terms AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+        ), idf AS (
+          SELECT term,
+                 ln((SELECT COUNT(DISTINCT doc_id) FROM documents)::DOUBLE
+                    / COUNT(*)) AS idf
+          FROM tf GROUP BY term
+        ), s AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 ROUND(tf.tf * idf.idf, 6) AS score
+          FROM tf JOIN idf USING (term)
+        ), r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM s
+        )
+        SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 3
+    """
+    d["train_test_split"] = """
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8)
+                         AS BIGINT) % 100 < 10
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """
+    d["stratified_sample"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('sample' || doc_id::VARCHAR), doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rk <= ceil(0.2 * n)
+    """
     d["neardup_consensus"] = f"""
         WITH j AS (SELECT id1, id2, 'jaccard' AS m FROM ({d['dedup_jaccard']})),
         mh AS (SELECT id1, id2, 'minhash' AS m FROM ({d['dedup_minhash_lsh']})),

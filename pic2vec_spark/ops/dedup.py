@@ -283,3 +283,75 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id1", "id2", "hamming")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    left: str = "id1",
+    right: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → connected components: ``(doc_id, cluster_id)``
+    where cluster_id = the component's minimum doc id.  This is the step
+    that makes pair-level dedup ACTIONABLE at scale — pairs chain
+    (A~B, B~C ⇒ {A,B,C} is one duplicate group), so survivors must be
+    picked per component, not per pair.
+
+    Iterative min-label propagation over the symmetrized edge list:
+    each round every vertex takes min(own label, neighbours' labels);
+    converges in <= graph-diameter rounds (near-dup components are
+    hub-shaped chains of duplicates — diameter is small in practice).
+    Per round: one join + one groupBy shuffle, both keyed on vertex id,
+    plus a cheap convergence probe.  The edge list and per-round labels
+    are localCheckpoint-ed: iteration re-reads materialized blocks
+    instead of re-running the upstream (possibly CNN/LSH) pair plan,
+    and the lineage chain stays O(1) deep.  For adversarially long path
+    graphs at 10^12 scale, swap the propagation loop for alternating
+    large-star/small-star (O(log d) rounds, same per-round shape).
+
+    Only vertices that appear in ``pairs`` are labeled; unpaired docs
+    are their own implicit singleton clusters (see dedup survivor
+    queries, which anti-join instead of materializing singletons).
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select(F.col("src").alias("v"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "__old"), "v"
+            )
+            .filter(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds — "
+            "pathological long-path component; raise max_iter or use a "
+            "star-contraction variant"
+        )
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -95,3 +95,56 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_int": F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint"),
         }
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf — the classic corpus-level
+    text feature (the reference has no text ops; this serves training
+    pipelines: keyword extraction, topic-ish clustering keys).
+
+    - term extraction: ``[a-z]+`` runs of the lowercased text (identical
+      regex in the DuckDB oracle);
+    - tf = in-document term count (one groupBy(doc, term) shuffle on
+      exploded terms — map-side combined);
+    - idf = ln(N / df) with df = number of docs containing the term
+      (a second agg over (doc, term) pairs, one row per TERM — the
+      vocabulary — which is then a broadcast-sized join side at any
+      corpus scale);
+    - score = round(tf * idf, 6); top-k per doc by (score desc, term
+      asc) via row_number (WindowGroupLimit prunes map-side).
+
+    Output: (id, term, tf, score, rk).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"([a-z]+)"), 1
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    scored = tf.join(F.broadcast(idf.select("term", "idf")), "term").withColumn(
+        "score", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "score", "rk")
+    )

@@ -232,3 +232,82 @@ def test_cosine_neardup_lsh_subset_and_recall(spark):
     assert set(zip(l2.id1, l2.id2)) <= set(zip(e2.id1, e2.id2))
     if len(e2):
         assert len(l2) / len(e2) >= 0.5
+
+
+def test_neardup_clusters_hand_graph(spark):
+    """Chained pairs collapse into one component labeled by its min id;
+    disjoint pairs stay separate; a path graph (diameter > 1) needs and
+    survives multiple propagation rounds."""
+    from pic2vec_spark.ops.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (12, 11)],
+        "id1 bigint, id2 bigint",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_neardup_clusters_convergence_guard(spark):
+    from pic2vec_spark.ops.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "id1 bigint, id2 bigint")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, max_iter=1)
+
+
+def test_tf_idf_hand_fixture(spark):
+    """3-doc corpus with a corpus-wide term (idf=0), a shared term, and
+    unique terms — scores match the closed form tf * ln(N/df)."""
+    import math
+
+    from pic2vec_spark.ops.text import tf_idf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "cherry cherry cherry common")],
+        "doc_id bigint, text string",
+    )
+    out = tf_idf_top_terms(docs, k=2).toPandas()
+    top = {r.doc_id: (r.term, r.score) for r in out.itertuples() if r.rk == 1}
+    ln = math.log
+    assert top[1] == ("apple", round(2 * ln(3 / 1), 6))
+    assert top[2] == ("banana", round(1 * ln(3 / 2), 6))
+    assert top[3] == ("cherry", round(3 * ln(3 / 2), 6))
+    # 'common' appears in every doc: idf = ln(1) = 0 -> never outranks
+    assert not ((out.term == "common") & (out.rk == 1)).any()
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from pic2vec_spark.ops.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k", test_pct=10).toPandas().set_index("k")["split"]
+    b = (
+        hash_split(df.repartition(13), "k", test_pct=10)
+        .toPandas().set_index("k")["split"]
+    )
+    assert (a.sort_index() == b.sort_index()).all()
+    frac = (a == "test").mean()
+    assert 0.06 < frac < 0.14  # binomial around 0.10 at n=2000
+    # different salt -> a genuinely different assignment
+    c = hash_split(df, "k", test_pct=10, salt="fold2").toPandas().set_index("k")["split"]
+    assert (a.sort_index() != c.sort_index()).any()
+
+
+def test_stratified_sample_exact_proportions(spark):
+    from pic2vec_spark.ops.sampling import stratified_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    out = stratified_sample(df, "s", "k", fraction=0.3).toPandas()
+    counts = out.groupby("s")["k"].count()
+    assert counts["big"] == 30       # ceil(0.3 * 100)
+    assert counts["small"] == 3      # ceil(0.3 * 7) — small stratum kept
+    out2 = stratified_sample(df.repartition(7), "s", "k", fraction=0.3).toPandas()
+    assert sorted(out2.k) == sorted(out.k)  # deterministic membership
