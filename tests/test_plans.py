@@ -1,0 +1,84 @@
+"""Automated physical-plan audit — locks in the PLANS.md guarantees so
+a regression (a row-at-a-time Python UDF sneaking into a hot path, a
+broadcast join degrading to sort-merge, a top-k losing its group-limit
+pruning) fails CI instead of surfacing as a 100 TB incident.
+
+Planning only (``executedPlan`` builds the plan without running the
+job), except for the few driver queries whose *constructors* run eager
+work by design (snapshot writes, CC label propagation, IVF training).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+from tests.conftest import SF_SMOKE
+
+# queries whose constructor executes real jobs (snapshot writes, CC
+# iteration, driver-side counts) — planning them is no longer free, and
+# their plan shape is already pinned by their operator tests
+EAGER = {"snapshot_lineage", "neardup_clusters", "dedup_survivors"}
+
+
+def _plan(spark, name: str) -> str:
+    df = em.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_row_python_udf_in_any_query(spark):
+    """BatchEvalPython = row-at-a-time Python — banned everywhere.
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas are the
+    vectorized nodes and are allowed.)"""
+    for name in em.queries():
+        if name in EAGER:
+            continue
+        assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def test_top_customers_broadcasts_dimensions(spark):
+    """customer and nation must join as broadcast hash joins (the star
+    shape); a sort-merge here would shuffle the fact side twice."""
+    plan = _plan(spark, "top_customers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_per_user_prunes_with_window_group_limit(spark):
+    """WindowGroupLimit must appear below the exchange: shuffled bytes
+    per entity are O(k), not O(history)."""
+    plan = _plan(spark, "topk_per_user")
+    assert "WindowGroupLimit" in plan
+
+
+def test_doc_tfidf_broadcasts_vocabulary(spark):
+    plan = _plan(spark, "doc_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_asof_join_single_exchange_and_pushdown(spark):
+    """One entity exchange total (plus AQE reads), and the events scan
+    must prune columns (ReadSchema lists only the used columns)."""
+    plan = _plan(spark, "asof_join")
+    # count Exchange operators that shuffle (hashpartitioning) — the
+    # union+window formulation needs exactly one
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "bytes" not in plan  # image-free query never reads blobs
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Map-side combine: a HashAggregate must sit below the exchange."""
+    plan = _plan(spark, "pricing_summary")
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+@pytest.mark.parametrize("name", ["train_test_split", "doc_token_count"])
+def test_narrow_ops_have_zero_exchanges(spark, name):
+    """Pure projections must not shuffle at all."""
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, name
