@@ -160,3 +160,30 @@ def streaming_session_counts(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    images: DataFrame,
+    watermark: str = "1 hour",
+    ts: str = "ingest_ts",
+) -> DataFrame:
+    """Streaming exact dedup on content digest with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per (bytes, fmt)
+    digest and expires digest state once the watermark passes — the
+    in-flight dedup for continuous ingest (producer retries, overlapping
+    uploads).  State is bounded by arrival rate x watermark horizon, so
+    it scales with throughput, never with corpus size; GLOBAL
+    all-history dedup is the durable snapshot anti-join in
+    ``stream_featurize`` (incremental_featurize), as usual layered:
+    cheap in-stream dedup first, digest anti-join at the sink.
+
+    Input must carry an event-time column ``ts``; the digest column is
+    exposed in the output for downstream lineage."""
+    from pic2vec_spark.featurize import content_digest
+
+    return (
+        images.withColumn(ts, F.col(ts).cast("timestamp"))
+        .withWatermark(ts, watermark)
+        .withColumn("__digest", content_digest())
+        .dropDuplicatesWithinWatermark(["__digest"])
+    )

@@ -173,3 +173,52 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     gv = got["value_asof"].astype(float).values
     ev = expected["value_asof"].astype(float).values
     assert ((np.isnan(gv) & np.isnan(ev)) | np.isclose(gv, ev, atol=1e-9)).all()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """In-flight exact dedup: duplicated content across (and within)
+    micro-batch files collapses to one row per digest while watermark
+    state stays bounded."""
+    import pandas as pd
+
+    from pic2vec_spark.streaming import streaming_dedup
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    pdf = synth_images_pdf(12, seed=42)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    pdf["ingest_ts"] = [base + pd.Timedelta(seconds=i) for i in range(len(pdf))]
+    # duplicate every row (producer retry), also across the two drops
+    dup = pdf.copy()
+    dup["ingest_ts"] = dup["ingest_ts"] + pd.Timedelta(seconds=30)
+    from pyspark.sql import types as T
+
+    schema_t = T.StructType(
+        list(IMAGES_SCHEMA.fields)
+        + [T.StructField("ingest_ts", T.TimestampType())]
+    )
+    spark.createDataFrame(
+        pd.concat([pdf, dup.iloc[:6]]), schema=schema_t
+    ).coalesce(1).write.parquet(str(src / "d1"))
+    spark.createDataFrame(dup.iloc[6:], schema=schema_t).coalesce(
+        1
+    ).write.parquet(str(src / "d2"))
+
+    stream = spark.readStream.schema(schema_t).parquet(str(src) + "/*")
+    out_dir = tmp_path / "out"
+    q = (
+        streaming_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = spark.read.parquet(str(out_dir)).toPandas()
+    # the 12 source rows carry some synth-duplicate content (hot
+    # clusters) — output must have exactly one row per distinct digest
+    n_digests = got["__digest"].nunique()
+    assert len(got) == n_digests
+    assert n_digests <= 12
+    assert n_digests >= 6
