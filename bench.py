@@ -68,7 +68,9 @@ def flagship(spark, sf_dir: str, n_images: int, images=None):
         images = _images_snapshot(spark, n_images)
     timeline = em._timeline_from_events(spark, sf_dir, n_images)
     plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
-    return point_in_time_features(images, timeline, plan)
+    # pinned to the shuffle as-of path: cross-round bench comparability
+    # (auto would flip to broadcast for sub-50k-feature-row timelines)
+    return point_in_time_features(images, timeline, plan, asof_strategy="shuffle")
 
 
 def main() -> None:

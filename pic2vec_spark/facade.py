@@ -69,6 +69,7 @@ class ImageFeaturizer:
     # ------------------------------------------------------------ state
 
     def _reset(self) -> None:
+        self._grayscale = False
         self.data: DataFrame | None = None  # decoded image table
         self.df_original: DataFrame | None = None
         self.full_dataframe: DataFrame | None = None
@@ -131,6 +132,22 @@ class ImageFeaturizer:
                         f"image column {col!r} missing from CSV header "
                         f"{original.columns}"
                     )
+            # S4 zero-overlap guard (sources.combined_csv_directory /
+            # feature_preprocessing.py:216-222): a CSV whose refs match
+            # NO directory image must error, not silently featurize
+            # every row as missing=True zero vectors.
+            refs = None
+            for col in image_columns:
+                one = original.select(F.col(col).alias("image_id"))
+                refs = one if refs is None else refs.unionByName(one)
+            overlap = refs.filter(
+                F.col("image_id").isNotNull() & (F.col("image_id") != "")
+            ).join(images.select("image_id"), "image_id")
+            if overlap.limit(1).count() == 0:
+                raise ValueError(
+                    "Something is wrong: no images in the directory match "
+                    "the CSV's image column (zero overlap)."
+                )
         else:
             # dir-only CREATES the frame (ref _create_df_with_image_paths):
             # one row per directory image, natural order as row_id
@@ -146,6 +163,7 @@ class ImageFeaturizer:
         )
         if save_data:
             self.data = decoded
+        self._grayscale = grayscale
         self.df_original = original
         self.image_columns = image_columns
         self.csv_path = csv_path
@@ -170,6 +188,17 @@ class ImageFeaturizer:
         ``pd.concat(axis=1)``, image_featurizer.py:332, made keyed)."""
         if self.data is None or self.df_original is None:
             raise IOError("Must load data into the model first. Call load_data.")
+        if self._grayscale:
+            # fail fast with the real reason: the CNN input layer is
+            # (H, W, 3), so grayscale-decoded tensors can never be
+            # featurized (the reference's grayscale flag has the same
+            # incompatibility with its imagenet models); grayscale
+            # load_data is for inspecting decoded luma tensors only.
+            raise ValueError(
+                "data was loaded with grayscale=True, which cannot feed "
+                "the 3-channel CNN — reload with grayscale=False to "
+                "featurize (grayscale decode is inspection-only)"
+            )
 
         from pic2vec_spark.featurize import (
             _zero_features,
@@ -177,8 +206,14 @@ class ImageFeaturizer:
         )
         from pic2vec_spark.model import model_weights
 
-        feats = featurize_preloaded(self.data, self.plan).select(
-            "image_id", "missing", "features"
+        # localCheckpoint(eager): every per-column join below references
+        # this subtree — without materialization the decode+CNN pass
+        # would re-run once PER image column (the same hazard
+        # featurize_multi_column guards against, featurize.py:507-516)
+        feats = (
+            featurize_preloaded(self.data, self.plan)
+            .select("image_id", "missing", "features")
+            .localCheckpoint(eager=True)
         )
         zero_vec = _zero_features(
             self.plan,
@@ -223,7 +258,12 @@ class ImageFeaturizer:
             ]
 
         self.full_dataframe = full
-        features_df = full.select(*feat_cols)
+        # keep row_id in the features frame so the features-only CSV can
+        # be written in the SAME order as the main CSV (save_csv sorts
+        # both by row_id and strips it) — without it the two files' rows
+        # would not correspond
+        order = ["row_id"] if "row_id" in full.columns else []
+        features_df = full.select(*order, *feat_cols)
         if save_features:
             self.features = features_df
         if save_csv:
@@ -315,12 +355,17 @@ class ImageFeaturizer:
         if parent:
             os.makedirs(parent, exist_ok=True)
 
-        pdf = self.full_dataframe.toPandas()
-        if "row_id" in pdf.columns:  # internal order key, not user data
-            pdf = pdf.sort_values("row_id").drop(columns="row_id")
-        pdf.to_csv(f"{name}{ext}", index=False)
+        def _ordered(df: DataFrame):
+            pdf = df.toPandas()
+            if "row_id" in pdf.columns:  # internal order key, not user data
+                pdf = pdf.sort_values("row_id").drop(columns="row_id")
+            return pdf
+
+        _ordered(self.full_dataframe).to_csv(f"{name}{ext}", index=False)
         if save_features and self.features is not None:
-            self.features.toPandas().to_csv(
+            # same row_id sort as the main CSV: the two files' rows
+            # correspond 1:1, like the reference's pair of CSVs
+            _ordered(self.features).to_csv(
                 f"{name}_features_only{ext}", index=False
             )
         return f"{name}{ext}"

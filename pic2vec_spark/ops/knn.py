@@ -129,7 +129,12 @@ def lsh_bucket_topk(
     gaussian vectors (the hard case — no cluster structure to exploit);
     clustered real embeddings prune far better.  More planes = smaller
     buckets = faster but lower recall; more tables buys recall back."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        # empty corpus: the exact path is lazy and yields the correctly
+        # typed empty result without needing a probe row for the dim
+        return cosine_topk(corpus, queries, k, id_col, vec_col)
+    dim = len(head[0])
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
 
     def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
@@ -314,7 +319,12 @@ def cosine_neardup_pairs_lsh(
     ~n^2/16 per table worst-case on unclustered data, but real near-dup
     corpora cluster, concentrating true pairs and spreading non-pairs.
     Output: (id1, id2, cos), id1 < id2."""
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        # empty input: the exact path is lazy and yields the correctly
+        # typed empty pairs frame (no dim probe row exists to plan LSH)
+        return cosine_neardup_pairs(df, threshold, id_col, vec_col)
+    dim = len(head[0])
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     b = _bucketize(
         df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),

@@ -52,14 +52,17 @@ def run_job(parallelism: int, images_root: str) -> float:
     images = t.scan()
     timeline = em._timeline_from_events(spark, SF_DIR, N_IMAGES)
     plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
-    # warm JVM + python workers on a small slice (excluded from timing)
+    # warm JVM + python workers on a small slice (excluded from timing).
+    # asof_strategy is PINNED to the shuffle path so every sweep across
+    # rounds measures the identical algorithm (the auto switch would
+    # pick broadcast for small timelines and invalidate comparisons).
     point_in_time_features(
-        images.limit(64), timeline.limit(2000), plan
+        images.limit(64), timeline.limit(2000), plan, asof_strategy="shuffle"
     ).write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
-    point_in_time_features(images, timeline, plan).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    point_in_time_features(
+        images, timeline, plan, asof_strategy="shuffle"
+    ).write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
     spark.stop()
     return sec
@@ -112,7 +115,7 @@ def main() -> None:
         "n_to_4n": pairs,
     }
     out_md = os.environ.get("SCALING_OUT_MD", "BENCH/BASELINE.md")
-    Path("BENCH").mkdir(exist_ok=True)
+    Path(out_md).parent.mkdir(parents=True, exist_ok=True)
     md = [
         "# BENCH/BASELINE.md — measured engine performance\n",
         f"Job: flagship `pit_featurize_asof` — snapshot scan of {N_IMAGES} synthetic",

@@ -311,3 +311,14 @@ def test_stratified_sample_exact_proportions(spark):
     assert counts["small"] == 3      # ceil(0.3 * 7) — small stratum kept
     out2 = stratified_sample(df.repartition(7), "s", "k", fraction=0.3).toPandas()
     assert sorted(out2.k) == sorted(out.k)  # deterministic membership
+
+
+def test_lsh_ops_handle_empty_input(spark):
+    from pic2vec_spark.ops.knn import (
+        cosine_neardup_pairs_lsh,
+        lsh_bucket_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    assert cosine_neardup_pairs_lsh(empty).count() == 0
+    assert lsh_bucket_topk(empty, empty).count() == 0

@@ -167,3 +167,42 @@ def test_clear_input(spark, featurizer, img_dir):
     featurizer.clear_input(confirm=True)
     assert featurizer.data is None
     assert featurizer.image_columns == []
+
+
+def test_grayscale_fails_fast_with_reason(spark, featurizer, img_dir):
+    featurizer.load_data("images", image_path=img_dir, grayscale=True)
+    with pytest.raises(ValueError, match="grayscale"):
+        featurizer.featurize_preloaded_data()
+    featurizer.load_data("images", image_path=img_dir)  # restore rgb state
+
+
+def test_zero_overlap_csv_errors(spark, featurizer, img_dir, tmp_path):
+    """A CSV whose refs match no directory image must raise (S4 guard),
+    not silently produce all-missing zero-vector rows."""
+    p = tmp_path / "bad.csv"
+    pd.DataFrame({"images": ["/abs/path/cat.jpg", "other.png"]}).to_csv(
+        p, index=False
+    )
+    with pytest.raises(ValueError, match="no images in the directory match"):
+        featurizer.load_data("images", image_path=img_dir, csv_path=str(p))
+
+
+def test_features_only_csv_aligns_with_main_csv(
+    spark, featurizer, img_dir, csv_path, tmp_path
+):
+    """The *_features_only CSV must be row-aligned with the main CSV
+    (both sorted by the internal row_id before writing)."""
+    out_csv = str(tmp_path / "pair.csv")
+    featurizer.featurize(
+        "images", image_path=img_dir, csv_path=csv_path,
+        save_features=True, save_csv=True, new_csv_path=out_csv,
+    )
+    main = pd.read_csv(out_csv)
+    feats = pd.read_csv(str(tmp_path / "pair_features_only.csv"))
+    assert len(main) == len(feats)
+    assert "row_id" not in feats.columns
+    assert main["images_missing"].tolist() == feats["images_missing"].tolist()
+    f_cols = [c for c in feats.columns if c.startswith("images_feat_")]
+    assert np.allclose(
+        main[f_cols].to_numpy(float), feats[f_cols].to_numpy(float)
+    )

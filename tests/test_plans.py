@@ -16,9 +16,17 @@ import __spark_entry__ as em
 from tests.conftest import SF_SMOKE
 
 # queries whose constructor executes real jobs (snapshot writes, CC
-# iteration, driver-side counts) — planning them is no longer free, and
+# iteration, IVF training, the flagship's CNN + broadcast-asof collect,
+# driver-side id/count fetches) — planning them is no longer free, and
 # their plan shape is already pinned by their operator tests
-EAGER = {"snapshot_lineage", "neardup_clusters", "dedup_survivors"}
+EAGER = {
+    "snapshot_lineage",
+    "neardup_clusters",
+    "dedup_survivors",
+    "pit_featurize_asof",
+    "multi_column_widened",
+    "knn_ivf",
+}
 
 
 def _plan(spark, name: str) -> str:
@@ -71,10 +79,13 @@ def test_asof_join_single_exchange_and_pushdown(spark):
 
 
 def test_pricing_summary_partial_aggregation(spark):
-    """Map-side combine: a HashAggregate must sit below the exchange."""
+    """Map-side combine: a partial HashAggregate must sit BELOW the
+    exchange.  The plan prints parent-above-child, so the partial agg is
+    the HashAggregate appearing AFTER the Exchange in the text (the one
+    before it is the final agg, which exists regardless)."""
     plan = _plan(spark, "pricing_summary")
-    assert "HashAggregate" in plan
-    assert plan.index("HashAggregate") < plan.index("Exchange")
+    ex = plan.index("Exchange")
+    assert "HashAggregate" in plan[ex:], "no map-side partial aggregate"
 
 
 @pytest.mark.parametrize("name", ["train_test_split", "doc_token_count"])
