@@ -343,6 +343,86 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per user (the percentile_cont
+    operator class — SQL-standard linear interpolation, identical in
+    Spark's percentile() and DuckDB's quantile_cont)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts as columns (explicit value list so
+    the schema is static — the scale-correct form: an unlisted pivot
+    needs an extra distinct pass and yields data-dependent schemas)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+BIG_ORDER_PRICE = 400_000
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join class: customers with no big-ticket order (left_anti
+    against the filtered key projection — the filter pushes into the
+    orders scan and the fact side is never widened).  The price bound
+    makes the result non-trivial at every sf (every customer has SOME
+    order in this data)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = orders.filter(F.col("o_totalprice") > BIG_ORDER_PRICE).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(big, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def q_user_cohorts_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation class: INTERSECT (users who both clicked and
+    purchased) and EXCEPT (users who viewed but never purchased),
+    tagged and unioned into one cohort table."""
+    ev = _events(spark, sf_dir)
+
+    def users(et: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    both = users("click").intersect(users("purchase"))
+    lookers = users("view").subtract(users("purchase"))
+    return both.withColumn("cohort", F.lit("click_and_buy")).unionByName(
+        lookers.withColumn("cohort", F.lit("view_no_buy"))
+    )
+
+
+def q_purchase_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction class: pull the numeric field out of
+    the JSON props column at scan time (narrow projection) and
+    aggregate it per user over purchase events."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.windows import lag_lead
 
@@ -879,6 +959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
+        "user_value_quantiles": q_user_value_quantiles,
+        "event_type_pivot": q_event_type_pivot,
+        "inactive_customers": q_inactive_customers,
+        "user_cohorts_setops": q_user_cohorts_setops,
+        "purchase_props_json": q_purchase_props_json,
         "pricing_rollup": q_pricing_rollup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1457,6 +1542,52 @@ def _oracle_sql_base() -> dict[str, str]:
                    epoch_us(MIN(ts)) AS first_us,
                    epoch_us(MAX(ts)) AS last_us
             FROM events GROUP BY user_id
+        """,
+        "user_value_quantiles": """
+            SELECT user_id,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 6) AS p95,
+                   ROUND(MAX(value), 6) AS vmax
+            FROM events GROUP BY user_id
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'error') AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id
+        """,
+        "inactive_customers": f"""
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > {BIG_ORDER_PRICE}
+            )
+        """,
+        "user_cohorts_setops": """
+            SELECT user_id, 'click_and_buy' AS cohort FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+            UNION ALL
+            SELECT user_id, 'view_no_buy' AS cohort FROM (
+              SELECT user_id FROM events WHERE event_type = 'view'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+        """,
+        "purchase_props_json": """
+            SELECT user_id,
+                   SUM(k) AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
+            FROM (
+              SELECT user_id,
+                     json_extract(props, '$.k')::BIGINT AS k
+              FROM events WHERE event_type = 'purchase'
+            )
+            GROUP BY user_id
         """,
         "pricing_rollup": """
             SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
