@@ -734,6 +734,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_FLOOR = 0.5
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-construction recipe in one query — what a
+    training-data pipeline actually runs: exact dedup (keep min id per
+    identical normalized text) → near-dup survivors (one per simhash
+    CC cluster) → quality floor → language filter → deterministic
+    train/test split.  Every stage is an operator checked individually
+    by its own driver query; this composes them, so the oracle is the
+    composition of their oracles.  Output: (doc_id, split)."""
+    from pic2vec_spark.ops.dedup import exact_dedup
+    from pic2vec_spark.ops.sampling import hash_split
+    from pic2vec_spark.ops.text import lang_id, quality_score
+
+    docs = _documents(spark, sf_dir)
+    keep_exact = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    clusters = q_neardup_clusters(spark, sf_dir)
+    drop_near = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    base = docs.join(keep_exact, "doc_id", "left_semi").join(
+        drop_near, "doc_id", "left_anti"
+    )
+    scored = lang_id(quality_score(base))
+    kept = scored.filter(
+        (F.col("quality") >= QUALITY_FLOOR) & (F.col("lang_pred") == "en")
+    )
+    return hash_split(kept.select("doc_id"), "doc_id", test_pct=10)
+
+
 def q_neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator composition: near-duplicate document pairs flagged by at
     least 2 of {n-gram Jaccard, MinHash-LSH candidates, SimHash Hamming}
@@ -992,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
+        "training_corpus": q_training_corpus,
         "snapshot_lineage": q_snapshot_lineage,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -1346,6 +1380,31 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, source FROM r WHERE rk <= ceil(0.2 * n)
+    """
+    # corpus construction = composition of the member oracles: exact-dup
+    # keepers ∩ near-dup survivors ∩ quality floor ∩ language filter,
+    # then the md5-bucket split (same expression as train_test_split)
+    d["training_corpus"] = f"""
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8)
+                         AS BIGINT) % 100 < 10
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+        WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM documents
+                GROUP BY md5(lower(trim(text)))
+              )
+          AND doc_id NOT IN (
+                SELECT doc_id FROM ({cc}) WHERE doc_id <> cluster_id
+              )
+          AND doc_id IN (
+                SELECT doc_id FROM ({d['doc_quality']})
+                WHERE quality >= {QUALITY_FLOOR}
+              )
+          AND doc_id IN (
+                SELECT doc_id FROM ({d['doc_lang_id']})
+                WHERE lang_pred = 'en'
+              )
     """
     d["neardup_consensus"] = f"""
         WITH j AS (SELECT id1, id2, 'jaccard' AS m FROM ({d['dedup_jaccard']})),

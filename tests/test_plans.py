@@ -23,6 +23,7 @@ EAGER = {
     "snapshot_lineage",
     "neardup_clusters",
     "dedup_survivors",
+    "training_corpus",
     "pit_featurize_asof",
     "multi_column_widened",
     "knn_ivf",
