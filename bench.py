@@ -39,6 +39,15 @@ RELATIONAL = [
     "topk_per_user",
     "pricing_summary",
     "top_customers",
+    # round 2: relational-class and training-data-layer breadth
+    "user_value_quantiles",
+    "event_type_pivot",
+    "purchase_props_json",
+    "doc_simhash",
+    "dedup_minhash_lsh",
+    "doc_tfidf",
+    "knn_lsh",
+    "train_test_split",
 ]
 
 

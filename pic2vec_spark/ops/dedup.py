@@ -173,21 +173,31 @@ def lsh_candidate_pairs(
         )
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
+    # one pass computing every band's signature, then explode — a
+    # per-band UNION would re-run the whole minhash subtree (shingle
+    # explode + groupBy) once per band
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(
-                    "band_sig"
-                ),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_sig"),
             )
-        )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(entries).alias("__bb")).select(
+        id_col,
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.band_sig").alias("band_sig"),
+    )
     a = buckets.select(F.col(id_col).alias("id1"), "band", "band_sig")
     b2 = buckets.select(F.col(id_col).alias("id2"), "band", "band_sig")
     return (
@@ -248,22 +258,34 @@ def hamming_neardup_pairs(
     buckets, then exact popcount filters."""
     chunks = max_distance + 1
     width = bits // chunks
-    rows = []
-    for c in range(chunks):
+
+    def chunk_val(c: int):
         # the last chunk absorbs the remainder bits so all `bits` are covered
         w = width if c < chunks - 1 else bits - width * (chunks - 1)
-        chunk = F.shiftright(F.col(sig_col), c * width).bitwiseAND(
+        return F.shiftright(F.col(sig_col), c * width).bitwiseAND(
             F.lit((1 << w) - 1)
         )
-        rows.append(
-            # alias (not rename) the signature: no collision when the
-            # input already carries a column named 'simhash'
-            sim.select(F.col(id_col), F.col(sig_col).alias("simhash"),
-                       F.lit(c).alias("chunk"), chunk.alias("chunk_val"))
-        )
-    buckets = rows[0]
-    for r in rows[1:]:
-        buckets = buckets.unionByName(r)
+
+    # all chunks in one projection + explode — a per-chunk UNION would
+    # re-run the upstream signature computation once per chunk.  The
+    # signature is aliased (not renamed): no collision when the input
+    # already carries a column named 'simhash'.
+    entries = F.array(
+        *[
+            F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("chunk_val"))
+            for c in range(chunks)
+        ]
+    )
+    buckets = sim.select(
+        F.col(id_col),
+        F.col(sig_col).alias("simhash"),
+        F.explode(entries).alias("__cb"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("__cb.chunk").alias("chunk"),
+        F.col("__cb.chunk_val").alias("chunk_val"),
+    )
     a = buckets.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("s1"), "chunk", "chunk_val"
     )

@@ -47,6 +47,24 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``cosine`` with a known dimension, unrolled into flat codegen-able
+    expressions.  Identical arithmetic (per-element double promotion,
+    sequential left-to-right sums, num / (sqrt*sqrt)) to the
+    higher-order-function form and the DuckDB oracle — but HOF lambdas
+    evaluate per element outside whole-stage codegen, which made the
+    candidate re-rank the dominant cost in the bucketed ANN paths."""
+    num = asq = bsq = None
+    for i in range(dim):
+        x = a[i].cast("double")
+        y = b[i].cast("double")
+        t, ta, tb = x * y, x * x, y * y
+        num = t if num is None else num + t
+        asq = ta if asq is None else asq + ta
+        bsq = tb if bsq is None else bsq + tb
+    return num / (F.sqrt(asq) * F.sqrt(bsq))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,17 +102,42 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
 
+def _plane_dot(vec: Column, plane) -> Column:
+    """Dot product against a LITERAL plane, unrolled into a flat
+    codegen-able sum.  Arithmetic is identical to the F.aggregate fold
+    (and DuckDB's list_dot_product): each element promoted to double,
+    multiplied, accumulated left-to-right — but higher-order-function
+    lambdas evaluate per element OUTSIDE whole-stage codegen, which made
+    signature computation the dominant LSH cost (~10M lambda evals for
+    a 5k-corpus bucketize); the unrolled form stays inside codegen."""
+    expr = None
+    for i, p in enumerate(plane):
+        term = vec[int(i)].cast("double") * F.lit(float(p))
+        expr = term if expr is None else expr + term
+    return expr
+
+
 def _signature(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit signature for one LSH table (planes: (n_planes, dim))."""
     sig = F.lit(0).cast("bigint")
     for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(v)) for v in plane])
-        sig = sig + F.when(_dot(vec, arr) >= 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+        sig = sig + F.when(
+            _plane_dot(vec, plane) >= 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(0)
     return sig
 
 
 def _bucketize(df: DataFrame, idc: str, vecc: str, planes: np.ndarray) -> DataFrame:
-    """Replicate df once per LSH table with (table, bucket) columns."""
+    """Replicate df once per LSH table with (table, bucket) columns.
+
+    Deliberately an n_tables-branch UNION, one table's signature per
+    branch: a single projection computing all tables' signatures (then
+    explode) concentrates n_tables*n_planes*dim unrolled terms in one
+    generated method, blowing past janino's compile budget — measured
+    ~3x SLOWER end-to-end than the union despite scanning once.  The
+    branches here re-scan only the raw source (cheap, column-pruned);
+    contrast ops/dedup, where the exploded per-branch expressions are
+    tiny and the union would re-run whole aggregation subtrees."""
     rows = []
     for t in range(planes.shape[0]):
         rows.append(
@@ -154,7 +197,9 @@ def lsh_bucket_topk(
         .select("query_id", "qvec", "neighbor_id", "cvec")
         .distinct()
     )
-    scored = cand.withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    scored = cand.withColumn(
+        "cos", F.round(_cosine_unrolled(F.col("qvec"), F.col("cvec"), dim), 6)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -201,13 +246,30 @@ def sample_vectors(
 
 def _centroid_cos_array(vec: Column, centroids: np.ndarray) -> Column:
     """Array of round-6 cosines vec x each centroid (plan-embedded
-    literals; identical double folds to the DuckDB oracle)."""
-    return F.array(
-        *[
-            F.round(cosine(vec, F.array(*[F.lit(float(v)) for v in c])), 6)
-            for c in centroids
-        ]
-    )
+    literals).  Arithmetic matches the DuckDB oracle term for term —
+    every sum is sequential left-to-right in double — but unrolled into
+    codegen-able expressions instead of higher-order-function folds
+    (HOF lambdas run per element outside whole-stage codegen and
+    dominated cell-assignment cost); the centroid's own norm is a plan
+    constant computed with the same sequential order in Python."""
+    import math
+
+    dim = int(centroids.shape[1])
+    vsq = None
+    for i in range(dim):
+        t = vec[i].cast("double") * vec[i].cast("double")
+        vsq = t if vsq is None else vsq + t
+    vnorm = F.sqrt(vsq)
+    out = []
+    for c in centroids:
+        s = 0.0
+        for x in c:  # sequential: identical to list_dot_product's fold
+            s += float(x) * float(x)
+        cnorm = math.sqrt(s)
+        out.append(
+            F.round(_plane_dot(vec, c) / (vnorm * F.lit(cnorm)), 6)
+        )
+    return F.array(*out)
 
 
 def ivf_topk(
@@ -266,7 +328,15 @@ def ivf_topk(
     cand = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _cosine_unrolled(
+                    F.col("qvec"), F.col("cvec"), int(centroids.shape[1])
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -343,7 +413,9 @@ def cosine_neardup_pairs_lsh(
         .distinct()
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        cand.withColumn(
+            "cos", F.round(_cosine_unrolled(F.col("v1"), F.col("v2"), dim), 6)
+        )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
