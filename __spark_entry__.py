@@ -753,12 +753,11 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_exact = exact_dedup(docs, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
-    clusters = q_neardup_clusters(spark, sf_dir)
-    drop_near = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
+    # reuse the member query (not a re-implementation of its drop rule):
+    # a future change to the survivor rule stays in ONE place
+    survivors = q_dedup_survivors(spark, sf_dir)
     base = docs.join(keep_exact, "doc_id", "left_semi").join(
-        drop_near, "doc_id", "left_anti"
+        survivors, "doc_id", "left_semi"
     )
     scored = lang_id(quality_score(base))
     kept = scored.filter(
@@ -1381,22 +1380,14 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source FROM r WHERE rk <= ceil(0.2 * n)
     """
-    # corpus construction = composition of the member oracles: exact-dup
-    # keepers ∩ near-dup survivors ∩ quality floor ∩ language filter,
-    # then the md5-bucket split (same expression as train_test_split)
+    # corpus construction = composition of the MEMBER oracles (reused
+    # verbatim, so this gate can never drift from the per-stage gates):
+    # split assignment ∩ exact-dup keepers ∩ near-dup survivors ∩
+    # quality floor ∩ language filter
     d["training_corpus"] = f"""
-        SELECT doc_id,
-               CASE WHEN CAST('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8)
-                         AS BIGINT) % 100 < 10
-                    THEN 'test' ELSE 'train' END AS split
-        FROM documents
-        WHERE doc_id IN (
-                SELECT MIN(doc_id) FROM documents
-                GROUP BY md5(lower(trim(text)))
-              )
-          AND doc_id NOT IN (
-                SELECT doc_id FROM ({cc}) WHERE doc_id <> cluster_id
-              )
+        SELECT doc_id, split FROM ({d['train_test_split']})
+        WHERE doc_id IN (SELECT keep_id FROM ({d['dedup_exact']}))
+          AND doc_id IN (SELECT doc_id FROM ({d['dedup_survivors']}))
           AND doc_id IN (
                 SELECT doc_id FROM ({d['doc_quality']})
                 WHERE quality >= {QUALITY_FLOOR}

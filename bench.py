@@ -27,6 +27,8 @@ from pic2vec_spark.session import get_spark  # noqa: E402
 
 N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4096"))
 
+# the headline metric sums flagship + THESE (the round-1 set, frozen so
+# `value` stays comparable across rounds' BENCH_r{N}.json files)
 RELATIONAL = [
     "asof_join",
     "asof_nearest",
@@ -39,7 +41,11 @@ RELATIONAL = [
     "topk_per_user",
     "pricing_summary",
     "top_customers",
-    # round 2: relational-class and training-data-layer breadth
+]
+
+# round-2 breadth queries: timed and reported per-query + as a separate
+# `extended_sec` total, EXCLUDED from the headline `value`
+EXTENDED = [
     "user_value_quantiles",
     "event_type_pivot",
     "purchase_props_json",
@@ -117,6 +123,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        extended[name] = round(time.perf_counter() - t0, 3)
+    timings.update(extended)
     print(
         json.dumps(
             {
@@ -128,6 +141,7 @@ def main() -> None:
                 "images": N_BENCH_IMAGES,
                 "images_per_sec": round(N_BENCH_IMAGES / flagship_sec, 1),
                 "flagship_runs_sec": flagship_runs,
+                "extended_sec": round(sum(extended.values()), 3),
                 "cpus": cpus,
             }
         )

@@ -18,6 +18,15 @@
 Determinism: hyperplanes come from a seeded NumPy RNG and are embedded
 as literal arrays in the plan, so results are partition-invariant and
 reproducible; tests check LSH recall against the exact path.
+
+Compile-vs-run tradeoff: the literal-plane/known-dim math is UNROLLED
+into flat codegen expressions (see ``_plane_dot``/``_cosine_unrolled``)
+rather than higher-order-function folds.  This costs a one-time ~10s of
+janino compilation per generated class per JVM (noticeable on a cold
+500-row smoke run), but per-row evaluation is ~100x cheaper than
+interpreted HOF lambdas — at the 10^9-row design point the compile cost
+amortizes to nothing while the HOF form would burn CPU-hours per
+billion rows.
 """
 
 from __future__ import annotations
@@ -53,7 +62,18 @@ def _cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     sequential left-to-right sums, num / (sqrt*sqrt)) to the
     higher-order-function form and the DuckDB oracle — but HOF lambdas
     evaluate per element outside whole-stage codegen, which made the
-    candidate re-rank the dominant cost in the bucketed ANN paths."""
+    candidate re-rank the dominant cost in the bucketed ANN paths.
+
+    The bucketed ANN operators' contract is FIXED-dimension embeddings
+    (their signatures are computed over the probed ``dim`` already);
+    rows of a different length yield NULL here — excluded by threshold
+    filters and ranked last by desc windows — rather than a silently
+    truncated similarity.  The guard stays a plain size comparison: an
+    ``otherwise(cosine(...))`` fallback would drag a CodegenFallback
+    HOF into the expression and force the whole re-rank interpreted.
+    dim-0 probes yield NULL like the old form's 0/0 did."""
+    if dim == 0:
+        return F.lit(None).cast("double")
     num = asq = bsq = None
     for i in range(dim):
         x = a[i].cast("double")
@@ -62,7 +82,10 @@ def _cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
         num = t if num is None else num + t
         asq = ta if asq is None else asq + ta
         bsq = tb if bsq is None else bsq + tb
-    return num / (F.sqrt(asq) * F.sqrt(bsq))
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim),
+        num / (F.sqrt(asq) * F.sqrt(bsq)),
+    )
 
 
 def cosine_topk(
@@ -114,7 +137,8 @@ def _plane_dot(vec: Column, plane) -> Column:
     for i, p in enumerate(plane):
         term = vec[int(i)].cast("double") * F.lit(float(p))
         expr = term if expr is None else expr + term
-    return expr
+    # empty plane (dim-0 probe row): the fold's identity, not None
+    return F.lit(0.0) if expr is None else expr
 
 
 def _signature(vec: Column, planes: np.ndarray) -> Column:
