@@ -124,11 +124,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # best-of-2: the LSH-family queries pay a one-time janino compile of
+    # their unrolled expressions on first execution (~10-30 s, see
+    # ops/knn.py docstring) — the second run is the steady state a long
+    # job actually sees
     extended: dict[str, float] = {}
     for name in EXTENDED:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        extended[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        extended[name] = min(runs)
     timings.update(extended)
     print(
         json.dumps(

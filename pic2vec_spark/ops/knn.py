@@ -56,7 +56,7 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
-def _cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+def _cosine_unrolled(a: str, b: str, dim: int) -> Column:
     """``cosine`` with a known dimension, unrolled into flat codegen-able
     expressions.  Identical arithmetic (per-element double promotion,
     sequential left-to-right sums, num / (sqrt*sqrt)) to the
@@ -71,20 +71,23 @@ def _cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     truncated similarity.  The guard stays a plain size comparison: an
     ``otherwise(cosine(...))`` fallback would drag a CodegenFallback
     HOF into the expression and force the whole re-rank interpreted.
-    dim-0 probes yield NULL like the old form's 0/0 did."""
+    dim-0 probes yield NULL like the old form's 0/0 did.
+
+    ``a``/``b`` are COLUMN NAMES: the expression is emitted as one SQL
+    string and parsed JVM-side in a single py4j call (see
+    ``_plane_dot`` for why)."""
     if dim == 0:
         return F.lit(None).cast("double")
-    num = asq = bsq = None
-    for i in range(dim):
-        x = a[i].cast("double")
-        y = b[i].cast("double")
-        t, ta, tb = x * y, x * x, y * y
-        num = t if num is None else num + t
-        asq = ta if asq is None else asq + ta
-        bsq = tb if bsq is None else bsq + tb
-    return F.when(
-        (F.size(a) == dim) & (F.size(b) == dim),
-        num / (F.sqrt(asq) * F.sqrt(bsq)),
+
+    def term(n: str, i: int) -> str:
+        return f"CAST(`{n}`[{i}] AS DOUBLE)"
+
+    num = " + ".join(f"({term(a, i)} * {term(b, i)})" for i in range(dim))
+    asq = " + ".join(f"({term(a, i)} * {term(a, i)})" for i in range(dim))
+    bsq = " + ".join(f"({term(b, i)} * {term(b, i)})" for i in range(dim))
+    return F.expr(
+        f"CASE WHEN size(`{a}`) = {dim} AND size(`{b}`) = {dim} "
+        f"THEN ({num}) / (SQRT({asq}) * SQRT({bsq})) END"
     )
 
 
@@ -125,30 +128,37 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
 
-def _plane_dot(vec: Column, plane) -> Column:
+def _plane_dot(vec: str, plane) -> str:
     """Dot product against a LITERAL plane, unrolled into a flat
     codegen-able sum.  Arithmetic is identical to the F.aggregate fold
     (and DuckDB's list_dot_product): each element promoted to double,
     multiplied, accumulated left-to-right — but higher-order-function
     lambdas evaluate per element OUTSIDE whole-stage codegen, which made
     signature computation the dominant LSH cost (~10M lambda evals for
-    a 5k-corpus bucketize); the unrolled form stays inside codegen."""
-    expr = None
-    for i, p in enumerate(plane):
-        term = vec[int(i)].cast("double") * F.lit(float(p))
-        expr = term if expr is None else expr + term
-    # empty plane (dim-0 probe row): the fold's identity, not None
-    return F.lit(0.0) if expr is None else expr
+    a 5k-corpus bucketize); the unrolled form stays inside codegen.
+
+    ``vec`` is a COLUMN NAME: the whole sum is emitted as one SQL string
+    and parsed JVM-side in a single py4j call — building it as Column
+    objects costs thousands of py4j round-trips (~25 s of pure Python
+    plan-construction per query, measured)."""
+    if len(plane) == 0:
+        # empty plane (dim-0 probe row): the fold's identity, not None
+        return "CAST(0.0 AS DOUBLE)"
+    return " + ".join(
+        f"(CAST(`{vec}`[{i}] AS DOUBLE) * {float(p)!r}D)"
+        for i, p in enumerate(plane)
+    )
 
 
-def _signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature for one LSH table (planes: (n_planes, dim))."""
-    sig = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        sig = sig + F.when(
-            _plane_dot(vec, plane) >= 0, F.lit(1 << j).cast("bigint")
-        ).otherwise(0)
-    return sig
+def _signature(vec: str, planes: np.ndarray) -> Column:
+    """Sign-bit signature for one LSH table (planes: (n_planes, dim));
+    ``vec`` is a column name (see ``_plane_dot``)."""
+    terms = [
+        f"(CASE WHEN ({_plane_dot(vec, plane)}) >= 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, plane in enumerate(planes)
+    ]
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def _bucketize(df: DataFrame, idc: str, vecc: str, planes: np.ndarray) -> DataFrame:
@@ -169,7 +179,7 @@ def _bucketize(df: DataFrame, idc: str, vecc: str, planes: np.ndarray) -> DataFr
                 F.col(idc),
                 F.col(vecc),
                 F.lit(t).alias("table"),
-                _signature(F.col(vecc), planes[t]).alias("bucket"),
+                _signature(vecc, planes[t]).alias("bucket"),
             )
         )
     out = rows[0]
@@ -222,7 +232,7 @@ def lsh_bucket_topk(
         .distinct()
     )
     scored = cand.withColumn(
-        "cos", F.round(_cosine_unrolled(F.col("qvec"), F.col("cvec"), dim), 6)
+        "cos", F.round(_cosine_unrolled("qvec", "cvec", dim), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -268,22 +278,24 @@ def sample_vectors(
     return np.array([list(r[1]) for r in rows], dtype=np.float64)
 
 
-def _centroid_cos_array(vec: Column, centroids: np.ndarray) -> Column:
+def _centroid_cos_array(vec: str, centroids: np.ndarray) -> Column:
     """Array of round-6 cosines vec x each centroid (plan-embedded
     literals).  Arithmetic matches the DuckDB oracle term for term —
     every sum is sequential left-to-right in double — but unrolled into
     codegen-able expressions instead of higher-order-function folds
     (HOF lambdas run per element outside whole-stage codegen and
     dominated cell-assignment cost); the centroid's own norm is a plan
-    constant computed with the same sequential order in Python."""
+    constant computed with the same sequential order in Python.
+    ``vec`` is a COLUMN NAME (single-py4j-call SQL text, see
+    ``_plane_dot``)."""
     import math
 
     dim = int(centroids.shape[1])
-    vsq = None
-    for i in range(dim):
-        t = vec[i].cast("double") * vec[i].cast("double")
-        vsq = t if vsq is None else vsq + t
-    vnorm = F.sqrt(vsq)
+    vsq = " + ".join(
+        f"(CAST(`{vec}`[{i}] AS DOUBLE) * CAST(`{vec}`[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    vnorm = f"SQRT({vsq})"
     out = []
     for c in centroids:
         s = 0.0
@@ -291,9 +303,9 @@ def _centroid_cos_array(vec: Column, centroids: np.ndarray) -> Column:
             s += float(x) * float(x)
         cnorm = math.sqrt(s)
         out.append(
-            F.round(_plane_dot(vec, c) / (vnorm * F.lit(cnorm)), 6)
+            f"ROUND(({_plane_dot(vec, c)}) / ({vnorm} * {cnorm!r}D), 6)"
         )
-    return F.array(*out)
+    return F.expr("array(" + ", ".join(out) + ")")
 
 
 def ivf_topk(
@@ -328,7 +340,7 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec"),
-            cos_arr(F.col(vec_col), centroids).alias("__cos"),
+            cos_arr(vec_col, centroids).alias("__cos"),
         )
         .select(
             "neighbor_id",
@@ -339,7 +351,7 @@ def ivf_topk(
     qc = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.posexplode(cos_arr(F.col(vec_col), centroids)).alias("cell0", "ccos"),
+        F.posexplode(cos_arr(vec_col, centroids)).alias("cell0", "ccos"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell0").asc()
@@ -355,10 +367,7 @@ def ivf_topk(
         .withColumn(
             "cos",
             F.round(
-                _cosine_unrolled(
-                    F.col("qvec"), F.col("cvec"), int(centroids.shape[1])
-                ),
-                6,
+                _cosine_unrolled("qvec", "cvec", int(centroids.shape[1])), 6
             ),
         )
     )
@@ -438,7 +447,7 @@ def cosine_neardup_pairs_lsh(
     )
     return (
         cand.withColumn(
-            "cos", F.round(_cosine_unrolled(F.col("v1"), F.col("v2"), dim), 6)
+            "cos", F.round(_cosine_unrolled("v1", "v2", dim), 6)
         )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
