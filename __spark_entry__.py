@@ -423,6 +423,41 @@ def q_purchase_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW_S = 7200
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join class (1:N point-in-interval, vs the as-of join's
+    latest-1:1): every non-purchase event falling inside the 2-hour
+    attribution window that FOLLOWS a purchase by the same user.
+    Bucketed equi-join formulation — never a per-key cross product."""
+    from pic2vec_spark.ops.ranges import range_join
+
+    ev = _events(spark, sf_dir)
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 2 HOURS"))
+        .cast("timestamp_ntz")
+        .alias("w_end"),
+    )
+    hits = range_join(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "event_id", "user_id", "ts", "event_type"
+        ),
+        windows,
+        ts="ts",
+        start="w_start",
+        end="w_end",
+        on="user_id",
+        bucket_s=float(ATTRIBUTION_WINDOW_S),
+    )
+    return hits.select(
+        "purchase_id", "event_id", "user_id", _us("ts").alias("ts_us"), "event_type"
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.windows import lag_lead
 
@@ -991,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
+        "purchase_attribution": q_purchase_attribution,
         "user_value_quantiles": q_user_value_quantiles,
         "event_type_pivot": q_event_type_pivot,
         "inactive_customers": q_inactive_customers,
@@ -1592,6 +1628,15 @@ def _oracle_sql_base() -> dict[str, str]:
                    epoch_us(MIN(ts)) AS first_us,
                    epoch_us(MAX(ts)) AS last_us
             FROM events GROUP BY user_id
+        """,
+        "purchase_attribution": f"""
+            SELECT p.event_id AS purchase_id, e.event_id, e.user_id,
+                   epoch_us(e.ts) AS ts_us, e.event_type
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id
+             AND p.event_type = 'purchase' AND e.event_type <> 'purchase'
+             AND epoch_us(e.ts) >= epoch_us(p.ts)
+             AND epoch_us(e.ts) < epoch_us(p.ts) + {ATTRIBUTION_WINDOW_S}::BIGINT * 1000000
         """,
         "user_value_quantiles": """
             SELECT user_id,

@@ -402,3 +402,85 @@ def test_decayed_sum_grouped_tiebreak_matches_window(spark):
     )
     # the tied rows must carry DIFFERENT running values (order matters)
     assert a.loc[1, "decayed_sum"] != a.loc[2, "decayed_sum"]
+
+
+def test_range_join_semantics_and_boundaries(spark):
+    """Half-open [start, end): ts==start matches, ts==end does not;
+    key isolation; long intervals spanning many buckets still match;
+    empty intervals match nothing — checked against a naive non-equi
+    join on the same data."""
+    from pic2vec_spark.ops.ranges import range_join
+
+    pts = pd.DataFrame(
+        {"pid": range(8),
+         "entity_id": [1, 1, 1, 1, 2, 2, 2, 2],
+         "ts": [0.0, 5.0, 10.0, 25.0, 5.0, 99.0, 100.0, 250.0]}
+    )
+    iv = pd.DataFrame(
+        {"iid": [10, 11, 12, 13],
+         "entity_id": [1, 1, 2, 2],
+         "start": [5.0, 20.0, 0.0, 30.0],
+         # 12 spans many 7s-buckets; 13 is empty (end <= start)
+         "end": [10.0, 30.0, 100.0, 30.0]}
+    )
+    got = (
+        range_join(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            ts="ts", start="start", end="end", on="entity_id", bucket_s=7.0,
+        )
+        .select("pid", "iid").toPandas()
+    )
+    got_pairs = set(zip(got.pid, got.iid))
+    naive = (
+        spark.createDataFrame(pts).alias("p")
+        .join(spark.createDataFrame(iv).alias("i"), on="entity_id")
+        .filter("start <= ts AND ts < end")
+        .select("pid", "iid").toPandas()
+    )
+    assert got_pairs == set(zip(naive.pid, naive.iid))
+    assert (1, 10) in got_pairs      # ts == start included
+    assert (2, 10) not in got_pairs  # ts == end excluded
+    assert (4, 12) in got_pairs and (5, 12) in got_pairs  # long interval
+    assert (6, 12) not in got_pairs  # ts == end of the long interval
+    assert not any(i == 13 for _, i in got_pairs)  # empty interval
+    # no duplicate pairs (a point meets an interval in exactly one bucket)
+    assert len(got) == len(got_pairs)
+
+
+def test_range_join_timestamp_exact_boundary(spark):
+    """Timestamp columns compare as integer epoch-µs: a point exactly
+    1 µs before the window end matches, exactly at it does not."""
+    from pic2vec_spark.ops.ranges import range_join
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    end = base + pd.Timedelta(hours=2)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"pid": [1, 2],
+             "k": [1, 1],
+             "ts": [end - pd.Timedelta(microseconds=1), end]}
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"iid": [9], "k": [1], "start": [base], "end": [end]})
+    )
+    got = range_join(
+        pts, iv, ts="ts", start="start", end="end", on="k", bucket_s=3600.0
+    ).select("pid").toPandas()
+    assert got.pid.tolist() == [1]
+
+
+def test_range_join_rejects_mixed_and_bad_bucket(spark):
+    from pic2vec_spark.ops.ranges import range_join
+
+    pts = spark.createDataFrame([(1, 1.0)], "pid int, ts double")
+    iv = spark.createDataFrame(
+        pd.DataFrame({"iid": [1], "start": [pd.Timestamp("2026-01-01")],
+                      "end": [pd.Timestamp("2026-01-02")]})
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="all be timestamps"):
+        range_join(pts, iv)
+    with pytest.raises(ValueError, match="bucket_s"):
+        range_join(pts, pts.selectExpr("ts as start", "ts as end"), bucket_s=0)
