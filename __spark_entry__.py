@@ -343,6 +343,45 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 16  # below the ~31-token per-source vocab so the ESTIMATOR branch runs
+
+
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup cascade: raw events → hourly partials →
+    daily FROM the hourly partials (sum-of-sums / count-of-counts /
+    min-of-mins / max-of-maxes; avg derived).  The oracle aggregates
+    daily DIRECTLY from raw, so a match proves the re-aggregation
+    hierarchy is lossless."""
+    from pic2vec_spark.ops.rollup import reaggregate, time_rollup
+
+    hourly = time_rollup(_events(spark, sf_dir), "hour")
+    daily = reaggregate(hourly, "day")
+    return daily.select(
+        "user_id",
+        F.unix_micros(F.col("bucket_ts").cast("timestamp")).alias("day_us"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
+def q_distinct_tokens_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-sketch class: KMV distinct-count estimate of the token
+    vocabulary per document source.  The sketch is md5-deterministic,
+    so — unlike HLL — the ESTIMATE itself is oracle-checkable."""
+    from pic2vec_spark.ops.rollup import kmv_distinct
+
+    terms = _documents(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"([a-z]+)"), 1)
+        ).alias("term"),
+    )
+    return kmv_distinct(terms, "source", "term", k=KMV_K)
+
+
 def q_user_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per user (the percentile_cont
     operator class — SQL-standard linear interpolation, identical in
@@ -1027,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
         "purchase_attribution": q_purchase_attribution,
+        "daily_rollup": q_daily_rollup,
+        "distinct_tokens_kmv": q_distinct_tokens_kmv,
         "user_value_quantiles": q_user_value_quantiles,
         "event_type_pivot": q_event_type_pivot,
         "inactive_customers": q_inactive_customers,
@@ -1628,6 +1669,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    epoch_us(MIN(ts)) AS first_us,
                    epoch_us(MAX(ts)) AS last_us
             FROM events GROUP BY user_id
+        """,
+        "daily_rollup": """
+            SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value,
+                   ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "distinct_tokens_kmv": f"""
+            WITH terms AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+              FROM documents
+            ), h AS (
+              SELECT DISTINCT source,
+                     CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)::DOUBLE
+                       / 1152921504606846976.0 AS h
+              FROM terms
+            ), r AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+              FROM h
+            ), t AS (
+              SELECT source, COUNT(*) AS n_hashes, MAX(h) AS h_k
+              FROM r WHERE rk <= {KMV_K} GROUP BY source
+            )
+            SELECT source, n_hashes, ROUND(h_k, 12) AS h_k,
+                   ROUND(CASE WHEN n_hashes >= {KMV_K}
+                         THEN ({KMV_K} - 1) / h_k
+                         ELSE n_hashes::DOUBLE END, 2) AS distinct_est
+            FROM t
         """,
         "purchase_attribution": f"""
             SELECT p.event_id AS purchase_id, e.event_id, e.user_id,

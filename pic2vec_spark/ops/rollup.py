@@ -1,0 +1,120 @@
+"""Hypertable-style rollup cascade + a deterministic distinct sketch.
+
+``time_rollup`` / ``reaggregate``: the continuous-aggregate pattern
+(TimescaleDB hypertable rollups, Druid/Pinot star-tree levels): raw
+events aggregate once into fine buckets, coarser levels re-aggregate
+the PARTIALS (sum of sums, count of counts, min of mins, max of maxes;
+avg derived as sum/count at read time).  At 100 TB the raw table is
+read once per fine bucket ever — every coarser query touches only the
+rollup, which is orders of magnitude smaller.  All stats kept here are
+re-aggregable by construction; non-decomposable stats (medians,
+distinct counts) belong in sketches — see ``kmv_distinct``.
+
+``kmv_distinct``: K-Minimum-Values distinct-count sketch.  Hash every
+key to a uniform double in [0, 1) via an md5 prefix (DETERMINISTIC —
+unlike HLL's implementation-specific sketches, two engines computing
+KMV over md5 agree bit-for-bit, so the estimate itself is
+oracle-checkable); keep each group's k smallest distinct hashes; if the
+group has >= k distinct hashes the k-th smallest h_k estimates the
+cardinality as (k-1)/h_k, else the count of distinct hashes IS the
+exact cardinality.  The per-group state is k doubles — constant — and
+the Spark plan keeps it bounded end-to-end: row_number over (group,
+hash asc) is pruned map-side by WindowGroupLimit, so only O(k) rows
+per group ever shuffle.  Standard error ~ 1/sqrt(k-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# re-aggregable partials produced by time_rollup
+_STATS = ("n_events", "sum_value", "min_value", "max_value")
+
+
+def time_rollup(
+    df: DataFrame,
+    bucket: str = "hour",
+    on: str = "user_id",
+    ts: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fine-grained rollup level over raw rows: one row per
+    (entity, date_trunc(bucket, ts)) carrying re-aggregable partials."""
+    return (
+        df.groupBy(
+            F.col(on),
+            F.date_trunc(bucket, F.col(ts).cast("timestamp")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def reaggregate(
+    rollup: DataFrame, bucket: str = "day", on: str = "user_id"
+) -> DataFrame:
+    """Coarser rollup level FROM a finer one — touches only the
+    partials, never the raw table: count-of-counts, sum-of-sums,
+    min-of-mins, max-of-maxes; avg derived at read time."""
+    return (
+        rollup.groupBy(
+            F.col(on),
+            F.date_trunc(bucket, F.col("bucket_ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV approximate distinct count per group (see module docstring).
+
+    Output: (group, n_hashes [= min(k, true distinct)], h_k,
+    distinct_est rounded to 2).  Deterministic: same input -> same
+    estimate, on any engine that computes md5 identically."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    # 60-bit md5 prefix scaled to [0, 1) — exact in a double (< 2^53
+    # after division both engines round identically)
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    ).alias("h")
+    hashes = df.select(F.col(group_col), h).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    topk = hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    return (
+        topk.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            F.max("h").alias("h_k"),
+        )
+        .select(
+            group_col,
+            "n_hashes",
+            F.round("h_k", 12).alias("h_k"),
+            F.round(
+                F.when(
+                    F.col("n_hashes") >= k, (F.lit(k) - 1) / F.col("h_k")
+                ).otherwise(F.col("n_hashes").cast("double")),
+                2,
+            ).alias("distinct_est"),
+        )
+    )

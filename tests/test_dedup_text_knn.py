@@ -322,3 +322,45 @@ def test_lsh_ops_handle_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
     assert cosine_neardup_pairs_lsh(empty).count() == 0
     assert lsh_bucket_topk(empty, empty).count() == 0
+
+
+def test_rollup_cascade_lossless(spark):
+    """daily-from-hourly partials == daily-from-raw, exactly (counts,
+    min, max) / to float tolerance (sums) — the re-aggregation
+    hierarchy loses nothing."""
+    import numpy as np
+
+    from pic2vec_spark.ops.rollup import reaggregate, time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    daily_cascade = (
+        reaggregate(time_rollup(ev, "hour"), "day")
+        .toPandas().sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    daily_direct = (
+        time_rollup(ev, "day")
+        .toPandas().sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert daily_cascade["n_events"].tolist() == daily_direct["n_events"].tolist()
+    assert daily_cascade["min_value"].tolist() == daily_direct["min_value"].tolist()
+    assert daily_cascade["max_value"].tolist() == daily_direct["max_value"].tolist()
+    assert np.allclose(
+        daily_cascade["sum_value"], daily_direct["sum_value"], atol=1e-9
+    )
+
+
+def test_kmv_distinct_accuracy_and_exact_branch(spark):
+    """KMV estimate within the k=64 error bound on a 2000-key group
+    (se ~ 12.7%; deterministic, so one check pins it) and EXACT for
+    groups under k."""
+    from pic2vec_spark.ops.rollup import kmv_distinct
+
+    rows = [("big", f"key_{i}") for i in range(2000)] * 3  # dups collapse
+    rows += [("small", f"s_{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = {r.g: r for r in kmv_distinct(df, "g", "key", k=64).collect()}
+    assert out["small"].n_hashes == 40
+    assert out["small"].distinct_est == 40.0  # exact branch
+    est = out["big"].distinct_est
+    assert out["big"].n_hashes == 64
+    assert abs(est - 2000) / 2000 < 0.4, est
