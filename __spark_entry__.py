@@ -477,7 +477,10 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("w_start"),
-        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 2 HOURS"))
+        (
+            F.col("ts").cast("timestamp")
+            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        )
         .cast("timestamp_ntz")
         .alias("w_end"),
     )

@@ -76,18 +76,20 @@ def range_join(
         return c.cast("double")
 
     bucket = bucket_s * 1e6 if timey else float(bucket_s)
-    # epsilon for the half-open upper bucket: 1 µs for timestamps (their
-    # resolution), a relative hair for numerics
-    eps = 1 if timey else bucket_s * 1e-9
 
     iv = intervals.withColumn(
         _B,
         F.explode(
             F.sequence(
                 F.floor(as_num(start) / bucket),
-                # half-open: the bucket of the last INCLUDED instant
+                # replicate through floor(end/bucket) UNCONDITIONALLY:
+                # subtracting an epsilon to honor half-openness can step
+                # below a representable value just under `end` and
+                # under-replicate, silently dropping boundary points; at
+                # most one extra (empty) replica survives to the exact
+                # filter, which is the one that decides membership
                 F.greatest(
-                    F.floor((as_num(end) - eps) / bucket),
+                    F.floor(as_num(end) / bucket),
                     F.floor(as_num(start) / bucket),
                 ),
             )

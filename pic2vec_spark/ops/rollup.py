@@ -28,9 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# re-aggregable partials produced by time_rollup
-_STATS = ("n_events", "sum_value", "min_value", "max_value")
-
 
 def time_rollup(
     df: DataFrame,
@@ -88,14 +85,24 @@ def kmv_distinct(
     estimate, on any engine that computes md5 identically."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    # 60-bit md5 prefix scaled to [0, 1) — exact in a double (< 2^53
-    # after division both engines round identically)
+    # 60-bit md5 prefix scaled to [0, 1).  NOT exact in a double (60 >
+    # 53 mantissa bits): cross-engine agreement rests on both engines
+    # rounding the int->double cast to nearest-even identically and the
+    # 2^60 division being exact scaling — change either and bit parity
+    # with the oracle breaks.
     h = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
         .cast("double")
         / F.lit(float(1 << 60))
     ).alias("h")
-    hashes = df.select(F.col(group_col), h).distinct()
+    # NULL keys hash to NULL and are dropped: Spark ranks NULLS FIRST
+    # and DuckDB NULLS LAST, so a surviving NULL row would both inflate
+    # the count and desync the two engines' kept sets
+    hashes = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col), h)
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
     topk = hashes.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k

@@ -484,3 +484,20 @@ def test_range_join_rejects_mixed_and_bad_bucket(spark):
         range_join(pts, iv)
     with pytest.raises(ValueError, match="bucket_s"):
         range_join(pts, pts.selectExpr("ts as start", "ts as end"), bucket_s=0)
+
+
+def test_range_join_numeric_boundary_replication(spark):
+    """An interval whose end sits a hair above a bucket boundary must
+    still replicate into the boundary bucket: interval [0, 3+5e-10)
+    with 1s buckets contains ts=3.0 (bucket 3) — an epsilon-subtracted
+    upper-replica bound would drop it silently."""
+    from pic2vec_spark.ops.ranges import range_join
+
+    pts = spark.createDataFrame([(1, 1, 3.0)], "pid int, k int, ts double")
+    iv = spark.createDataFrame(
+        [(9, 1, 0.0, 3.0000000005)], "iid int, k int, start double, end double"
+    )
+    got = range_join(
+        pts, iv, ts="ts", start="start", end="end", on="k", bucket_s=1.0
+    ).select("pid", "iid").toPandas()
+    assert list(zip(got.pid, got.iid)) == [(1, 9)]

@@ -89,6 +89,15 @@ def test_pricing_summary_partial_aggregation(spark):
     assert "HashAggregate" in plan[ex:], "no map-side partial aggregate"
 
 
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash equi-join — a raw
+    range condition would plan as BroadcastNestedLoopJoin, the exact
+    per-key cross product the operator exists to avoid."""
+    plan = _plan(spark, "purchase_attribution")
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
 @pytest.mark.parametrize("name", ["train_test_split", "doc_token_count"])
 def test_narrow_ops_have_zero_exchanges(spark, name):
     """Pure projections must not shuffle at all."""
