@@ -1011,6 +1011,28 @@ def q_multi_column_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM-WAV audio decode + signal features over a deterministic
+    64-tone corpus (WAV parsing is not SQL-expressible → rows-only; the
+    rms/zcr/duration math is pinned by tests against closed forms)."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_wav
+    from pic2vec_spark.ops.multimodal import audio_features
+
+    t = np.arange(4000) / 8000.0
+    rows = [
+        (i, encode_wav(0.4 * np.sin(2 * np.pi * (100 + 25 * i) * t), 8000))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "clip_id int, bytes binary")
+    # mel (array column) is excluded: driver canonicalization sorts all
+    # columns and cannot hash array cells (same rule as the flagship)
+    return audio_features(df, n_mel=8).select(
+        "clip_id", "audio_ok", "sample_rate", "duration_s", "rms", "zcr"
+    )
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-derived DCT perceptual hash per image (rows-only: DCT is
     not SQL-expressible; the math is pinned by tests/test_phash.py)."""
@@ -1111,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "audio_features": q_audio_features,
         "image_phash": q_image_phash,
         "image_phash_neardup": q_image_phash_neardup,
         "image_thumbnails": q_image_thumbnails,

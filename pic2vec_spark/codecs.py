@@ -211,3 +211,73 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
 
         return encode_jpeg(img)
     raise ValueError(f"cannot encode format {fmt!r}")
+
+
+# ----------------------------------------------------------- audio (WAV)
+# RIFF/WAVE PCM is a pure container format (public spec: RIFF chunks,
+# 'fmt ' with audioFormat=1, little-endian PCM samples) — decodable with
+# stdlib + NumPy alone, so audio needs no codec library for the WAV
+# case.  Compressed audio (mp3/aac/ogg) still has no decoder in this
+# container and stays stubbed in ops/multimodal.py.
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Encode float samples in [-1, 1] (shape (n,) mono or (n, ch)) as
+    16-bit PCM RIFF/WAVE."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    raw = pcm.tobytes()
+    import struct
+
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM (8- or 16-bit, any channel count) to
+    (float32 samples scaled to [-1, 1] of shape (n, channels),
+    sample_rate).  Raises ValueError for anything that is not plain
+    PCM WAV — callers treat that as 'needs a real codec' (stub path)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not RIFF/WAVE")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or raw is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+        )
+    bytes_per_frame = channels * bits // 8
+    n = len(raw) // bytes_per_frame
+    raw = raw[: n * bytes_per_frame]
+    if bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    else:  # 8-bit WAV is UNSIGNED per the spec
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    return x.reshape(n, channels), rate

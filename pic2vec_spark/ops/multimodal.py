@@ -1,10 +1,14 @@
 """Multimodal binary-column operators.
 
-Images are fully real (our pure-NumPy codecs); audio/video decode has no
-library in this container, so the decode kernels are STUBS — a clearly
-marked deterministic fake (or NotImplementedError for strict mode) —
-while the Spark-side plumbing (schema, Arrow batching, mapInPandas
-signatures, partitioning) is real and tested, per the build brief.
+Images are fully real (our pure-NumPy codecs), and so is PCM WAV audio
+(``codecs.decode_wav`` — RIFF parsing is stdlib+NumPy, no codec library
+needed): ``audio_features`` computes genuine duration/rms/zcr/energy
+bands for WAV rows.  Compressed audio (mp3/aac/ogg) and video decode
+have no library in this container, so those kernels are STUBS — a
+clearly marked deterministic fake (or NotImplementedError for strict
+mode) — while the Spark-side plumbing (schema, Arrow batching,
+mapInPandas signatures, partitioning) is real and tested, per the
+build brief.
 
 All operators follow the same shape as the featurize pipeline: binary
 in, typed columns out, vectorized over Arrow batches, no per-row Python
@@ -130,7 +134,8 @@ def compute_phash(
 # ---------------------------------------------------------------- stubs
 
 STUB_NOTE = (
-    "audio/video decode STUB: no codec library in this container; "
+    "compressed-audio/video decode STUB: no codec library in this "
+    "container (PCM WAV decodes for real — codecs.decode_wav); "
     "deterministic fake derived from the byte content so the Spark "
     "plumbing (schema/batching/partitioning) is real and testable"
 )
@@ -187,24 +192,73 @@ def audio_features(
     bytes_col: str = "bytes",
     strict: bool = False,
 ) -> DataFrame:
-    """Per-row audio feature vector (mel-energy shaped). Decode is a
-    STUB (see STUB_NOTE); the windowed-energy math runs on the fake
-    signal so the UDF batch shape is the real one."""
+    """Per-row audio features.  PCM RIFF/WAVE bytes are decoded FOR REAL
+    (``codecs.decode_wav`` — the WAV container is plain stdlib/NumPy
+    parsing, no codec library needed) and yield genuine signal features:
+    ``audio_ok=True``, sample_rate, duration_s, rms, zero-crossing rate,
+    and ``n_mel`` log-energy bands over the mono mixdown.
+
+    Bytes that are NOT plain PCM WAV (mp3/aac/ogg — still no decoder in
+    this container) fall back to the declared deterministic STUB
+    (``audio_ok=False``; see STUB_NOTE), or raise under ``strict``."""
+    from pic2vec_spark.codecs import decode_wav
+
     schema = T.StructType(
         list(df.schema.fields)
-        + [T.StructField("mel", T.ArrayType(T.FloatType()), True)]
+        + [
+            T.StructField("audio_ok", T.BooleanType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("duration_s", T.DoubleType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("zcr", T.DoubleType(), True),
+            T.StructField("mel", T.ArrayType(T.FloatType()), True),
+        ]
     )
 
+    def bands_of(sig: np.ndarray) -> list:
+        n = max(len(sig) // n_mel, 1) * n_mel
+        padded = np.zeros(n, dtype=np.float32)
+        padded[: min(len(sig), n)] = sig[:n]
+        bands = padded.reshape(n_mel, -1)
+        return np.log1p((bands**2).mean(axis=1)).astype(np.float32).tolist()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(STUB_NOTE)
         for pdf in batches:
-            mels = []
+            oks, rates, durs, rmss, zcrs, mels = [], [], [], [], [], []
             for data in pdf[bytes_col]:
-                sig = _fake_signal(data, 1024)
-                bands = sig.reshape(n_mel, -1)
-                mels.append(np.log1p((bands**2).mean(axis=1)).astype(np.float32).tolist())
+                try:
+                    x, rate = decode_wav(bytes(data) if data is not None else b"")
+                    mono = x.mean(axis=1)
+                    oks.append(True)
+                    rates.append(rate)
+                    durs.append(round(len(mono) / rate, 6))
+                    rmss.append(
+                        round(float(np.sqrt((mono.astype(np.float64) ** 2).mean())), 6)
+                        if len(mono)
+                        else 0.0
+                    )
+                    zcrs.append(
+                        round(float((np.diff(np.signbit(mono)) != 0).mean()), 6)
+                        if len(mono) > 1
+                        else 0.0
+                    )
+                    mels.append(bands_of(mono))
+                except ValueError:
+                    if strict:
+                        raise NotImplementedError(STUB_NOTE) from None
+                    sig = _fake_signal(data, 1024)
+                    oks.append(False)
+                    rates.append(None)
+                    durs.append(None)
+                    rmss.append(None)
+                    zcrs.append(None)
+                    mels.append(bands_of(sig))
             out = pdf.copy()
+            out["audio_ok"] = oks
+            out["sample_rate"] = pd.array(rates, dtype="Int32")
+            out["duration_s"] = pd.array(durs, dtype="float64")
+            out["rms"] = pd.array(rmss, dtype="float64")
+            out["zcr"] = pd.array(zcrs, dtype="float64")
             out["mel"] = mels
             yield out
 

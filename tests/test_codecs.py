@@ -96,3 +96,38 @@ def test_jpeg_restart_intervals_roundtrip():
         data = encode_jpeg(img, quality=95, restart_interval=ri)
         assert b"\xff\xdd" in data  # DRI present
         assert np.array_equal(decode_jpeg(data), plain), ri
+
+
+def test_wav_roundtrip_exact_16bit():
+    """encode_wav -> decode_wav round-trips 16-bit PCM to quantization
+    accuracy, preserves rate/channels, and 8-bit + stereo decode work."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import decode_wav, encode_wav
+
+    t = np.arange(1600) / 16000.0
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    x, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and x.shape == (1600, 1)
+    assert np.allclose(x[:, 0], mono, atol=1.0 / 32767)
+
+    stereo = np.stack([mono, -mono], axis=1)
+    x2, rate2 = decode_wav(encode_wav(stereo, 8000))
+    assert rate2 == 8000 and x2.shape == (1600, 2)
+    assert np.allclose(x2[:, 1], -mono, atol=1.0 / 32767)
+
+    # hand-built 8-bit unsigned WAV: constant 0x80 == silence (0.0)
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    raw = bytes([0x80] * 100)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    x3, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert np.allclose(x3, 0.0)
+
+    import pytest
+
+    for bad in [b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", b"\xff" * 64]:
+        with pytest.raises(ValueError):
+            decode_wav(bad)

@@ -364,3 +364,32 @@ def test_kmv_distinct_accuracy_and_exact_branch(spark):
     est = out["big"].distinct_est
     assert out["big"].n_hashes == 64
     assert abs(est - 2000) / 2000 < 0.4, est
+
+
+def test_audio_features_real_wav_and_fallback(spark):
+    """PCM WAV rows decode FOR REAL: a 440 Hz half-amplitude sine has
+    rms ~ 0.5/sqrt(2) and zcr ~ 2*440/16000; non-WAV bytes fall back to
+    the declared stub with audio_ok=False."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_wav
+    from pic2vec_spark.ops.multimodal import audio_features
+
+    t = np.arange(16000) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rows = [(1, encode_wav(sine, 16000)), (2, b"\x00garbage-not-wav")]
+    df = spark.createDataFrame(rows, "rid int, bytes binary")
+    out = {r.rid: r for r in audio_features(df, n_mel=8).collect()}
+
+    real = out[1]
+    assert real.audio_ok
+    assert real.sample_rate == 16000
+    assert abs(real.duration_s - 1.0) < 1e-6
+    assert abs(real.rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(real.zcr - 2 * 440 / 16000.0) < 2e-3
+    assert len(real.mel) == 8
+
+    fake = out[2]
+    assert not fake.audio_ok
+    assert fake.sample_rate is None and fake.rms is None
+    assert len(fake.mel) == 8  # stub plumbing intact
