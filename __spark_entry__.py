@@ -360,10 +360,12 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros(F.col("bucket_ts").cast("timestamp")).alias("day_us"),
         "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
         "min_value",
         "max_value",
-        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+        F.round(F.col("sum_value").cast("double") / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
     )
 
 
@@ -1699,9 +1701,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "daily_rollup": """
             SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value,
+                   ROUND(SUM(value::DECIMAL(18,6))::DOUBLE, 4) AS sum_value,
                    MIN(value) AS min_value, MAX(value) AS max_value,
-                   ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+                   ROUND(SUM(value::DECIMAL(18,6))::DOUBLE / COUNT(*), 6)
+                     AS avg_value
             FROM events GROUP BY user_id, date_trunc('day', ts)
         """,
         "distinct_tokens_kmv": f"""
@@ -1775,7 +1778,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "purchase_props_json": """
             SELECT user_id,
-                   SUM(k) AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
+                   SUM(k)::BIGINT AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
             FROM (
               SELECT user_id,
                      json_extract(props, '$.k')::BIGINT AS k

@@ -247,10 +247,11 @@ def encode_wav(
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode RIFF/WAVE PCM (8- or 16-bit, any channel count) to
-    (float32 samples scaled to [-1, 1] of shape (n, channels),
-    sample_rate).  Raises ValueError for anything that is not plain
-    PCM WAV — callers treat that as 'needs a real codec' (stub path)."""
+    """Decode RIFF/WAVE PCM (8/16/24/32-bit integer, or 32/64-bit
+    IEEE-float fmt=3, any channel count) to (float32 samples scaled to
+    [-1, 1] of shape (n, channels), sample_rate).  Raises ValueError
+    for anything that is not plain PCM WAV (mp3-in-wav, ADPCM, …) —
+    callers treat that as 'needs a real codec' (stub path)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not RIFF/WAVE")
     pos, fmt, raw = 12, None, None
@@ -269,15 +270,30 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_fmt != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+    int_ok = audio_fmt == 1 and bits in (8, 16, 24, 32)
+    float_ok = audio_fmt == 3 and bits in (32, 64)
+    if not (int_ok or float_ok) or channels < 1 or rate <= 0:
         raise ValueError(
             f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
         )
     bytes_per_frame = channels * bits // 8
     n = len(raw) // bytes_per_frame
     raw = raw[: n * bytes_per_frame]
-    if bits == 16:
+    if audio_fmt == 3:  # IEEE float, already in [-1, 1]
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(raw, dtype=dt).astype(np.float32)
+    elif bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif bits == 24:
+        # 3-byte little-endian signed frames: pad each to 4 bytes (high
+        # byte) so the value sits in the top 24 bits of an int32, then
+        # scale by 2^31 — studio WAVs decode instead of hitting the stub
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = b
+        x = padded.view("<i4").ravel().astype(np.float32) / 2147483648.0
     else:  # 8-bit WAV is UNSIGNED per the spec
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     return x.reshape(n, channels), rate

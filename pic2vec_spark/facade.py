@@ -148,6 +148,18 @@ class ImageFeaturizer:
                     "Something is wrong: no images in the directory match "
                     "the CSV's image column (zero overlap)."
                 )
+            # only images the CSV actually references pay the
+            # decode+CNN cost — a directory can hold far more files
+            # than the CSV lists (the reference featurizes only listed
+            # images, feature_preprocessing.py:226-239); left_semi so
+            # no columns are added and dedup is implicit
+            images = images.join(
+                refs.filter(
+                    F.col("image_id").isNotNull() & (F.col("image_id") != "")
+                ).distinct(),
+                "image_id",
+                "left_semi",
+            )
         else:
             # dir-only CREATES the frame (ref _create_df_with_image_paths):
             # one row per directory image, natural order as row_id

@@ -381,14 +381,39 @@ def ivf_topk(
     )
 
 
+# Hard ceiling for the exact all-pairs near-dup path.  Above this the
+# O(n^2) comparison count is no longer a "bounded subset" and the caller
+# must use cosine_neardup_pairs_lsh (bucketed, never all-pairs) instead.
+# Mirrors the broadcast-asof auto-switch pattern (pipeline.py): cheap
+# distributed count up front, explicit failure instead of a silent
+# cartesian explosion when someone points this at a 100 TB table.
+EXACT_NEARDUP_MAX_ROWS = 100_000
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = EXACT_NEARDUP_MAX_ROWS,
 ) -> DataFrame:
     """Exact near-duplicate vector pairs (cos >= threshold), id1 < id2.
-    All-pairs — bound the input (or use lsh_bucket_topk) at scale."""
+
+    All-pairs: O(n^2) comparisons.  Guarded — if the input exceeds
+    ``max_rows`` this raises with a pointer to the LSH-bucketed scale
+    path (``cosine_neardup_pairs_lsh``) rather than launching an
+    unbounded cartesian product.  Pass ``max_rows=None`` to opt out
+    (e.g. when the caller has already bounded the input).
+    """
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_neardup_pairs is exact all-pairs (O(n^2)) and the "
+                f"input has {n} rows > max_rows={max_rows}; use "
+                f"cosine_neardup_pairs_lsh for large inputs, or pass "
+                f"max_rows=None if the input is deliberately bounded."
+            )
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (

@@ -2,8 +2,9 @@
 
 Images are fully real (our pure-NumPy codecs), and so is PCM WAV audio
 (``codecs.decode_wav`` — RIFF parsing is stdlib+NumPy, no codec library
-needed): ``audio_features`` computes genuine duration/rms/zcr/energy
-bands for WAV rows.  Compressed audio (mp3/aac/ogg) and video decode
+needed): ``audio_features`` computes genuine duration/rms/zcr and log
+mel-filterbank energies for WAV rows.  Compressed audio (mp3/aac/ogg)
+and video decode
 have no library in this container, so those kernels are STUBS — a
 clearly marked deterministic fake (or NotImplementedError for strict
 mode) — while the Spark-side plumbing (schema, Arrow batching,
@@ -186,6 +187,55 @@ def video_frame_sample(
     return df.mapInPandas(run, schema=schema)
 
 
+_MEL_N_FFT = 512
+_MEL_FB_CACHE: dict = {}
+
+
+def _mel_filterbank(n_mel: int, rate: int, n_fft: int = _MEL_N_FFT) -> np.ndarray:
+    """HTK-mel triangular filterbank: ``n_mel`` triangles with edges at
+    n_mel+2 equally-spaced points on the mel axis between 0 and the
+    Nyquist frequency, sampled at the rfft bin centers.  Cached per
+    (n_mel, rate) — one small matrix per executor process."""
+    key = (n_mel, rate, n_fft)
+    fb = _MEL_FB_CACHE.get(key)
+    if fb is not None:
+        return fb
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    edges = mel_to_hz(np.linspace(0.0, hz_to_mel(rate / 2.0), n_mel + 2))
+    freqs = np.linspace(0.0, rate / 2.0, n_fft // 2 + 1)
+    fb = np.zeros((n_mel, n_fft // 2 + 1), dtype=np.float64)
+    for i in range(n_mel):
+        lo, center, hi = edges[i], edges[i + 1], edges[i + 2]
+        up = (freqs - lo) / max(center - lo, 1e-9)
+        down = (hi - freqs) / max(hi - center, 1e-9)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    _MEL_FB_CACHE[key] = fb
+    return fb
+
+
+def _mel_energies(sig: np.ndarray, rate: int, n_mel: int) -> list:
+    """log1p mel-filterbank energies of a mono clip: Hann-windowed
+    512-point frames (50% hop), power spectra averaged over the clip,
+    projected through the HTK-mel triangular filterbank."""
+    n_fft = _MEL_N_FFT
+    hop = n_fft // 2
+    x = np.asarray(sig, dtype=np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)
+    power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+    fb = _mel_filterbank(n_mel, rate)
+    return np.log1p(fb @ power).astype(np.float32).tolist()
+
+
 def audio_features(
     df: DataFrame,
     n_mel: int = 16,
@@ -196,11 +246,15 @@ def audio_features(
     (``codecs.decode_wav`` — the WAV container is plain stdlib/NumPy
     parsing, no codec library needed) and yield genuine signal features:
     ``audio_ok=True``, sample_rate, duration_s, rms, zero-crossing rate,
-    and ``n_mel`` log-energy bands over the mono mixdown.
+    and ``n_mel`` log mel-filterbank energies over the mono mixdown
+    (HTK mel scale, Hann-windowed 512-point frames averaged over the
+    clip — a real mel spectrogram summary, not linear bands).
 
     Bytes that are NOT plain PCM WAV (mp3/aac/ogg — still no decoder in
     this container) fall back to the declared deterministic STUB
-    (``audio_ok=False``; see STUB_NOTE), or raise under ``strict``."""
+    (``audio_ok=False``; see STUB_NOTE), or raise under ``strict``;
+    the stub path runs the same mel kernel at an assumed 16 kHz so the
+    column shape is uniform."""
     from pic2vec_spark.codecs import decode_wav
 
     schema = T.StructType(
@@ -215,12 +269,8 @@ def audio_features(
         ]
     )
 
-    def bands_of(sig: np.ndarray) -> list:
-        n = max(len(sig) // n_mel, 1) * n_mel
-        padded = np.zeros(n, dtype=np.float32)
-        padded[: min(len(sig), n)] = sig[:n]
-        bands = padded.reshape(n_mel, -1)
-        return np.log1p((bands**2).mean(axis=1)).astype(np.float32).tolist()
+    def bands_of(sig: np.ndarray, rate: int) -> list:
+        return _mel_energies(sig, rate, n_mel)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,7 +292,7 @@ def audio_features(
                         if len(mono) > 1
                         else 0.0
                     )
-                    mels.append(bands_of(mono))
+                    mels.append(bands_of(mono, rate))
                 except ValueError:
                     if strict:
                         raise NotImplementedError(STUB_NOTE) from None
@@ -252,7 +302,7 @@ def audio_features(
                     durs.append(None)
                     rmss.append(None)
                     zcrs.append(None)
-                    mels.append(bands_of(sig))
+                    mels.append(bands_of(sig, 16000))
             out = pdf.copy()
             out["audio_ok"] = oks
             out["sample_rate"] = pd.array(rates, dtype="Int32")

@@ -37,7 +37,14 @@ def time_rollup(
     value_col: str = "value",
 ) -> DataFrame:
     """Fine-grained rollup level over raw rows: one row per
-    (entity, date_trunc(bucket, ts)) carrying re-aggregable partials."""
+    (entity, date_trunc(bucket, ts)) carrying re-aggregable partials.
+
+    ``sum_value`` is summed over a per-row DECIMAL(18,6) cast (exact,
+    order-proof — mirroring the pricing queries) so that the
+    hourly-then-daily cascade is bit-identical to a direct daily sum
+    regardless of partition order or level count; the partial stays
+    DECIMAL through ``reaggregate`` and readers cast to double at the
+    very end."""
     return (
         df.groupBy(
             F.col(on),
@@ -45,7 +52,7 @@ def time_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("sum_value"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )

@@ -131,3 +131,46 @@ def test_wav_roundtrip_exact_16bit():
     for bad in [b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", b"\xff" * 64]:
         with pytest.raises(ValueError):
             decode_wav(bad)
+
+
+def test_wav_decode_24_32bit_and_float():
+    """24-bit and 32-bit integer PCM plus IEEE-float (fmt=3) WAVs all
+    decode — 24-bit studio WAVs must NOT silently fall to the stub
+    path — and a genuinely non-PCM fmt still raises."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pic2vec_spark.codecs import decode_wav
+
+    rng = np.random.default_rng(7)
+    sig = (rng.random((200, 2)) * 2 - 1) * 0.9  # stereo
+
+    def wav(raw: bytes, bits: int, fmt: int, ch: int = 2) -> bytes:
+        fmtc = struct.pack(
+            "<HHIIHH", fmt, ch, 44100, 44100 * ch * bits // 8, ch * bits // 8, bits
+        )
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 24-bit: low 3 bytes of the int32 representation, little-endian
+    v24 = (sig * 8388607).astype("<i4")
+    raw24 = v24.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    x, rate = decode_wav(wav(raw24, 24, 1))
+    assert rate == 44100 and x.shape == (200, 2)
+    assert np.abs(x - sig).max() < 1e-6
+
+    raw32 = (sig * 2147483647).astype("<i4").tobytes()
+    x, _ = decode_wav(wav(raw32, 32, 1))
+    assert np.abs(x - sig).max() < 1e-7  # float32 mantissa limit
+
+    for dt, bits in [("<f4", 32), ("<f8", 64)]:
+        x, _ = decode_wav(wav(sig.astype(dt).tobytes(), bits, 3))
+        assert np.abs(x - sig).max() < 1e-6
+
+    with pytest.raises(ValueError):  # ADPCM (fmt=2) is still not PCM
+        decode_wav(wav(raw32, 32, 2))
+    with pytest.raises(ValueError):  # float must be 32/64-bit
+        decode_wav(wav(raw24, 24, 3))

@@ -193,6 +193,24 @@ def test_multimodal_stubs_plumbing(spark):
         video_frame_sample(df, strict=True).collect()
 
 
+def test_cosine_neardup_exact_guard(spark):
+    """The exact all-pairs near-dup path refuses inputs above max_rows
+    (pointing at the LSH scale path) instead of launching an unbounded
+    cartesian product; max_rows=None opts out for bounded callers."""
+    import pytest
+
+    from pic2vec_spark.ops.knn import cosine_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="all-pairs.*lsh"):
+        cosine_neardup_pairs(df, max_rows=10)
+    assert cosine_neardup_pairs(df, max_rows=None).count() >= 0
+    assert cosine_neardup_pairs(df, max_rows=20).count() >= 0  # at bound
+
+
 def test_cosine_neardup_lsh_subset_and_recall(spark):
     """LSH near-dup pairs are a SUBSET of the exact pairs (buckets can
     only miss candidates, never invent them — the cosine re-rank is
@@ -344,8 +362,12 @@ def test_rollup_cascade_lossless(spark):
     assert daily_cascade["n_events"].tolist() == daily_direct["n_events"].tolist()
     assert daily_cascade["min_value"].tolist() == daily_direct["min_value"].tolist()
     assert daily_cascade["max_value"].tolist() == daily_direct["max_value"].tolist()
+    # sums are DECIMAL(·,6) partials now — exact, so demand equality
+    assert daily_cascade["sum_value"].tolist() == daily_direct["sum_value"].tolist()
     assert np.allclose(
-        daily_cascade["sum_value"], daily_direct["sum_value"], atol=1e-9
+        daily_cascade["sum_value"].astype(float),
+        daily_direct["sum_value"].astype(float),
+        atol=0,
     )
 
 
@@ -388,6 +410,11 @@ def test_audio_features_real_wav_and_fallback(spark):
     assert abs(real.rms - 0.5 / np.sqrt(2)) < 1e-3
     assert abs(real.zcr - 2 * 440 / 16000.0) < 2e-3
     assert len(real.mel) == 8
+    # mel semantics: a 440 Hz tone concentrates its energy in the mel
+    # band whose triangle covers 440 Hz — with 8 HTK-mel bands over
+    # 0..8 kHz that is band 1 (centers ~316 and ~631 mel bracket
+    # 440 Hz ≈ 550 mel); a linear-band split would put it in band 0
+    assert int(np.argmax(real.mel)) == 1
 
     fake = out[2]
     assert not fake.audio_ok

@@ -187,6 +187,23 @@ def test_zero_overlap_csv_errors(spark, featurizer, img_dir, tmp_path):
         featurizer.load_data("images", image_path=img_dir, csv_path=str(p))
 
 
+def test_csv_prunes_unreferenced_directory_images(
+    spark, featurizer, img_dir, csv_path
+):
+    """With a CSV, only referenced images pay the decode+CNN cost: the
+    directory has 3 images but the CSV references 2, so loaded data has
+    2 rows (the reference also featurizes only listed images) — and the
+    featurized frame is unaffected."""
+    featurizer.load_data(
+        "images", image_path=img_dir, csv_path=csv_path, save_data=True
+    )
+    loaded = featurizer.data.select("image_id").toPandas()
+    assert sorted(loaded["image_id"]) == ["borges.jpg", "img2.jpg"]
+    full = featurizer.featurize_preloaded_data().toPandas()
+    assert len(full) == 4  # all CSV rows survive, pruning is input-side
+    featurizer.clear_input(confirm=True)
+
+
 def test_features_only_csv_aligns_with_main_csv(
     spark, featurizer, img_dir, csv_path, tmp_path
 ):
