@@ -369,6 +369,31 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-sketch class: fixed-boundary histogram quantiles through
+    the rollup CASCADE — raw events → hourly histograms → daily
+    histograms from the hourly PARTIALS → p50/p95 from the daily bins.
+    The oracle computes the same histogram daily DIRECTLY from raw, so
+    a match proves both the sketch determinism and that the cascade
+    answers percentiles without touching the raw table (the
+    non-decomposable stat the plain rollup can't carry)."""
+    from pic2vec_spark.ops.rollup import (
+        histogram_quantile,
+        histogram_reaggregate,
+        histogram_rollup,
+    )
+
+    hourly = histogram_rollup(_events(spark, sf_dir), "hour")
+    daily = histogram_reaggregate(hourly, "day")
+    return daily.select(
+        "user_id",
+        F.unix_micros(F.col("bucket_ts").cast("timestamp")).alias("day_us"),
+        "n_events",
+        histogram_quantile("hist", 0.5).alias("p50"),
+        histogram_quantile("hist", 0.95).alias("p95"),
+    )
+
+
 def q_distinct_tokens_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Novel-sketch class: KMV distinct-count estimate of the token
     vocabulary per document source.  The sketch is md5-deterministic,
@@ -895,6 +920,82 @@ def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_features_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot MERGE/upsert (CDC): write customer as a range-clustered
+    snapshot, merge keyed corrections (BUILDING-segment balances bumped
+    by 100) plus brand-new keys (custkey+1e6 for custkey<=20), and scan
+    the merged table.  The oracle expresses the same upsert as
+    updates-override-base SQL, so a match proves replace + insert +
+    carry-forward semantics end-to-end (snapshots.py merge: copy-on-
+    write at partition granularity)."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        (F.col("c_custkey") / 100).cast("long").alias("key_bucket"),
+    )
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    inserts = cust.filter(F.col("c_custkey") <= 20).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit(-1.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        ((F.col("c_custkey") + 1_000_000) / 100).cast("long").alias("key_bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="drv_upsert_")
+    try:
+        table = SnapshotTable(root, spark)
+        table.write(
+            cust, partition_by="key_bucket", num_partitions=16,
+            stats_cols=["c_custkey"],
+        )
+        table.merge(updates.unionByName(inserts), "c_custkey")
+        merged = table.scan().select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        # the scan reads temp files that are deleted in finally — land
+        # the (small, fixture-scale) result before cleanup
+        return spark.createDataFrame(merged.toPandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_lineage_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-vs-data consistency, oracle-checked: the sum of the
+    manifest's per-partition lineage row counts and the actual scanned
+    row count must BOTH equal a direct count over the same parquet —
+    upgrading the rows-only snapshot_lineage query with a green SQL
+    row (per-partition digests stay pytest-pinned; they have no SQL
+    equivalent)."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="drv_lineage_")
+    try:
+        table = SnapshotTable(root, spark)
+        table.write(ev, partition_by="user_id", num_partitions=16,
+                    stats_cols=["user_id"])
+        lin = table.lineage()
+        total = int(lin["rows"].sum())
+        n_nonempty = int((lin["rows"] > 0).sum())
+        scanned = table.scan().count()
+        return spark.createDataFrame(
+            [(total, scanned, n_nonempty <= 16 and lin["pid"].is_unique)],
+            "lineage_rows bigint, scanned_rows bigint, lineage_consistent boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.knn import cosine_topk
 
@@ -951,6 +1052,37 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         embs, queries, _ivf_centroids(ORACLE_SF_DIR), k=KNN_K, nprobe=IVF_NPROBE
     )
+
+
+def q_caption_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup conflicts — the two modalities of a multimodal
+    row disagreeing about duplication: pairs that are near-dups by TEXT
+    (n-gram Jaccard over the caption/document text) but NOT by image
+    content (embedding cosine), and vice versa.  Composes the existing
+    text-dedup and embedding-near-dup operators over the id-aligned
+    documents/embeddings tables (doc_id = vec_id: caption + image-
+    embedding per row, the input_hint's image+caption pair); over the
+    binary image table the same composition runs with compute_phash +
+    hamming_neardup_pairs as the image side.  Both member operators are
+    scale-safe (shingle buckets / guarded exact path with an LSH
+    counterpart); the conflict joins are pair-keyed anti-joins."""
+    from pic2vec_spark.ops.dedup import jaccard_pairs
+    from pic2vec_spark.ops.knn import cosine_neardup_pairs
+
+    text_pairs = jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text",
+        n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+    ).select("id1", "id2")
+    emb_pairs = cosine_neardup_pairs(
+        _embeddings(spark, sf_dir), threshold=NEARDUP_COS
+    ).select("id1", "id2")
+    text_only = text_pairs.join(emb_pairs, ["id1", "id2"], "left_anti").select(
+        "id1", "id2", F.lit("text_near_embedding_far").alias("conflict")
+    )
+    emb_only = emb_pairs.join(text_pairs, ["id1", "id2"], "left_anti").select(
+        "id1", "id2", F.lit("embedding_near_text_far").alias("conflict")
+    )
+    return text_only.unionByName(emb_only)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": q_user_activity,
         "purchase_attribution": q_purchase_attribution,
         "daily_rollup": q_daily_rollup,
+        "daily_quantiles": q_daily_quantiles,
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
         "user_value_quantiles": q_user_value_quantiles,
         "event_type_pivot": q_event_type_pivot,
@@ -1130,11 +1263,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "training_corpus": q_training_corpus,
         "snapshot_lineage": q_snapshot_lineage,
+        "features_upsert": q_features_upsert,
+        "lineage_reconcile": q_lineage_reconcile,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "caption_image_conflicts": q_caption_image_conflicts,
         "audio_features": q_audio_features,
         "image_phash": q_image_phash,
         "image_phash_neardup": q_image_phash_neardup,
@@ -1617,6 +1753,35 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {NEARDUP_COS}
         """,
+        "caption_image_conflicts": f"""
+            WITH {_SQL_SHINGLES},
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            tp AS (
+              SELECT id1, id2 FROM inter
+              JOIN sizes s1 ON s1.doc_id = id1
+              JOIN sizes s2 ON s2.doc_id = id2
+              WHERE ROUND(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4)
+                    >= {JACCARD_THRESHOLD}
+            ),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            ep AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {NEARDUP_COS}
+            )
+            SELECT id1, id2, 'text_near_embedding_far' AS conflict
+            FROM tp WHERE NOT EXISTS (
+              SELECT 1 FROM ep WHERE ep.id1 = tp.id1 AND ep.id2 = tp.id2)
+            UNION ALL
+            SELECT id1, id2, 'embedding_near_text_far' AS conflict
+            FROM ep WHERE NOT EXISTS (
+              SELECT 1 FROM tp WHERE tp.id1 = ep.id1 AND tp.id2 = ep.id2)
+        """,
         "asof_join": _ASOF_ORACLE.format(val="value_asof", fts="epoch_us(fts)"),
         "asof_tolerance": _ASOF_ORACLE.format(
             val="CASE WHEN fts IS NOT NULL AND epoch_us(ts) - epoch_us(fts) <= 3600000000 THEN value_asof END",
@@ -1706,6 +1871,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(SUM(value::DECIMAL(18,6))::DOUBLE / COUNT(*), 6)
                      AS avg_value
             FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "daily_quantiles": """
+            WITH b AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     LEAST(GREATEST(
+                       CAST(FLOOR((value - 0.0) / 100.0 * 50) AS INTEGER),
+                       0), 49) AS bin
+              FROM events
+            ), c AS (
+              SELECT user_id, day, bin, COUNT(*) AS n
+              FROM b GROUP BY user_id, day, bin
+            ), w AS (
+              SELECT user_id, day, bin, n,
+                     SUM(n) OVER (PARTITION BY user_id, day
+                                  ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY user_id, day) AS total
+              FROM c
+            )
+            SELECT user_id, epoch_us(day) AS day_us,
+                   MAX(total)::BIGINT AS n_events,
+                   MIN(CASE WHEN cum >= CEIL(0.5 * total)
+                       THEN (bin + 1) * 2.0 END) AS p50,
+                   MIN(CASE WHEN cum >= CEIL(0.95 * total)
+                       THEN (bin + 1) * 2.0 END) AS p95
+            FROM w GROUP BY user_id, day
         """,
         "distinct_tokens_kmv": f"""
             WITH terms AS (
@@ -1808,6 +1998,28 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "multi_column_widened": _multi_column_widened_sql(),
+        "features_upsert": """
+            WITH upd AS (
+              SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+              FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT c_custkey + 1000000, -1.0, 'NEW'
+              FROM customer WHERE c_custkey <= 20
+            )
+            SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+                   c_mktsegment AS mktsegment
+            FROM (
+              SELECT * FROM upd
+              UNION ALL
+              SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+              WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+            )
+        """,
+        "lineage_reconcile": """
+            SELECT COUNT(*) AS lineage_rows, COUNT(*) AS scanned_rows,
+                   TRUE AS lineage_consistent
+            FROM events
+        """,
         "top_customers": """
             WITH rev AS (
               SELECT o_custkey,

@@ -28,10 +28,14 @@ entirely JVM-side (whole-stage codegen, no UDF).
 Skew note (100 TB): the window shuffles by entity_id only. Hot entities
 are bounded by per-entity history length, not by table size; if one
 entity's history exceeds a partition, pre-aggregate its feature side
-(e.g. keep last-per-(entity, ts-bucket)) before the join. Salting cannot
-be applied to an ordered window without breaking the running-last chain,
-so the engine keeps salting for the (per-row, order-free) featurize
-stage only — see pic2vec_spark.featurize.
+with ``compact_features`` (keep last-per-(entity, ts-bucket) — its
+shuffle key is the FINER (entity, bucket) pair, so a hot entity's
+history is split across partitions during compaction and the as-of
+window then sees at most one row per bucket).  Opt in via
+``asof_join(..., compact_bucket_s=...)``.  Salting cannot be applied to
+an ordered window without breaking the running-last chain, so the
+engine keeps salting for the (per-row, order-free) featurize stage only
+— see pic2vec_spark.featurize.
 
 Reference contrast: pic2vec aligns features to rows positionally
 (pd.concat(axis=1), /root/reference/pic2vec/image_featurizer.py:332);
@@ -172,6 +176,76 @@ def asof_join_broadcast(
     return queries.mapInPandas(probe, schema=schema)
 
 
+def compact_features(
+    features: DataFrame,
+    bucket_s: float,
+    on: str = "entity_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Hot-entity pre-aggregation for the as-of join: keep ONE row per
+    (entity, ts-bucket) — the bucket's latest feature row, with each
+    value column carrying the bucket's last NON-NULL value (matching
+    ``asof_join``'s per-column ``F.last(ignorenulls=True)``).
+
+    Equivalence contract (pinned in tests/test_asof.py): a backward
+    as-of over the compacted features equals one over the raw features
+    for every query timestamp at/after the end of the feature's bucket
+    — i.e. at bucket granularity.  A query landing INSIDE a bucket that
+    still receives features after it may see a value up to ``bucket_s``
+    staler than raw; choose ``bucket_s`` at or below the freshness SLA.
+
+    Scale shape: the compaction shuffles by the FINER (entity, bucket)
+    key, so a hot entity with a 10^9-row history splits across
+    partitions here, and the subsequent as-of window (which must
+    partition by entity alone to keep the running-last chain) sees at
+    most one row per bucket per entity — bounded state regardless of
+    raw history length."""
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be > 0, got {bucket_s}")
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (on, ts)]
+    b_us = int(bucket_s * 1_000_000)
+    tie = F.col(tiebreak) if tiebreak else F.monotonically_increasing_id()
+    bucket = F.floor(
+        F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(b_us)
+    )
+    w_all = (
+        Window.partitionBy(on, "__bucket")
+        .orderBy(F.col(ts).asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy(on, "__bucket").orderBy(
+        F.col(ts).desc(), F.col("__tie").desc()
+    )
+    keep = [on, ts] + ([tiebreak] if tiebreak else [])
+    # a value column that is ALSO the tiebreak (or key/ts) is already in
+    # `keep` — the surviving row's raw value equals the bucket's last
+    # non-null for it (the survivor IS the last row), so emit it once
+    agg_cols = [c for c in value_cols if c not in keep]
+    return (
+        features.filter(F.col(on).isNotNull())
+        .withColumn("__bucket", bucket)
+        .withColumn("__tie", tie)
+        .select(
+            *keep,
+            "__bucket",
+            "__tie",
+            *[
+                F.last(c, ignorenulls=True).over(w_all).alias(f"__last_{c}")
+                for c in agg_cols
+            ],
+        )
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keep,
+            *[F.col(f"__last_{c}").alias(c) for c in agg_cols],
+        )
+    )
+
+
 def asof_join(
     queries: DataFrame,
     features: DataFrame,
@@ -182,6 +256,7 @@ def asof_join(
     tolerance_s: float | None = None,
     suffix: str = "_asof",
     direction: str = "backward",
+    compact_bucket_s: float | None = None,
 ) -> DataFrame:
     """As-of join ``queries`` (left) with ``features`` (right).
 
@@ -203,6 +278,19 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (on, ts)]
+    if compact_bucket_s is not None:
+        # hot-entity mitigation (see compact_features): only meaningful
+        # for backward joins — forward/nearest would need the bucket's
+        # FIRST row, which compaction discards
+        if direction != "backward":
+            raise ValueError(
+                "compact_bucket_s is only valid for direction='backward' "
+                "(compaction keeps each bucket's last row)"
+            )
+        features = compact_features(
+            features, compact_bucket_s, on=on, ts=ts,
+            value_cols=value_cols, tiebreak=tiebreak,
+        )
 
     # NULL entity keys never match (SQL join semantics, and identical to
     # asof_join_broadcast where pandas groupby/dict-probe drop them):

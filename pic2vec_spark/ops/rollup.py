@@ -25,7 +25,7 @@ per group ever shuffle.  Standard error ~ 1/sqrt(k-2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,6 +77,123 @@ def reaggregate(
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    bucket: str = "hour",
+    on: str = "user_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Fixed-boundary histogram sketch per (entity, time bucket) — the
+    re-aggregable quantile carrier the plain rollup cascade lacks
+    (medians/percentiles are non-decomposable; bin COUNTS are sums).
+
+    Output: (on, bucket_ts, n_events, hist: array<long>[n_bins]).
+    Values are clamped into [lo, hi); bin = floor((v-lo)/(hi-lo)*n_bins).
+    DETERMINISTIC (like kmv_distinct, unlike t-digest/GK sketches whose
+    merge order leaks into the estimate): two engines computing the same
+    double arithmetic agree bin-for-bin, so the quantile ESTIMATE itself
+    is oracle-checkable.  The agg is n_bins conditional sums — fully
+    whole-stage-codegen, map-side partial, one shuffle; per-group state
+    is n_bins longs, constant."""
+    if n_bins < 1 or hi <= lo:
+        raise ValueError(f"need n_bins >= 1 and hi > lo, got {n_bins}, [{lo}, {hi})")
+    bin_c = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.withColumn("__bin", bin_c)
+        .groupBy(
+            F.col(on),
+            F.date_trunc(bucket, F.col(ts).cast("timestamp")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array(
+                *[
+                    F.sum((F.col("__bin") == i).cast("long"))
+                    for i in range(n_bins)
+                ]
+            ).alias("hist"),
+        )
+    )
+
+
+def histogram_reaggregate(
+    rollup: DataFrame, bucket: str = "day", on: str = "user_id",
+    n_bins: int = 50,
+) -> DataFrame:
+    """Coarser histogram level FROM a finer one: element-wise sum of the
+    bin counts — touches only the partials, never the raw table, and is
+    exactly lossless (counts are integers; cascade == direct is an
+    identity, pinned in tests)."""
+    return (
+        rollup.groupBy(
+            F.col(on),
+            F.date_trunc(bucket, F.col("bucket_ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.array(
+                *[F.sum(F.col("hist")[i]) for i in range(n_bins)]
+            ).alias("hist"),
+        )
+    )
+
+
+def histogram_quantile(
+    hist_col: str | Column,
+    q: float,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 50,
+) -> Column:
+    """Quantile estimate from a fixed-boundary histogram column: the
+    UPPER EDGE of the smallest bin whose cumulative count reaches
+    ceil(q * total) — deterministic and exactly reproducible in ANSI
+    SQL (a window cumsum + MIN(CASE...)), so unlike percentile_approx
+    the result is oracle-checkable bit-for-bit.  Error is bounded by
+    the bin width (hi-lo)/n_bins.
+
+    Deliberately an interpreted HOF fold (the opposite call from the
+    unrolled LSH expressions, ops/knn.py): this projection runs over
+    ALREADY-AGGREGATED rollup rows — one per (entity, bucket), not per
+    raw event — so per-row cost is irrelevant, while an unrolled
+    cum-sum when-chain is O(n_bins^2) expression nodes and blows
+    codegen/driver heap past ~64 bins.  The 100 TB hot path is the
+    histogram_rollup agg, which IS flat codegen conditional sums."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    zero = F.lit(0).cast("bigint")
+    total = F.aggregate(h, zero, lambda a, x: a + x)
+    target = F.ceil(F.lit(q) * total)
+    # single scan: count bins whose cumulative stays BELOW the target —
+    # that count is the 0-based index of the first bin reaching it
+    below = F.aggregate(
+        h,
+        F.struct(zero.alias("cum"), F.lit(0).alias("below")),
+        lambda acc, x: F.struct(
+            (acc.cum + x).alias("cum"),
+            (
+                acc.below + F.when(acc.cum + x < target, 1).otherwise(0)
+            ).alias("below"),
+        ),
+        lambda acc: acc.below,
+    )
+    width = (hi - lo) / n_bins
+    return F.lit(lo) + (below + F.lit(1)).cast("double") * F.lit(width)
 
 
 def kmv_distinct(

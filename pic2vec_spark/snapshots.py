@@ -33,6 +33,13 @@ the lineage of a partial snapshot directory, so a killed job re-processes
 only unfinished partitions — no double-processing (verified by
 tests/test_snapshots.py kill-and-resume).
 
+Merge/upsert: ``merge`` is the CDC path — keyed updates REPLACE matching
+rows and insert new keys, copy-on-write at partition granularity:
+partitions whose key-range stats cannot contain an update key are
+carried forward untouched, only overlapping partitions are rewritten
+(with fresh lineage rows).  The correction path an incremental feature
+store needs when an entity's feature row changes rather than appends.
+
 At 100 TB the manifest stays driver-sized: one JSON row per partition
 (~10^5 partitions → MBs), and scan planning prunes files by the min/max
 stats recorded per partition before ``spark.read.parquet(paths)``.
@@ -259,6 +266,111 @@ class SnapshotTable:
             df, snapshot_id, partition_by, num_partitions, stats_cols,
             parent=None, skip_pids={p["pid"] for p in done},
             fail_after_partitions=None, carry_partitions=[],
+            properties=properties,
+        )
+
+    def merge(
+        self,
+        updates: DataFrame,
+        key: str,
+        stats_cols: list[str] | None = None,
+        properties: dict | None = None,
+        fail_after_partitions: int | None = None,
+    ) -> str:
+        """Iceberg-style MERGE/upsert (copy-on-write at partition
+        granularity): rows in ``updates`` REPLACE current rows with the
+        same ``key``; new keys are inserted.  Returns the new snapshot id.
+
+        Scale shape: partitions whose recorded per-partition (min, max)
+        ``key`` stats cannot contain any update key keep their data
+        files untouched (carried forward in the manifest, like
+        ``append``); only overlapping partitions are read, anti-joined
+        against the updates, unioned with them, and rewritten as fresh
+        files with fresh pids + lineage rows.  Touched-partition
+        detection is a broadcast range-join of the update keys against
+        the driver-sized (pid, lo, hi) stats list — never a scan of the
+        table.  Commit cost is proportional to the TOUCHED data, not the
+        table; a corrected feature row in a 100 TB store rewrites one
+        partition.  Crash safety is the standard snapshot protocol: the
+        manifest rename + CURRENT flip happen last, so a killed merge
+        leaves the parent snapshot fully intact and a retried merge
+        recomputes from it (verified by tests/test_snapshots.py).
+
+        Requires the table's partitions to carry ``stats`` for ``key``
+        (write with ``stats_cols=[key]``); without them every partition
+        is a candidate (still correct, rewrites the whole table — the
+        manifest records which it was via the ``merge_touched``
+        property).  ``updates`` must be unique per key (checked)."""
+        man = self.manifest()
+        if man is None:
+            raise FileNotFoundError(f"no snapshot at {self.root} to merge into")
+        dup = (
+            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"updates must be unique per merge key {key!r} — got "
+                "duplicate keys (pre-aggregate to one row per key first)"
+            )
+        parts = man["partitions"]
+        live = [p for p in parts if p["rows"] > 0]
+        have_stats = bool(live) and all(
+            p.get("stats", {}).get(key) is not None
+            and None not in p["stats"][key]
+            for p in live
+        )
+        if have_stats:
+            bounds = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "pid": [p["pid"] for p in live],
+                        "lo": [p["stats"][key][0] for p in live],
+                        "hi": [p["stats"][key][1] for p in live],
+                    }
+                )
+            )
+            touched_pids = {
+                r["pid"]
+                for r in updates.select(F.col(key).alias("__k"))
+                .distinct()
+                .join(
+                    F.broadcast(bounds),
+                    (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+                )
+                .select("pid")
+                .distinct()
+                .collect()
+            }
+        else:
+            touched_pids = {p["pid"] for p in live}
+        touched = [p for p in live if p["pid"] in touched_pids]
+        carry = [p for p in parts if p["pid"] not in touched_pids]
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        if touched:
+            old = self.spark.read.parquet(
+                *[str(self.data_dir / p["file"]) for p in touched]
+            )
+        else:
+            old = self.spark.createDataFrame([], schema=schema)
+        merged = old.join(updates, key, "left_anti").unionByName(
+            updates.select(*[f.name for f in schema.fields])
+        )
+        if properties is None:
+            properties = dict(man.get("properties") or {})
+        properties = {
+            **properties,
+            "merge_key": key,
+            "merge_touched": len(touched),
+            "merge_carried": len(carry),
+        }
+        pid_offset = (max((p["pid"] for p in parts), default=-1)) + 1
+        sid = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        n = max(len(touched), 1)
+        return self._write_partitions(
+            merged, sid, key, n, stats_cols or [key],
+            parent=man["snapshot_id"], skip_pids=None,
+            fail_after_partitions=fail_after_partitions,
+            carry_partitions=carry, pid_offset=pid_offset,
             properties=properties,
         )
 

@@ -501,3 +501,86 @@ def test_range_join_numeric_boundary_replication(spark):
         pts, iv, ts="ts", start="start", end="end", on="k", bucket_s=1.0
     ).select("pid", "iid").toPandas()
     assert list(zip(got.pid, got.iid)) == [(1, 9)]
+
+
+def test_compact_features_equivalence_at_bucket_granularity(spark, timeline):
+    """Backward as-of over compact_features(bucket) == over raw features
+    for queries at bucket granularity (ts snapped to a bucket boundary
+    minus 1 us, so no query lands inside a still-filling bucket) — the
+    hot-entity pre-aggregation loses nothing at its contract granularity."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.asof import asof_join, compact_features
+
+    f, q = _sides(timeline)
+    bucket_s = 3600.0
+    fdf = spark.createDataFrame(f)
+    # snap query timestamps to bucket boundaries minus 1 us
+    q2 = q.copy()
+    snapped = (q2["ts"].astype("int64") // int(bucket_s * 1e6) + 1) * int(
+        bucket_s * 1e6
+    ) - 1
+    q2["ts"] = pd.to_datetime(snapped, unit="us")
+    qdf = spark.createDataFrame(q2)
+
+    raw = (
+        asof_join(qdf, fdf, tiebreak="row_id")
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    compacted = (
+        asof_join(qdf, fdf, tiebreak="row_id", compact_bucket_s=bucket_s)
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    assert raw["ts_asof"].equals(compacted["ts_asof"])
+    a, b = raw["value_asof"], compacted["value_asof"]
+    assert ((a.isna() & b.isna()) | (a == b)).all()
+
+    # and the feature side genuinely shrank to <=1 row/(entity, bucket)
+    comp = compact_features(fdf, bucket_s, tiebreak="row_id")
+    n_comp = comp.count()
+    n_groups = (
+        fdf.select(
+            "entity_id",
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                    / F.lit(int(bucket_s * 1e6))).alias("b"),
+        ).distinct().count()
+    )
+    assert n_comp == n_groups < fdf.count()
+
+
+def test_compact_features_per_column_last_nonnull(spark):
+    """Compaction must carry each value column's last NON-NULL in the
+    bucket (asof_join's ignorenulls semantics), not the last row's null."""
+    import datetime as dt
+
+    from pic2vec_spark.ops.asof import compact_features
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=10), 1.5, "a"),
+        (1, t0 + dt.timedelta(seconds=20), None, None),  # last row: nulls
+        (1, t0 + dt.timedelta(seconds=70), 9.0, "z"),    # next bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id int, ts timestamp, value double, tag string"
+    )
+    out = compact_features(df, 60.0).orderBy("ts").collect()
+    assert len(out) == 2
+    first = out[0]
+    assert first.ts == t0 + dt.timedelta(seconds=20)  # bucket's latest ts
+    assert first.value == 1.5 and first.tag == "a"    # last NON-NULL values
+    assert out[1].value == 9.0
+
+
+def test_compact_rejects_non_backward(spark, timeline):
+    import pytest
+
+    from pic2vec_spark.ops.asof import asof_join
+
+    f, q = _sides(timeline)
+    with pytest.raises(ValueError, match="backward"):
+        asof_join(
+            spark.createDataFrame(q), spark.createDataFrame(f),
+            direction="forward", compact_bucket_s=60.0,
+        )

@@ -420,3 +420,53 @@ def test_audio_features_real_wav_and_fallback(spark):
     assert not fake.audio_ok
     assert fake.sample_rate is None and fake.rms is None
     assert len(fake.mel) == 8  # stub plumbing intact
+
+
+def test_histogram_cascade_identity_and_quantiles(spark):
+    """Histogram sketch: daily-from-hourly bin counts == daily-from-raw
+    EXACTLY (integer sums), and the quantile read-out is within one bin
+    width of the true percentile."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.rollup import (
+        histogram_quantile,
+        histogram_reaggregate,
+        histogram_rollup,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cascade = (
+        histogram_reaggregate(histogram_rollup(ev, "hour"), "day")
+        .toPandas().sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    direct = (
+        histogram_rollup(ev, "day")
+        .toPandas().sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert cascade["n_events"].tolist() == direct["n_events"].tolist()
+    assert [list(h) for h in cascade["hist"]] == [list(h) for h in direct["hist"]]
+
+    # quantile accuracy: one global histogram vs numpy, within bin width
+    g = (
+        ev.withColumn("g", F.lit(1))
+        .select(F.lit(1).alias("user_id"), F.col("ts"), F.col("value"))
+    )
+    # accuracy only holds for values inside [lo, hi) — size the range
+    # to the data (out-of-range values clamp to the edge bins by design)
+    vals = np.array([r["value"] for r in ev.select("value").collect()])
+    hi = float(np.ceil(vals.max())) + 1.0
+    one = histogram_rollup(g, "year", lo=0.0, hi=hi, n_bins=100).select(
+        histogram_quantile("hist", 0.5, lo=0.0, hi=hi, n_bins=100).alias("p50"),
+        histogram_quantile("hist", 0.95, lo=0.0, hi=hi, n_bins=100).alias("p95"),
+    ).collect()[0]
+    width = hi / 100
+    assert abs(one.p50 - np.quantile(vals, 0.5)) <= width
+    assert abs(one.p95 - np.quantile(vals, 0.95)) <= width
+
+    import pytest
+
+    with pytest.raises(ValueError, match="q must be"):
+        histogram_quantile("hist", 0.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_rollup(ev, lo=5.0, hi=5.0)

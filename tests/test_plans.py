@@ -21,6 +21,8 @@ from tests.conftest import SF_SMOKE
 # their plan shape is already pinned by their operator tests
 EAGER = {
     "snapshot_lineage",
+    "features_upsert",
+    "lineage_reconcile",
     "neardup_clusters",
     "dedup_survivors",
     "training_corpus",

@@ -121,3 +121,106 @@ def test_resume_recovers_properties(spark, events, tmp_path):
     )
     t.resume(events, sid, partition_by="user_id", num_partitions=8)
     assert t.manifest()["properties"] == props
+
+
+def test_merge_upsert_copy_on_write(spark, events, tmp_path):
+    """merge(): updated keys replaced, new keys inserted, untouched
+    partitions carried forward file-identical (copy-on-write at
+    partition granularity), lineage rows present for rewritten ones."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    # range-clustered layout (partition on a key bucket, the feature-
+    # store norm): per-partition event_id stats are then DISJOINT
+    # ranges, which is what lets merge carry untouched files forward
+    base = events.select(
+        "event_id", "user_id", "value",
+        (F.col("event_id") / 100).cast("long").alias("key_bucket"),
+    )
+    t.write(base, partition_by="key_bucket", num_partitions=8,
+            stats_cols=["event_id"])
+    old_files = {p["file"] for p in t.manifest()["partitions"]}
+
+    # update a narrow key slice + insert brand-new keys
+    upd = base.filter(F.col("event_id") < 50).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    new = base.filter(F.col("event_id") < 10).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "user_id",
+        F.lit(-1.0).alias("value"),
+        ((F.col("event_id") + 10_000_000) / 100).cast("long").alias("key_bucket"),
+    )
+    sid = t.merge(upd.unionByName(new), "event_id")
+
+    out = t.scan().toPandas().set_index("event_id").sort_index()
+    raw = base.toPandas().set_index("event_id").sort_index()
+    assert len(out) == len(raw) + 10  # inserts
+    updated = out.loc[out.index < 50, "value"]
+    assert (updated.values == raw.loc[raw.index < 50, "value"].values + 1000.0).all()
+    untouched = out.loc[(out.index >= 50) & (out.index < 10_000_000), "value"]
+    assert (untouched.values == raw.loc[raw.index >= 50, "value"].values).all()
+    assert (out.loc[out.index >= 10_000_000, "value"] == -1.0).all()
+
+    man = t.manifest(sid)
+    carried = {p["file"] for p in man["partitions"]} & old_files
+    assert man["properties"]["merge_carried"] == len(carried)
+    assert man["properties"]["merge_touched"] > 0
+    # copy-on-write: at least one parent file survives verbatim when the
+    # update keys cluster in a subset of the key space
+    assert carried, "expected untouched partitions to carry forward"
+    # every rewritten partition has a fresh lineage row with a digest
+    new_parts = [p for p in man["partitions"] if p["file"] not in old_files]
+    assert new_parts and all(p["digest"] != 0 for p in new_parts if p["rows"])
+
+
+def test_merge_rejects_duplicate_update_keys(spark, events, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    base = events.select("event_id", "value").limit(20)
+    t.write(base, partition_by="event_id", num_partitions=2,
+            stats_cols=["event_id"])
+    dup = base.limit(2).unionByName(base.limit(2))
+    with pytest.raises(ValueError, match="unique per merge key"):
+        t.merge(dup, "event_id")
+
+
+def test_merge_crash_preserves_parent_and_retry_succeeds(
+    spark, events, tmp_path
+):
+    """A merge killed mid-write leaves CURRENT on the parent snapshot
+    (old data fully readable); retrying the same merge from scratch
+    lands the correct final state — kill-and-resume-safe CDC."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    base = events.select("event_id", "value")
+    s1 = t.write(base, partition_by="event_id", num_partitions=8,
+                 stats_cols=["event_id"])
+    upd = base.withColumn("value", F.lit(7.0))  # touches every partition
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.merge(upd, "event_id", fail_after_partitions=2)
+    assert t.current_snapshot_id() == s1  # parent intact
+    assert t.scan().count() == base.count()
+    sid = t.merge(upd, "event_id")
+    assert t.current_snapshot_id() == sid
+    vals = t.scan().select("value").distinct().collect()
+    assert [r["value"] for r in vals] == [7.0]
+
+
+def test_merge_without_stats_rewrites_everything(spark, events, tmp_path):
+    """No per-partition key stats -> every partition is a candidate:
+    still correct, and the manifest records merge_carried == 0."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    base = events.select("event_id", "value").limit(100)
+    t.write(base, partition_by="event_id", num_partitions=4)  # no stats
+    upd = base.limit(5).withColumn("value", F.lit(0.5))
+    sid = t.merge(upd, "event_id")
+    man = t.manifest(sid)
+    assert man["properties"]["merge_carried"] == 0
+    out = t.scan().toPandas()
+    assert len(out) == 100
+    assert (out.value == 0.5).sum() == 5
