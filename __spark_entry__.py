@@ -369,6 +369,27 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-entity feature compaction (ops/asof.py compact_features):
+    keep one row per (entity, hour bucket) — the bucket's latest row,
+    each value column carrying the bucket's last non-null.  This is the
+    pre-aggregation that bounds the as-of window's per-entity state at
+    100 TB; equivalence of as-of-over-compacted with as-of-over-raw at
+    bucket granularity is pinned in tests/test_asof.py."""
+    from pic2vec_spark.ops.asof import compact_features
+
+    compacted = compact_features(
+        _events(spark, sf_dir), 3600.0,
+        on="user_id", ts="ts", value_cols=["value"], tiebreak="event_id",
+    )
+    return compacted.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+
+
 def q_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Novel-sketch class: fixed-boundary histogram quantiles through
     the rollup CASCADE — raw events → hourly histograms → daily
@@ -1227,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": q_purchase_attribution,
         "daily_rollup": q_daily_rollup,
         "daily_quantiles": q_daily_quantiles,
+        "feature_compaction": q_feature_compaction,
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
         "user_value_quantiles": q_user_value_quantiles,
         "event_type_pivot": q_event_type_pivot,
@@ -1871,6 +1893,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(SUM(value::DECIMAL(18,6))::DOUBLE / COUNT(*), 6)
                      AS avg_value
             FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "feature_compaction": """
+            WITH b AS (
+              SELECT user_id, ts, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id,
+                                    FLOOR(epoch_us(ts) / 3600000000)
+                       ORDER BY ts DESC, event_id DESC) AS rk
+              FROM events
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+            FROM b WHERE rk = 1
         """,
         "daily_quantiles": """
             WITH b AS (

@@ -56,6 +56,15 @@ EXTENDED = [
     "train_test_split",
 ]
 
+# round-3 additions — their own total (`extended_r3_sec`) so both the
+# headline `value` AND `extended_sec` stay composition-stable vs r1/r2
+EXTENDED_R3 = [
+    "daily_quantiles",
+    "feature_compaction",
+    "caption_image_conflicts",
+    "features_upsert",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -137,6 +146,15 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         extended[name] = min(runs)
     timings.update(extended)
+    extended_r3: dict[str, float] = {}
+    for name in EXTENDED_R3:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        extended_r3[name] = min(runs)
+    timings.update(extended_r3)
     print(
         json.dumps(
             {
@@ -149,6 +167,7 @@ def main() -> None:
                 "images_per_sec": round(N_BENCH_IMAGES / flagship_sec, 1),
                 "flagship_runs_sec": flagship_runs,
                 "extended_sec": round(sum(extended.values()), 3),
+                "extended_r3_sec": round(sum(extended_r3.values()), 3),
                 "cpus": cpus,
             }
         )
