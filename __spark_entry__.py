@@ -1090,13 +1090,16 @@ def q_caption_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.dedup import jaccard_pairs
     from pic2vec_spark.ops.knn import cosine_neardup_pairs
 
+    # both pair sets feed BOTH anti-join branches — cache them so the
+    # shingle self-join and the O(n^2) cosine run once, not twice (the
+    # cached frames are the tiny pair lists, not the inputs)
     text_pairs = jaccard_pairs(
         _documents(spark, sf_dir), "doc_id", "text",
         n=JACCARD_N, threshold=JACCARD_THRESHOLD,
-    ).select("id1", "id2")
+    ).select("id1", "id2").cache()
     emb_pairs = cosine_neardup_pairs(
         _embeddings(spark, sf_dir), threshold=NEARDUP_COS
-    ).select("id1", "id2")
+    ).select("id1", "id2").cache()
     text_only = text_pairs.join(emb_pairs, ["id1", "id2"], "left_anti").select(
         "id1", "id2", F.lit("text_near_embedding_far").alias("conflict")
     )

@@ -416,10 +416,29 @@ def cosine_neardup_pairs(
             )
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # probe the dimension once (cheap driver action) to emit the
+    # UNROLLED codegen cosine — identical arithmetic to the HOF form
+    # (see _cosine_unrolled) but far cheaper per pair, which is what
+    # dominates an O(n^2) join; fall back to the HOF form only when no
+    # probe row exists (empty input stays lazy and correctly typed)
+    head = df.select(vec_col).first()
+    if head is not None and head[0] is not None:
+        cos_expr = _cosine_unrolled("v1", "v2", len(head[0]))
+    else:
+        cos_expr = cosine(F.col("v1"), F.col("v2"))
+    # the `+ rand(7)*0.0` term adds exactly 0.0 (rand is in [0,1), never
+    # NaN/inf; NULL cos stays NULL and is dropped, same as before) — its
+    # ONLY purpose is to mark the predicate nondeterministic so Catalyst
+    # cannot push the threshold filter (and the whole cosine with it)
+    # into the BroadcastNestedLoopJoin condition, where it is evaluated
+    # per candidate pair outside whole-stage codegen (measured 3.5x
+    # slower at sf0.1: 36s -> 10.6s).  With the barrier the join runs
+    # on the cheap id1 < id2 condition and the cosine lands in a
+    # codegen Project above it.
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
-        .filter(F.col("cos") >= threshold)
+        .withColumn("cos", F.round(cos_expr, 6))
+        .filter(F.col("cos") + F.rand(7) * F.lit(0.0) >= threshold)
         .select("id1", "id2", "cos")
     )
 
