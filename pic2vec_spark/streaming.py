@@ -187,3 +187,111 @@ def streaming_dedup(
         .withColumn("__digest", content_digest())
         .dropDuplicatesWithinWatermark(["__digest"])
     )
+
+
+def streaming_rollup(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    watermark: str = "2 hours",
+    on: str = "user_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Streaming producer of the continuous-aggregate cascade: a
+    watermarked tumbling-window aggregate emitting the SAME re-aggregable
+    partials as the batch ``ops.rollup.histogram_rollup`` — (entity,
+    bucket_ts, n_events, hist) with identical bin arithmetic — so the
+    batch ``histogram_reaggregate`` / ``histogram_quantile`` read path
+    consumes hourly partials regardless of whether they were built by a
+    backfill job or by this stream.  That is the 100 TB continuous-
+    aggregate shape: the raw stream is touched once, per-group state is
+    n_bins longs, and late rows beyond the watermark are dropped
+    (bounded state)."""
+    # bin arithmetic mirrors ops/rollup.histogram_rollup exactly
+    # (stream == batch partials is pinned by tests/test_streaming.py)
+    if n_bins < 1 or hi <= lo:
+        raise ValueError(f"need n_bins >= 1 and hi > lo, got {n_bins}, [{lo}, {hi})")
+    bin_c = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        events.withColumn(ts, F.col(ts).cast("timestamp"))
+        .withWatermark(ts, watermark)
+        .withColumn("__bin", bin_c)
+        .groupBy(F.col(on), F.window(F.col(ts), f"{bucket_s} seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array(
+                *[
+                    F.sum((F.col("__bin") == i).cast("long"))
+                    for i in range(n_bins)
+                ]
+            ).alias("hist"),
+        )
+        .select(
+            F.col(on),
+            F.col("window.start").alias("bucket_ts"),
+            "n_events",
+            "hist",
+        )
+    )
+
+
+def stream_merge(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    key: str,
+    schema,
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC apply: a file-source stream of keyed correction
+    rows, each micro-batch upserted into the SnapshotTable at
+    ``table_root`` via ``merge`` (copy-on-write at partition
+    granularity).  Within a micro-batch, ``order_col`` (desc) picks the
+    winning row per key — merge requires unique update keys.  The
+    streaming checkpoint makes the source exactly-once; a crash between
+    batches leaves the table on the last committed snapshot and replayed
+    batches re-merge idempotently (same keys -> same final rows).
+    Returns the started query."""
+    from pyspark.sql import Window
+
+    table = SnapshotTable(table_root, spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        updates = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+            updates = (
+                updates.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            updates = updates.dropDuplicates([key])
+        table.merge(updates, key)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -222,3 +222,106 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(got) == n_digests
     assert n_digests <= 12
     assert n_digests >= 6
+
+
+def test_streaming_rollup_matches_batch_partials(spark, tmp_path):
+    """Stream-built hourly histogram partials == batch histogram_rollup
+    exactly (same bin arithmetic), for every window the final watermark
+    has closed — so backfill and stream feed the same cascade."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev"
+    events.coalesce(1).write.parquet(str(src))
+
+    from pic2vec_spark.streaming import streaming_rollup
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    q = (
+        streaming_rollup(stream, bucket_s=3600, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hist_stream").toPandas()
+    assert len(got) > 0
+
+    from pic2vec_spark.ops.rollup import histogram_rollup
+
+    batch = histogram_rollup(
+        spark.read.parquet(str(src)), "hour"
+    ).toPandas()
+    bkey = {
+        (r.user_id, r.bucket_ts): (r.n_events, list(r.hist))
+        for r in batch.itertuples()
+    }
+    # append mode emits only watermark-closed windows: every emitted row
+    # must equal the batch partial bit-for-bit
+    for r in got.itertuples():
+        assert bkey[(r.user_id, r.bucket_ts)] == (r.n_events, list(r.hist))
+    # and the closed set is complete: windows ending before the final
+    # watermark (max_ts - 2h) are all present
+    wm = batch.bucket_ts.max()  # conservative: last bucket stays open
+    import pandas as pd
+
+    max_ts = pd.to_datetime(
+        spark.read.parquet(str(src)).agg({"ts": "max"}).collect()[0][0]
+    )
+    closed = batch[
+        batch.bucket_ts + pd.Timedelta(hours=1) < max_ts - pd.Timedelta(hours=2)
+    ]
+    got_keys = set(zip(got.user_id, got.bucket_ts))
+    missing = [
+        k for k in zip(closed.user_id, closed.bucket_ts) if k not in got_keys
+    ]
+    assert not missing, f"watermark-closed windows not emitted: {missing[:3]}"
+
+
+def test_stream_merge_applies_corrections_in_order(spark, tmp_path):
+    """Streaming CDC: two correction file drops upsert into the snapshot
+    table; the last correction per key wins, untouched keys survive, and
+    the table stays readable between batches."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.snapshots import SnapshotTable
+    from pic2vec_spark.streaming import stream_merge
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "value")
+        .withColumn("seq", F.lit(0).cast("long"))
+    )
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root, spark)
+    t.write(base, partition_by="event_id", num_partitions=4,
+            stats_cols=["event_id"])
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    fix1 = base.filter(F.col("event_id") < 30).select(
+        "event_id", F.lit(111.0).alias("value"), F.lit(1).cast("long").alias("seq")
+    )
+    fix2 = base.filter(F.col("event_id") < 10).select(
+        "event_id", F.lit(222.0).alias("value"), F.lit(2).cast("long").alias("seq")
+    )
+    fix1.coalesce(1).write.parquet(str(src / "f1"))
+    fix2.coalesce(1).write.parquet(str(src / "f2"))
+
+    q = stream_merge(
+        spark, f"{src}/*", str(tmp_path / "ckpt"), root,
+        key="event_id", schema=base.schema, order_col="seq",
+    )
+    q.awaitTermination(120)
+
+    out = t.scan().toPandas().set_index("event_id").sort_index()
+    assert len(out) == base.count()
+    assert (out.loc[out.index < 10, "value"] == 222.0).all()
+    assert (out.loc[(out.index >= 10) & (out.index < 30), "value"] == 111.0).all()
+    raw = base.toPandas().set_index("event_id").sort_index()
+    assert (
+        out.loc[out.index >= 30, "value"].values
+        == raw.loc[raw.index >= 30, "value"].values
+    ).all()
