@@ -406,11 +406,14 @@ def cosine_neardup_pairs(
     (e.g. when the caller has already bounded the input).
     """
     if max_rows is not None:
-        n = df.count()
+        # bounded guard scan: limit(max_rows+1) early-terminates, so the
+        # check costs O(max_rows) rows of the input plan, never a full
+        # count of a 100 TB table it is about to refuse anyway
+        n = df.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_neardup_pairs is exact all-pairs (O(n^2)) and the "
-                f"input has {n} rows > max_rows={max_rows}; use "
+                f"input has > max_rows={max_rows} rows; use "
                 f"cosine_neardup_pairs_lsh for large inputs, or pass "
                 f"max_rows=None if the input is deliberately bounded."
             )

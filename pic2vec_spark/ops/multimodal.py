@@ -219,17 +219,33 @@ def _mel_filterbank(n_mel: int, rate: int, n_fft: int = _MEL_N_FFT) -> np.ndarra
     return fb
 
 
+_MEL_MAX_FRAMES = 256
+
+
 def _mel_energies(sig: np.ndarray, rate: int, n_mel: int) -> list:
     """log1p mel-filterbank energies of a mono clip: Hann-windowed
     512-point frames (50% hop), power spectra averaged over the clip,
-    projected through the HTK-mel triangular filterbank."""
+    projected through the HTK-mel triangular filterbank.
+
+    Memory bound: at most ``_MEL_MAX_FRAMES`` frames are sampled,
+    evenly spaced over the clip — short clips use every frame, long
+    ones a deterministic uniform subsample, so the working set stays
+    ~256x512 doubles per row regardless of clip length (an unsampled
+    30-min 44.1 kHz clip would otherwise materialize multi-GB frame /
+    rfft buffers inside the Arrow worker)."""
     n_fft = _MEL_N_FFT
     hop = n_fft // 2
     x = np.asarray(sig, dtype=np.float64)
     if len(x) < n_fft:
         x = np.pad(x, (0, n_fft - len(x)))
     n_frames = 1 + (len(x) - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    if n_frames > _MEL_MAX_FRAMES:
+        starts = np.linspace(
+            0, (n_frames - 1) * hop, _MEL_MAX_FRAMES
+        ).astype(np.int64)
+    else:
+        starts = hop * np.arange(n_frames, dtype=np.int64)
+    idx = np.arange(n_fft)[None, :] + starts[:, None]
     frames = x[idx] * np.hanning(n_fft)
     power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
     fb = _mel_filterbank(n_mel, rate)

@@ -79,6 +79,36 @@ def reaggregate(
     )
 
 
+def hist_bin_col(
+    value_col: str, lo: float, hi: float, n_bins: int
+) -> Column:
+    """The histogram bin expression shared by the batch rollup and the
+    streaming producer (streaming.streaming_rollup) — ONE definition so
+    the stream==batch partial-parity contract cannot drift."""
+    if n_bins < 1 or hi <= lo:
+        raise ValueError(f"need n_bins >= 1 and hi > lo, got {n_bins}, [{lo}, {hi})")
+    return F.least(
+        F.greatest(
+            F.floor(
+                (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+
+
+def hist_agg_exprs(n_bins: int, bin_col: str = "__bin") -> list[Column]:
+    """The (n_events, hist) aggregate list over a bin column — shared
+    with the streaming producer, same drift rationale as hist_bin_col."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.array(
+            *[F.sum((F.col(bin_col) == i).cast("long")) for i in range(n_bins)]
+        ).alias("hist"),
+    ]
+
+
 def histogram_rollup(
     df: DataFrame,
     bucket: str = "hour",
@@ -101,32 +131,13 @@ def histogram_rollup(
     is oracle-checkable.  The agg is n_bins conditional sums — fully
     whole-stage-codegen, map-side partial, one shuffle; per-group state
     is n_bins longs, constant."""
-    if n_bins < 1 or hi <= lo:
-        raise ValueError(f"need n_bins >= 1 and hi > lo, got {n_bins}, [{lo}, {hi})")
-    bin_c = F.least(
-        F.greatest(
-            F.floor(
-                (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
-            ).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
-    )
     return (
-        df.withColumn("__bin", bin_c)
+        df.withColumn("__bin", hist_bin_col(value_col, lo, hi, n_bins))
         .groupBy(
             F.col(on),
             F.date_trunc(bucket, F.col(ts).cast("timestamp")).alias("bucket_ts"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.array(
-                *[
-                    F.sum((F.col("__bin") == i).cast("long"))
-                    for i in range(n_bins)
-                ]
-            ).alias("hist"),
-        )
+        .agg(*hist_agg_exprs(n_bins))
     )
 
 
@@ -137,7 +148,24 @@ def histogram_reaggregate(
     """Coarser histogram level FROM a finer one: element-wise sum of the
     bin counts — touches only the partials, never the raw table, and is
     exactly lossless (counts are integers; cascade == direct is an
-    identity, pinned in tests)."""
+    identity, pinned in tests).
+
+    ``n_bins`` must match the rollup that built ``hist`` — a mismatch
+    raises at execution time (assert_true) instead of silently
+    truncating the distribution or emitting null bins."""
+    rollup = rollup.filter(
+        F.coalesce(
+            F.assert_true(
+                F.size("hist") == n_bins,
+                F.concat(
+                    F.lit("histogram_reaggregate: hist has "),
+                    F.size("hist").cast("string"),
+                    F.lit(f" bins, expected n_bins={n_bins}"),
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    )
     return (
         rollup.groupBy(
             F.col(on),
@@ -175,7 +203,19 @@ def histogram_quantile(
     histogram_rollup agg, which IS flat codegen conditional sums."""
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
-    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    raw_h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    # n_bins must match the histogram that built the column: a mismatch
+    # raises at execution time instead of reading a truncated/NULL-
+    # padded distribution (wrong quantiles with no error)
+    h = F.when(F.size(raw_h) == n_bins, raw_h).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("histogram_quantile: hist has "),
+                F.size(raw_h).cast("string"),
+                F.lit(f" bins, expected n_bins={n_bins}"),
+            )
+        )
+    )
     zero = F.lit(0).cast("bigint")
     total = F.aggregate(h, zero, lambda a, x: a + x)
     target = F.ceil(F.lit(q) * total)

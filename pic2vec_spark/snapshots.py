@@ -304,6 +304,12 @@ class SnapshotTable:
         man = self.manifest()
         if man is None:
             raise FileNotFoundError(f"no snapshot at {self.root} to merge into")
+        # materialize the updates ONCE: the plan is otherwise re-executed
+        # by the dup check, the touched-pid range join, the anti-join and
+        # the write — four runs of an arbitrary (possibly expensive or
+        # nondeterministic) plan, where a key set that shifts between
+        # detection and write would leave duplicate keys behind
+        updates = updates.localCheckpoint(eager=True)
         dup = (
             updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
         )
@@ -329,9 +335,18 @@ class SnapshotTable:
                     }
                 )
             )
+            # stats were normalized at write time (_stat_norm: datetimes
+            # -> epoch MICROSECONDS); probe with the same normalization,
+            # or a timestamp key would compare against a bigint and
+            # touch nothing (duplicate keys after the merge)
+            key_type = updates.schema[key].dataType
+            if isinstance(key_type, (T.TimestampType, T.TimestampNTZType)):
+                probe_key = F.unix_micros(F.col(key).cast("timestamp"))
+            else:
+                probe_key = F.col(key)
             touched_pids = {
                 r["pid"]
-                for r in updates.select(F.col(key).alias("__k"))
+                for r in updates.select(probe_key.alias("__k"))
                 .distinct()
                 .join(
                     F.broadcast(bounds),

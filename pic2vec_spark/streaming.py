@@ -210,33 +210,18 @@ def streaming_rollup(
     aggregate shape: the raw stream is touched once, per-group state is
     n_bins longs, and late rows beyond the watermark are dropped
     (bounded state)."""
-    # bin arithmetic mirrors ops/rollup.histogram_rollup exactly
-    # (stream == batch partials is pinned by tests/test_streaming.py)
-    if n_bins < 1 or hi <= lo:
-        raise ValueError(f"need n_bins >= 1 and hi > lo, got {n_bins}, [{lo}, {hi})")
-    bin_c = F.least(
-        F.greatest(
-            F.floor(
-                (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
-            ).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
-    )
+    # bin expression + aggregate list are SHARED with the batch rollup
+    # (ops/rollup.hist_bin_col / hist_agg_exprs): one definition, so the
+    # stream == batch partial-parity contract cannot drift; the test in
+    # tests/test_streaming.py additionally pins bit-equality
+    from pic2vec_spark.ops.rollup import hist_agg_exprs, hist_bin_col
+
     return (
         events.withColumn(ts, F.col(ts).cast("timestamp"))
         .withWatermark(ts, watermark)
-        .withColumn("__bin", bin_c)
+        .withColumn("__bin", hist_bin_col(value_col, lo, hi, n_bins))
         .groupBy(F.col(on), F.window(F.col(ts), f"{bucket_s} seconds"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.array(
-                *[
-                    F.sum((F.col("__bin") == i).cast("long"))
-                    for i in range(n_bins)
-                ]
-            ).alias("hist"),
-        )
+        .agg(*hist_agg_exprs(n_bins))
         .select(
             F.col(on),
             F.col("window.start").alias("bucket_ts"),
@@ -259,11 +244,17 @@ def stream_merge(
     """Streaming CDC apply: a file-source stream of keyed correction
     rows, each micro-batch upserted into the SnapshotTable at
     ``table_root`` via ``merge`` (copy-on-write at partition
-    granularity).  Within a micro-batch, ``order_col`` (desc) picks the
-    winning row per key — merge requires unique update keys.  The
-    streaming checkpoint makes the source exactly-once; a crash between
-    batches leaves the table on the last committed snapshot and replayed
-    batches re-merge idempotently (same keys -> same final rows).
+    granularity).  ``order_col`` resolves conflicts BOTH within a
+    micro-batch (row_number desc picks the winner per key) and ACROSS
+    batches: each batch's survivors are checked against the current
+    table and rows whose ``order_col`` is lower than the stored row's
+    are dropped — a delayed/stale correction arriving in a later batch
+    (file-listing inversions, backfill drops, maxFilesPerTrigger
+    splits) cannot overwrite a newer one.  Without ``order_col`` the
+    apply is last-batch-wins by construction.  The streaming checkpoint
+    makes the source exactly-once; a crash between batches leaves the
+    table on the last committed snapshot and replayed batches re-merge
+    idempotently (>= keeps same-version replays value-stable).
     Returns the started query."""
     from pyspark.sql import Window
 
@@ -285,6 +276,26 @@ def stream_merge(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
+            # cross-batch staleness gate: the table scan is pruned to
+            # the batch's key range via the manifest stats (min_stats),
+            # so at scale this reads the touched partitions, not 100 TB
+            lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
+            cur = table.scan(min_stats={key: (lo, hi)}).select(
+                F.col(key).alias("__cur_k"),
+                F.col(order_col).alias("__cur_ord"),
+            )
+            updates = (
+                updates.join(
+                    cur, updates[key] == cur["__cur_k"], "left"
+                )
+                .filter(
+                    F.col("__cur_ord").isNull()
+                    | (F.col(order_col) >= F.col("__cur_ord"))
+                )
+                .drop("__cur_k", "__cur_ord")
+            )
+            if updates.isEmpty():
+                return
         else:
             updates = updates.dropDuplicates([key])
         table.merge(updates, key)

@@ -470,3 +470,10 @@ def test_histogram_cascade_identity_and_quantiles(spark):
         histogram_quantile("hist", 0.0)
     with pytest.raises(ValueError, match="n_bins"):
         histogram_rollup(ev, lo=5.0, hi=5.0)
+    # n_bins mismatch vs the built hist must raise at execution time,
+    # not silently truncate the distribution
+    h20 = histogram_rollup(ev, "hour", n_bins=20)
+    with pytest.raises(Exception, match="expected n_bins=50"):
+        histogram_reaggregate(h20, "day", n_bins=50).count()
+    with pytest.raises(Exception, match="expected n_bins=50"):
+        h20.select(histogram_quantile("hist", 0.5, n_bins=50).alias("x")).collect()

@@ -23,6 +23,7 @@ EAGER = {
     "snapshot_lineage",
     "features_upsert",
     "lineage_reconcile",
+    "caption_image_conflicts",
     "neardup_clusters",
     "dedup_survivors",
     "training_corpus",

@@ -325,3 +325,19 @@ def test_stream_merge_applies_corrections_in_order(spark, tmp_path):
         out.loc[out.index >= 30, "value"].values
         == raw.loc[raw.index >= 30, "value"].values
     ).all()
+
+    # cross-batch staleness: a DELAYED stale correction (seq=1) arriving
+    # in a later micro-batch must NOT overwrite the seq=2 rows
+    stale = base.filter(F.col("event_id") < 10).select(
+        "event_id", F.lit(999.0).alias("value"), F.lit(1).cast("long").alias("seq")
+    )
+    stale.coalesce(1).write.parquet(str(src / "f3_late"))
+    q2 = stream_merge(
+        spark, f"{src}/*", str(tmp_path / "ckpt"), root,
+        key="event_id", schema=base.schema, order_col="seq",
+    )
+    q2.awaitTermination(120)
+    out2 = t.scan().toPandas().set_index("event_id").sort_index()
+    assert (out2.loc[out2.index < 10, "value"] == 222.0).all(), (
+        "stale correction overwrote a newer one across batches"
+    )
