@@ -1077,6 +1077,34 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a PERSISTED cell-partitioned index (ops/ivf_store):
+    the corpus is written once as a snapshot whose manifest records each
+    file's cell range, and the probe prunes files before scanning —
+    identical results to knn_ivf (same oracle), but the 10^12-row read
+    path: probes open ~nprobe/n_cells of the files, the rest never
+    leave storage."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.ivf_store import build_ivf_index, probe_ivf_index
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    centroids = _ivf_centroids(ORACLE_SF_DIR)
+    root = tempfile.mkdtemp(prefix="drv_ivf_")
+    try:
+        build_ivf_index(embs, centroids, root, spark)
+        out = probe_ivf_index(
+            root, spark, queries, centroids, k=KNN_K, nprobe=IVF_NPROBE
+        )
+        # probe reads temp files deleted in finally — land the (small,
+        # top-k) result before cleanup
+        return spark.createDataFrame(out.toPandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_caption_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup conflicts — the two modalities of a multimodal
     row disagreeing about duplication: pairs that are near-dups by TEXT
@@ -1297,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_store": q_knn_ivf_store,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "caption_image_conflicts": q_caption_image_conflicts,
@@ -1758,6 +1787,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "knn_lsh": _knn_lsh_sql(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "knn_ivf_store": _knn_ivf_sql(),
         "knn_cosine": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -1,0 +1,90 @@
+"""Persisted IVF index: probe-over-snapshot == query-time ivf_topk
+exactly, and the manifest's cell stats actually prune files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_probe_matches_ivf_topk_exactly(spark, embs, tmp_path):
+    from pic2vec_spark.ops.ivf_store import build_ivf_index, probe_ivf_index
+    from pic2vec_spark.ops.knn import ivf_topk, kmeans_centroids, sample_vectors
+
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    queries = embs.filter(F.col("vec_id") < 8)
+
+    root = str(tmp_path / "ivf")
+    build_ivf_index(embs, centroids, root, spark)
+
+    direct = (
+        ivf_topk(embs, queries, centroids, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    stored = (
+        probe_ivf_index(root, spark, queries, centroids, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    assert direct[["query_id", "neighbor_id", "rk"]].equals(
+        stored[["query_id", "neighbor_id", "rk"]]
+    )
+    assert (direct["cos"] - stored["cos"]).abs().max() == 0.0
+
+
+def test_index_files_are_pruned_by_cell_stats(spark, embs, tmp_path):
+    """A single-cell probe must open strictly fewer data files than the
+    table has (the point of writing the cells into the layout), and the
+    pruned scan still returns every member of that cell."""
+    from pic2vec_spark.ops.ivf_store import assign_cells, build_ivf_index
+    from pic2vec_spark.ops.knn import kmeans_centroids, sample_vectors
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(embs, centroids, root, spark)
+    t = SnapshotTable(root, spark)
+    man = t.manifest()
+    live = [p for p in man["partitions"] if p["rows"] > 0]
+    assert all(p["stats"]["cell"][0] is not None for p in live)
+
+    cell = int(live[0]["stats"]["cell"][0])
+    kept = [
+        p for p in live
+        if p["stats"]["cell"][0] <= cell <= p["stats"]["cell"][1]
+    ]
+    assert len(kept) < len(live), "cell probe should prune files"
+
+    pruned = t.scan(min_stats={"cell": (cell, cell)}).filter(
+        F.col("cell") == cell
+    )
+    full_members = (
+        assign_cells(embs, centroids).filter(F.col("cell") == cell).count()
+    )
+    assert pruned.count() == full_members > 0
+
+
+def test_probe_is_deterministic_across_partitionings(spark, embs, tmp_path):
+    from pic2vec_spark.ops.ivf_store import build_ivf_index, probe_ivf_index
+    from pic2vec_spark.ops.knn import kmeans_centroids, sample_vectors
+
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    queries = embs.filter(F.col("vec_id") < 4)
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivf_index(embs, centroids, r1, spark)
+    build_ivf_index(embs.repartition(7), centroids, r2, spark)
+    a = (
+        probe_ivf_index(r1, spark, queries, centroids)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    b = (
+        probe_ivf_index(r2, spark, queries, centroids)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -24,6 +24,7 @@ EAGER = {
     "features_upsert",
     "lineage_reconcile",
     "caption_image_conflicts",
+    "knn_ivf_store",
     "neardup_clusters",
     "dedup_survivors",
     "training_corpus",
