@@ -864,6 +864,33 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_FLOOR = 0.5
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES): top
+    10 docs per source with inclusion probability proportional to
+    document length — reproducible across runs/engines because the
+    exponential clock comes from md5, not an RNG."""
+    from pic2vec_spark.ops.sampling import weighted_sample
+
+    return weighted_sample(
+        _documents(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        stratum_col="source", key_col="doc_id", weight_col="n_chars", k=10,
+    )
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing: concatenate each source's documents in
+    doc_id order and cut the token stream into 1024-token training
+    sequences; per doc, the sequence its first token lands in and the
+    in-sequence offset.  Exact integer window arithmetic — the packing
+    layout is bit-reproducible in SQL."""
+    from pic2vec_spark.ops.text import pack_documents
+
+    return pack_documents(
+        _documents(spark, sf_dir).select("doc_id", "source", "text"),
+        seq_len=1024,
+    ).select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-construction recipe in one query — what a
     training-data pipeline actually runs: exact dedup (keep min id per
@@ -1318,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "doc_packing": q_doc_packing,
         "training_corpus": q_training_corpus,
         "snapshot_lineage": q_snapshot_lineage,
         "features_upsert": q_features_upsert,
@@ -1678,6 +1707,37 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, source FROM r WHERE rk <= ceil(0.2 * n)
+    """
+    d["weighted_sample"] = """
+        WITH u AS (
+          SELECT doc_id, source, n_chars,
+                 (CAST('0x' || substr(md5('wsample' || doc_id::VARCHAR), 1, 15)
+                       AS BIGINT)::DOUBLE + 0.5)
+                   / 1152921504606846976.0 AS uu
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        ), r AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY -ln(uu) / n_chars::DOUBLE, doc_id) AS sample_rank
+          FROM u
+        )
+        SELECT doc_id, source, n_chars, sample_rank
+        FROM r WHERE sample_rank <= 10
+    """
+    d["doc_packing"] = r"""
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               CAST(FLOOR(
+                 (SUM(len(regexp_split_to_array(trim(text), '\s+'))) OVER w
+                  - len(regexp_split_to_array(trim(text), '\s+'))) / 1024.0
+               ) AS BIGINT) AS seq_id,
+               (SUM(len(regexp_split_to_array(trim(text), '\s+'))) OVER w
+                - len(regexp_split_to_array(trim(text), '\s+'))) % 1024
+                 AS seq_offset
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
     # corpus construction = composition of the MEMBER oracles (reused
     # verbatim, so this gate can never drift from the per-stage gates):

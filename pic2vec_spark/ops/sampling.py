@@ -83,3 +83,53 @@ def stratified_sample(
         .filter(F.col("__rk") <= F.ceil(F.lit(fraction) * F.col("__n")))
         .drop("__rk", "__n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    stratum (Efraimidis–Spirakis A-ES): rank rows by -ln(u)/w ascending
+    — u a uniform (0,1) double derived from md5(salt||key), w the row's
+    weight — and keep the top k.  Inclusion probability is proportional
+    to weight (the exponential-clocks argument), yet there is NO RNG:
+    the same row always draws the same u, so the sample is reproducible
+    across runs, partitionings and engines, and a SQL oracle recomputes
+    the selection bit-for-bit (same md5 -> same u -> same order; an
+    engine-libm last-ulp difference in ln() flips a comparison only
+    between keys within one ulp — probability ~2^-50 per pair).
+
+    Rows with NULL or non-positive weight are excluded (their clock
+    never fires).  One shuffle on the stratum key; WindowGroupLimit
+    prunes to O(k) rows per group map-side, like topk_per_entity."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # 60-bit md5 prefix -> u in (0, 1): +0.5 keeps u > 0 exactly (see
+    # kmv_distinct for the cross-engine determinism argument)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    rank_key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(stratum_col).orderBy(
+        rank_key.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wrk", F.row_number().over(w))
+        .filter(F.col("__wrk") <= k)
+        .withColumnRenamed("__wrk", "sample_rank")
+    )

@@ -8,7 +8,7 @@ are SQL-checkable against the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords for the language-ID heuristic (English function words)
@@ -147,4 +147,46 @@ def tf_idf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "score", "rk")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    seq_len: int,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate each source's
+    documents in ``order_col`` order and cut the token stream into
+    fixed ``seq_len`` training sequences (GPT-style concatenation
+    packing — no padding except the stream tail).  Emits, per document,
+    the sequence its FIRST token lands in and the offset within it:
+
+        (.., n_tokens, seq_id, seq_offset)
+
+    so the actual tensor assembly (a narrow downstream mapInPandas over
+    rows grouped by seq_id) knows exactly where every document starts.
+    Deterministic and engine-portable: one running-sum window per
+    source (a single shuffle on the source key); the cumulative sum is
+    exact integer arithmetic, so a SQL oracle reproduces the packing
+    bit-for-bit.  At 10^12 docs the stream order inside one source is a
+    real sort — shard sources (e.g. source x date) to bound per-group
+    history, exactly like the as-of compaction note."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "__start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn("seq_id", F.floor(F.col("__start") / F.lit(seq_len)))
+        .withColumn("seq_offset", F.col("__start") % F.lit(seq_len))
+        .drop("__start")
     )

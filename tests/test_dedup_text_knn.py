@@ -477,3 +477,61 @@ def test_histogram_cascade_identity_and_quantiles(spark):
         histogram_reaggregate(h20, "day", n_bins=50).count()
     with pytest.raises(Exception, match="expected n_bins=50"):
         h20.select(histogram_quantile("hist", 0.5, n_bins=50).alias("x")).collect()
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """A-ES weighted sampling: reproducible across partitionings, k per
+    stratum, and heavy rows are picked far more often than light ones
+    (weight-proportional inclusion)."""
+    from pic2vec_spark.ops.sampling import weighted_sample
+
+    rows = [(i, "s", 1000.0 if i < 20 else 1.0) for i in range(400)]
+    rows += [(1000, "s", None), (1001, "s", -5.0)]  # excluded weights
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = weighted_sample(df, "source", "doc_id", "w", k=15).toPandas()
+    assert len(out) == 15
+    assert sorted(out.sample_rank) == list(range(1, 16))
+    assert not out.doc_id.isin([1000, 1001]).any()
+    # 20 heavy rows carry 20000/20380 of the total weight: expect the
+    # sample to be dominated by them (deterministic, so one check pins it)
+    assert (out.doc_id < 20).sum() >= 12
+
+    again = weighted_sample(
+        df.repartition(7), "source", "doc_id", "w", k=15
+    ).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "source", "doc_id", "w", k=0)
+
+
+def test_pack_documents_stream_invariants(spark, docs):
+    """Sequence packing: offsets equal the running token sum mod
+    seq_len, seq_ids are non-decreasing dense-ish per source, and the
+    layout is invariant to input partitioning."""
+    from pic2vec_spark.ops.text import pack_documents
+
+    out = (
+        pack_documents(docs.select("doc_id", "source", "text"), seq_len=512)
+        .toPandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    for src, grp in out.groupby("source"):
+        start = 0
+        for r in grp.itertuples():
+            assert r.seq_id == start // 512
+            assert r.seq_offset == start % 512
+            start += r.n_tokens
+        # the last doc's sequence can never start past the stream end
+        assert grp.seq_id.max() <= max(start - 1, 0) // 512
+
+    repart = (
+        pack_documents(
+            docs.select("doc_id", "source", "text").repartition(13),
+            seq_len=512,
+        )
+        .toPandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    assert out.equals(repart)
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_documents(docs, seq_len=0)
