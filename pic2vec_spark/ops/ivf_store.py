@@ -32,30 +32,14 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pic2vec_spark.ops.knn import _centroid_cos_array, _cosine_unrolled
+# assign_cells lives in ops.knn and is SHARED with ivf_topk — one
+# definition, so probe==ivf_topk equivalence is structural
+from pic2vec_spark.ops.knn import (  # noqa: F401  (re-exported)
+    _centroid_cos_array,
+    _cosine_unrolled,
+    assign_cells,
+)
 from pic2vec_spark.snapshots import SnapshotTable
-
-
-def assign_cells(
-    corpus: DataFrame,
-    centroids: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, vec, cell) with cell = 1-based argmax cosine to the broadcast
-    centroid literals — identical arithmetic and FIRST-index tiebreak to
-    ``ivf_topk``'s corpus assignment (a narrow map, no shuffle)."""
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        _centroid_cos_array(vec_col, centroids).alias("__cos"),
-    ).select(
-        "neighbor_id",
-        "cvec",
-        F.array_position(F.col("__cos"), F.array_max(F.col("__cos")))
-        .cast("int")
-        .alias("cell"),
-    )
 
 
 def build_ivf_index(
@@ -80,8 +64,24 @@ def build_ivf_index(
         # near-exact); collisions remain CORRECT, just less selective
         num_partitions=2 * int(centroids.shape[0]),
         stats_cols=["cell"],
-        properties={"index": "ivf", "n_cells": int(centroids.shape[0])},
+        properties={
+            "index": "ivf",
+            "n_cells": int(centroids.shape[0]),
+            # the quantizer IS part of the index: a probe under different
+            # centroids would scan the wrong cells and return silently
+            # wrong neighbors — probe_ivf_index refuses on mismatch
+            "centroid_digest": _centroid_digest(centroids),
+        },
     )
+
+
+def _centroid_digest(centroids: np.ndarray) -> str:
+    import hashlib
+
+    arr = np.ascontiguousarray(centroids, dtype=np.float64)
+    return hashlib.md5(
+        arr.tobytes() + str(arr.shape).encode()
+    ).hexdigest()
 
 
 def probe_ivf_index(
@@ -103,6 +103,19 @@ def probe_ivf_index(
     construction — it is the coarse quantizer), so collecting it to
     drive manifest pruning costs one tiny aggregate over the QUERY side,
     never a corpus scan."""
+    table = SnapshotTable(table_root, spark)
+    man = table.manifest()
+    if man is None:
+        raise FileNotFoundError(f"no IVF index at {table_root}")
+    recorded = (man.get("properties") or {}).get("centroid_digest")
+    if recorded is not None and recorded != _centroid_digest(centroids):
+        raise ValueError(
+            "probe centroids do not match the quantizer this index was "
+            "built with (centroid_digest mismatch) — rebuild the index "
+            "or probe with the original centroids; a mismatched probe "
+            "would scan the wrong cells and return silently wrong "
+            "neighbors"
+        )
     cos_arr = _centroid_cos_array
     qc = queries.select(
         F.col(id_col).alias("query_id"),
@@ -121,7 +134,23 @@ def probe_ivf_index(
     probed_cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
-    table = SnapshotTable(table_root, spark)
+    if not probed_cells:
+        # empty query set: return the correctly-typed empty result, the
+        # same grace ivf_topk has (no files are opened)
+        from pyspark.sql import types as T
+
+        id_type = queries.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", id_type),
+                    T.StructField("neighbor_id", id_type),
+                    T.StructField("cos", T.DoubleType()),
+                    T.StructField("rk", T.IntegerType()),
+                ]
+            ),
+        )
     # file-level pruning: one range scan over [min, max] probed cell —
     # a file whose recorded cell range misses every probed cell is
     # never opened; the residual in-range misses are dropped by the

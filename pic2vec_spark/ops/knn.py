@@ -308,6 +308,40 @@ def _centroid_cos_array(vec: str, centroids: np.ndarray) -> Column:
     return F.expr("array(" + ", ".join(out) + ")")
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, cvec, cell): IVF cell assignment — 1-based argmax
+    cosine to the broadcast centroid literals, FIRST index on ties
+    (array_position), a narrow map with no shuffle.  The ONE definition
+    used by both ``ivf_topk`` (query-time assignment) and the persisted
+    index (``ops.ivf_store.build_ivf_index``), so the probe==ivf_topk
+    exact-equivalence contract is structural, not copy-paste.
+
+    The cosine array is materialized in its own projection so the
+    argmax computes it ONCE per row (array_position(expr,
+    array_max(expr)) would duplicate the n_centroids-fold subtree —
+    ~2x assignment CPU at scale, since Catalyst does not reliably CSE
+    across arguments)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            _centroid_cos_array(vec_col, centroids).alias("__cos"),
+        )
+        .select(
+            "neighbor_id",
+            "cvec",
+            F.array_position(F.col("__cos"), F.array_max(F.col("__cos")))
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -332,22 +366,7 @@ def ivf_topk(
     Output: (query_id, neighbor_id, cos, rk).
     """
     cos_arr = _centroid_cos_array
-    # materialize the cosine array in its own projection so the argmax
-    # computes it ONCE per row (array_position(expr, array_max(expr))
-    # would duplicate the n_centroids-fold subtree — ~2x assignment CPU
-    # at scale, since Catalyst does not reliably CSE across arguments)
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cvec"),
-            cos_arr(vec_col, centroids).alias("__cos"),
-        )
-        .select(
-            "neighbor_id",
-            "cvec",
-            F.array_position(F.col("__cos"), F.array_max(F.col("__cos"))).alias("cell"),
-        )
-    )
+    c = assign_cells(corpus, centroids, id_col, vec_col)
     qc = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),

@@ -257,16 +257,11 @@ def kmv_distinct(
     estimate, on any engine that computes md5 identically."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    # 60-bit md5 prefix scaled to [0, 1).  NOT exact in a double (60 >
-    # 53 mantissa bits): cross-engine agreement rests on both engines
-    # rounding the int->double cast to nearest-even identically and the
-    # 2^60 division being exact scaling — change either and bit parity
-    # with the oracle breaks.
-    h = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(float(1 << 60))
-    ).alias("h")
+    # 60-bit md5 prefix scaled to [0, 1) — the shared definition (see
+    # sampling.md5_uniform60 for the cross-engine parity argument)
+    from pic2vec_spark.ops.sampling import md5_uniform60
+
+    h = md5_uniform60(F.col(key_col)).alias("h")
     # NULL keys hash to NULL and are dropped: Spark ranks NULLS FIRST
     # and DuckDB NULLS LAST, so a surviving NULL row would both inflate
     # the count and desync the two engines' kept sets

@@ -18,6 +18,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def md5_uniform60(key: Column, salt: str = "", offset: float = 0.0) -> Column:
+    """Uniform double in [0, 1) from a 60-bit md5 prefix of salt||key —
+    the ONE definition shared by kmv_distinct and weighted_sample so
+    the cross-engine determinism argument cannot drift between copies.
+    NOT exact in a double (60 > 53 mantissa bits): parity rests on both
+    engines rounding the int->double cast nearest-even identically and
+    the 2^60 division being exact scaling.  ``offset`` (in units of
+    2^-60) shifts the numerator — pass 0.5 to guarantee u > 0 for
+    log-based keys.  NULL keys yield NULL (callers must filter)."""
+    keyed = F.concat(F.lit(salt), key.cast("string")) if salt else key.cast("string")
+    h = F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("double")
+    if offset:
+        h = h + F.lit(offset)
+    return h / F.lit(float(1 << 60))
+
+
 def _hash_bucket(key: Column, salt: str, buckets: int = 100) -> Column:
     """Uniform bucket in [0, buckets): first 8 md5 hex digits of
     salt||key as an integer, mod buckets.  Portable: DuckDB computes the
@@ -109,26 +125,21 @@ def weighted_sample(
     prunes to O(k) rows per group map-side, like topk_per_entity."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # 60-bit md5 prefix -> u in (0, 1): +0.5 keeps u > 0 exactly (see
-    # kmv_distinct for the cross-engine determinism argument)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 60))
+    # shared md5->uniform definition; offset=0.5 keeps u > 0 for the log
+    u = md5_uniform60(F.col(key_col), salt=salt, offset=0.5)
     rank_key = -F.log(u) / F.col(weight_col).cast("double")
     w = Window.partitionBy(stratum_col).orderBy(
         rank_key.asc(), F.col(key_col).asc()
     )
+    # NULL keys hash to NULL and would rank NULLS FIRST in Spark but
+    # NULLS LAST in the oracle (the kmv_distinct hazard) — and a NULL
+    # key has no reproducible clock anyway: excluded, like weight <= 0
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
         .withColumn("__wrk", F.row_number().over(w))
         .filter(F.col("__wrk") <= k)
         .withColumnRenamed("__wrk", "sample_rank")

@@ -266,20 +266,27 @@ def stream_merge(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        updates = batch_df
+        # NULL keys have no merge identity (and would feed None bounds
+        # into the stats pruning) — rejected up front, like merge()'s
+        # own dup-key guard rejects ambiguous updates
+        updates = batch_df.filter(F.col(key).isNotNull())
         if order_col is not None:
             w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+            # materialize ONCE: the deduped batch otherwise re-executes
+            # for the min/max collect, the isEmpty probe and the merge
+            # checkpoint (3x the batch work per trigger)
             updates = (
                 updates.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
+                .localCheckpoint(eager=True)
             )
+            lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
+            if lo is None:
+                return  # batch had no non-null keys
             # cross-batch staleness gate: the table scan is pruned to
             # the batch's key range via the manifest stats (min_stats),
             # so at scale this reads the touched partitions, not 100 TB
-            lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
             cur = table.scan(min_stats={key: (lo, hi)}).select(
                 F.col(key).alias("__cur_k"),
                 F.col(order_col).alias("__cur_ord"),
@@ -293,11 +300,14 @@ def stream_merge(
                     | (F.col(order_col) >= F.col("__cur_ord"))
                 )
                 .drop("__cur_k", "__cur_ord")
+                .localCheckpoint(eager=True)
             )
             if updates.isEmpty():
                 return
         else:
             updates = updates.dropDuplicates([key])
+            if updates.isEmpty():
+                return
         table.merge(updates, key)
 
     writer = stream.writeStream.foreachBatch(sink).option(

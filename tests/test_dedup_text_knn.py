@@ -505,6 +505,20 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
         weighted_sample(df, "source", "doc_id", "w", k=0)
 
 
+def test_weighted_sample_excludes_null_keys(spark):
+    """A NULL key hashes to NULL -> NULL rank key, which Spark's
+    ascending window would put FIRST (always sampled) while the DuckDB
+    oracle puts NULLs LAST — so null-key rows must be excluded up
+    front, like null/negative weights."""
+    from pic2vec_spark.ops.sampling import weighted_sample
+
+    rows = [(i, "s", 1.0) for i in range(50)] + [(None, "s", 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = weighted_sample(df, "source", "doc_id", "w", k=10).toPandas()
+    assert len(out) == 10
+    assert out.doc_id.notna().all()
+
+
 def test_pack_documents_stream_invariants(spark, docs):
     """Sequence packing: offsets equal the running token sum mod
     seq_len, seq_ids are non-decreasing dense-ish per source, and the

@@ -88,3 +88,39 @@ def test_probe_is_deterministic_across_partitionings(spark, embs, tmp_path):
         .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_probe_rejects_mismatched_centroids(spark, embs, tmp_path):
+    """The quantizer is part of the index: probing with different
+    centroids would scan the wrong cells and return silently wrong
+    neighbors, so the manifest's centroid digest must refuse."""
+    from pic2vec_spark.ops.ivf_store import build_ivf_index, probe_ivf_index
+    from pic2vec_spark.ops.knn import kmeans_centroids, sample_vectors
+
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(embs, centroids, root, spark)
+
+    other = centroids.copy()
+    other[0, 0] += 1.0
+    queries = embs.filter(F.col("vec_id") < 4)
+    with pytest.raises(ValueError, match="centroid_digest"):
+        probe_ivf_index(root, spark, queries, other)
+
+
+def test_probe_empty_queries_returns_typed_empty(spark, embs, tmp_path):
+    """Drop-in equivalence with ivf_topk: an empty query set yields the
+    correctly-typed empty frame, not an IndexError, and opens no files."""
+    from pic2vec_spark.ops.ivf_store import build_ivf_index, probe_ivf_index
+    from pic2vec_spark.ops.knn import kmeans_centroids, sample_vectors
+
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(embs, centroids, root, spark)
+
+    out = probe_ivf_index(
+        root, spark, embs.filter(F.col("vec_id") < 0), centroids
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rk"]
+    assert out.count() == 0
+    assert out.schema["query_id"].dataType == embs.schema["vec_id"].dataType

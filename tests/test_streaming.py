@@ -341,3 +341,49 @@ def test_stream_merge_applies_corrections_in_order(spark, tmp_path):
     assert (out2.loc[out2.index < 10, "value"] == 222.0).all(), (
         "stale correction overwrote a newer one across batches"
     )
+
+
+def test_stream_merge_survives_all_null_key_batch(spark, tmp_path):
+    """A CDC micro-batch whose rows all carry key=NULL (bad upstream
+    extract) must be rejected, not crash the query: NULL keys have no
+    merge identity, and F.min/F.max of an all-null column would feed
+    None bounds into the stats pruning."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.snapshots import SnapshotTable
+    from pic2vec_spark.streaming import stream_merge
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "value")
+        .withColumn("seq", F.lit(0).cast("long"))
+        .limit(50)
+    )
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root, spark)
+    t.write(base, partition_by="event_id", num_partitions=2,
+            stats_cols=["event_id"])
+    before = t.scan().toPandas().sort_values("event_id").reset_index(drop=True)
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    nulls = spark.createDataFrame(
+        [(None, 999.0, 1), (None, 998.0, 1)],
+        "event_id bigint, value double, seq long",
+    )
+    mixed = nulls.union(
+        spark.createDataFrame([(3, 777.0, 1)], "event_id bigint, value double, seq long")
+    )
+    nulls.coalesce(1).write.parquet(str(src / "f1_allnull"))
+    mixed.coalesce(1).write.parquet(str(src / "f2_mixed"))
+
+    q = stream_merge(
+        spark, f"{src}/*", str(tmp_path / "ckpt"), root,
+        key="event_id", schema=base.schema, order_col="seq",
+    )
+    q.awaitTermination(120)
+
+    after = t.scan().toPandas()
+    assert after.event_id.notna().all(), "a NULL-key CDC row was merged"
+    assert len(after) == len(before)
+    assert float(after.set_index("event_id").loc[3, "value"]) == 777.0
