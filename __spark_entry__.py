@@ -163,6 +163,60 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_asof_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body for the multi-table as-of queries: purchases as the
+    spine, clicks and views as two independent feature tables, assembled
+    in ONE shuffle by ``asof_join_multi``."""
+    from pic2vec_spark.ops.pit import asof_join_multi
+
+    ev = _events(spark, sf_dir)
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id", "value"
+    )
+    vw = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id", "value"
+    )
+    return asof_join_multi(
+        spine,
+        {"clk": clk, "vw": vw},
+        on="entity_id",
+        ts="ts",
+        tiebreaks={"clk": "event_id", "vw": "event_id"},
+    )
+
+
+def q_multi_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-matrix assembly: backward as-of join of the purchase
+    spine against TWO feature tables (clicks, views) in one window pass
+    — one shuffle total vs one per table when chaining asof_join."""
+    joined = _multi_asof_joined(spark, sf_dir)
+    return joined.select(
+        "event_id",
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        F.col("value_clk"),
+        F.col("event_id_clk"),
+        _us("ts_clk").alias("ts_clk_us"),
+        F.col("value_vw"),
+        F.col("event_id_vw"),
+        _us("ts_vw").alias("ts_vw_us"),
+    )
+
+
+def q_pit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-leakage + staleness audit over the multi-table as-of
+    result: per feature table, matched-row counts, the leak count (MUST
+    be 0 — proves the zero-temporal-leakage invariant on real data) and
+    exact integer-µs staleness extremes/sums."""
+    from pic2vec_spark.ops.pit import audit_point_in_time
+
+    joined = _multi_asof_joined(spark, sf_dir)
+    return audit_point_in_time(joined, "ts", ["ts_clk", "ts_vw"])
+
+
 def q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null out value except on purchases, backward-fill per user (next
     non-null — end-of-history imputation; never for point-in-time
@@ -1304,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "multi_asof": q_multi_asof,
+        "pit_audit": q_pit_audit,
         "lag_lead": q_lag_lead,
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
@@ -1770,8 +1826,74 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
+# shared WITH-prefix for the multi-table as-of oracles: the same
+# union+running-last formulation as asof_join_multi, two feature tables
+# (clicks, views) carried in disjoint column groups through ONE window
+_MULTI_ASOF_M = """
+WITH c AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+), q AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT user_id, ts, event_id, 0 AS side,
+         value AS vc, event_id AS ec, ts AS tc,
+         CAST(NULL AS DOUBLE) AS vv, CAST(NULL AS BIGINT) AS ev,
+         CAST(NULL AS TIMESTAMP) AS tv
+  FROM c
+  UNION ALL
+  SELECT user_id, ts, event_id, 0, NULL, NULL, NULL, value, event_id, ts
+  FROM v
+  UNION ALL
+  SELECT user_id, ts, event_id, 1, NULL, NULL, NULL, NULL, NULL, NULL FROM q
+), m AS (
+  SELECT u.*,
+    last_value(vc IGNORE NULLS) OVER w AS value_clk,
+    last_value(ec IGNORE NULLS) OVER w AS event_id_clk,
+    last_value(tc IGNORE NULLS) OVER w AS fts_c,
+    last_value(vv IGNORE NULLS) OVER w AS value_vw,
+    last_value(ev IGNORE NULLS) OVER w AS event_id_vw,
+    last_value(tv IGNORE NULLS) OVER w AS fts_v
+  FROM u
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, side, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+"""
+
+
+def _audit_branch(feature: str, fts: str) -> str:
+    """One long-form audit row: exact integer-µs staleness aggregates
+    over the matched, non-leaking subset (mirrors audit_point_in_time)."""
+    stale = f"epoch_us(ts) - epoch_us({fts})"
+    return f"""
+      SELECT '{feature}' AS feature,
+             COUNT(*)::BIGINT AS n_rows,
+             COUNT({fts})::BIGINT AS n_matched,
+             COALESCE(SUM(CASE WHEN {fts} > ts THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_leaks,
+             MAX(CASE WHEN {fts} <= ts THEN {stale} END) AS max_staleness_us,
+             SUM(CASE WHEN {fts} <= ts THEN {stale} END)::BIGINT
+               AS sum_staleness_us
+      FROM m WHERE side = 1
+    """
+
+
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        "multi_asof": _MULTI_ASOF_M
+        + """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   value_clk, event_id_clk, epoch_us(fts_c) AS ts_clk_us,
+                   value_vw, event_id_vw, epoch_us(fts_v) AS ts_vw_us
+            FROM m WHERE side = 1
+        """,
+        "pit_audit": _MULTI_ASOF_M
+        + _audit_branch("ts_clk", "fts_c")
+        + " UNION ALL "
+        + _audit_branch("ts_vw", "fts_v"),
         "doc_token_count": r"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
