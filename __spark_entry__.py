@@ -217,6 +217,28 @@ def q_pit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit_point_in_time(joined, "ts", ["ts_clk", "ts_vw"])
 
 
+def q_pit_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-matrix backfill grid: each clicking user's latest click
+    value as of EVERY epoch-aligned day boundary spanning the click
+    history (backward as-of onto an explode(sequence) spine — the
+    'features as of every day at 00:00' feature-store pattern)."""
+    from pic2vec_spark.ops.pit import backfill_grid
+
+    ev = _events(spark, sf_dir)
+    feats = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id", "value"
+    )
+    out = backfill_grid(
+        feats, step_s=86_400, value_cols=["value"], tiebreak="event_id"
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("grid_ts_us"),
+        F.col("value_asof"),
+        _us("ts_asof").alias("feature_ts_us"),
+    )
+
+
 def q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null out value except on purchases, backward-fill per user (next
     non-null — end-of-history imputation; never for point-in-time
@@ -1360,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "multi_asof": q_multi_asof,
         "pit_audit": q_pit_audit,
+        "pit_backfill": q_pit_backfill,
         "lag_lead": q_lag_lead,
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
@@ -1894,6 +1917,41 @@ def _oracle_sql_base() -> dict[str, str]:
         + _audit_branch("ts_clk", "fts_c")
         + " UNION ALL "
         + _audit_branch("ts_vw", "fts_v"),
+        # same union+running-last as-of formulation as the engine, over a
+        # generate_series day grid aligned exactly like backfill_grid
+        "pit_backfill": """
+            WITH f AS (
+              SELECT user_id, ts, event_id, value
+              FROM events WHERE event_type = 'click'
+            ), b AS (
+              SELECT (epoch_us(MIN(ts)) // 86400000000) * 86400000000 AS g0,
+                     epoch_us(MAX(ts)) AS g1
+              FROM f
+            ), gs AS (
+              SELECT unnest(generate_series(g0, g1, 86400000000)) AS t FROM b
+            ), grid AS (
+              SELECT e.user_id, make_timestamp(gs.t) AS ts
+              FROM (SELECT DISTINCT user_id FROM f) e CROSS JOIN gs
+            ), u AS (
+              SELECT user_id, ts, 0 AS side, event_id AS tie,
+                     value AS v, ts AS fts
+              FROM f
+              UNION ALL
+              SELECT user_id, ts, 1, NULL, NULL, NULL FROM grid
+            ), m AS (
+              SELECT u.*,
+                last_value(v IGNORE NULLS) OVER w AS value_asof,
+                last_value(fts IGNORE NULLS) OVER w AS ts_asof
+              FROM u
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, side, tie
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )
+            )
+            SELECT user_id, epoch_us(ts) AS grid_ts_us, value_asof,
+                   epoch_us(ts_asof) AS feature_ts_us
+            FROM m WHERE side = 1
+        """,
         "doc_token_count": r"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -150,6 +150,88 @@ def asof_join_multi(
     return out.select(*keep)
 
 
+def backfill_grid(
+    features: DataFrame,
+    step_s: int,
+    on: str = "entity_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    entities: DataFrame | None = None,
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> DataFrame:
+    """Point-in-time-correct backfill: materialize each entity's feature
+    state at every point of a regular time grid (step ``step_s``
+    seconds, aligned to epoch multiples of the step), via a backward
+    as-of join — the training-matrix generation pattern of a feature
+    store ("features as of every day at 00:00"), with zero temporal
+    leakage by construction.
+
+    Grid points are ``k*step`` for ``floor(min_ts/step) <= k <=
+    max_ts/step`` (bounds from ``features`` unless ``start_us`` /
+    ``end_us`` — epoch µs — are given; deriving them costs one
+    2-scalar aggregate).  ``entities`` defaults to the distinct feature
+    keys; pass an explicit entity table to backfill entities with no
+    features yet (all-null rows, matched semantics of a left as-of).
+
+    Scale shape: the grid is built by a narrow per-entity
+    ``explode(sequence(...))`` — ``n_steps`` rows per entity, no
+    shuffle, no driver-side materialization; the join is the standard
+    one-exchange ``asof_join`` kernel.  Grid volume is
+    ``n_entities * n_steps`` — choose ``step_s`` for the label cadence,
+    and compact hot feature histories first (``compact_features``).
+
+    Reference contrast: pic2vec emits one feature row per input image
+    with no temporal axis (image_featurizer.py:332); this op is what
+    replaces it when the same entity's features must be sampled at many
+    training timestamps.
+    """
+    from pic2vec_spark.ops.asof import asof_join
+
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
+    step_us = int(step_s * 1_000_000)
+    if start_us is None or end_us is None:
+        row = features.agg(
+            F.min(F.unix_micros(F.col(ts).cast("timestamp"))),
+            F.max(F.unix_micros(F.col(ts).cast("timestamp"))),
+        ).first()
+        if row[0] is None:
+            raise ValueError("features has no rows to derive grid bounds")
+        start_us = start_us if start_us is not None else int(row[0])
+        end_us = end_us if end_us is not None else int(row[1])
+    g0 = (start_us // step_us) * step_us
+    if end_us < g0:
+        raise ValueError("grid is empty (end < aligned start)")
+    if entities is None:
+        entities = features.select(on).distinct()
+    # match the feature column's exact timestamp type (TIMESTAMP vs
+    # TIMESTAMP_NTZ) so the as-of union resolves without implicit casts
+    ts_type = features.schema[ts].dataType
+    spine = (
+        entities.select(on)
+        .select(
+            on,
+            F.explode(
+                F.sequence(F.lit(g0), F.lit(end_us), F.lit(step_us))
+            ).alias("__grid_us"),
+        )
+        .select(
+            on,
+            F.timestamp_micros(F.col("__grid_us")).cast(ts_type).alias(ts),
+        )
+    )
+    return asof_join(
+        spine,
+        features,
+        on=on,
+        ts=ts,
+        value_cols=value_cols,
+        tiebreak=tiebreak,
+    )
+
+
 def audit_point_in_time(
     joined: DataFrame,
     query_ts: str,

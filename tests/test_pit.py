@@ -10,7 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from pic2vec_spark.ops.asof import asof_join
-from pic2vec_spark.ops.pit import asof_join_multi, audit_point_in_time
+from pic2vec_spark.ops.pit import (
+    asof_join_multi,
+    audit_point_in_time,
+    backfill_grid,
+)
 from pic2vec_spark.synth import synth_timeline_pdf
 
 
@@ -160,3 +164,97 @@ def test_audit_on_real_asof_output_proves_no_leakage(spark, sides):
     assert (audit.n_leaks == 0).all()
     assert (audit.n_rows == q.count()).all()
     assert (audit.n_matched > 0).all()
+
+
+@pytest.fixture(scope="module")
+def feat_small(spark):
+    rows = [
+        # entity, ts (seconds past epoch minute 0), value
+        (1, 3, 10.0),
+        (1, 12, 11.0),
+        (1, 12, 99.0),   # equal-ts duplicate: larger row_id must win
+        (1, 27, 12.0),
+        (2, 21, 20.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "sec", "value"])
+    pdf["row_id"] = range(len(pdf))
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        pdf.pop("sec"), unit="s"
+    )
+    return spark.createDataFrame(pdf[["entity_id", "ts", "row_id", "value"]])
+
+
+def test_backfill_grid_values_and_alignment(spark, feat_small):
+    out = backfill_grid(
+        feat_small, step_s=10, value_cols=["value"], tiebreak="row_id"
+    ).toPandas().sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    # bounds: min ts 00:00:03 -> aligned start 00:00:00; max 00:00:27
+    # -> grid {0,10,20} x 2 entities
+    base = pd.Timestamp("2024-01-01")
+    grid = [base + pd.Timedelta(seconds=s) for s in (0, 10, 20)]
+    assert list(out.ts) == grid * 2 and list(out.entity_id) == [1] * 3 + [2] * 3
+    # entity 1: nothing at t=0; v=10 at t=10; at t=20 the 12s pair ties
+    # on ts and the larger row_id (99.0) must win
+    assert np.isnan(out.value_asof[0])
+    assert list(out.value_asof[1:3]) == [10.0, 99.0]
+    # entity 2: feature at 21s is AFTER every grid point -> all null
+    # (zero leakage on a grid that ends before the feature)
+    assert out.value_asof[3:6].isna().all()
+
+
+def test_backfill_grid_explicit_bounds_and_entities(spark, feat_small):
+    base_us = int(pd.Timestamp("2024-01-01").value // 1000)
+    ents = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 2, 7]})  # 7 has no features
+    )
+    out = backfill_grid(
+        feat_small,
+        step_s=5,
+        value_cols=["value"],
+        tiebreak="row_id",
+        entities=ents,
+        start_us=base_us + 20_000_000,
+        end_us=base_us + 30_000_000,
+    ).toPandas()
+    assert len(out) == 9  # 3 entities x grid {20,25,30}
+    e7 = out[out.entity_id == 7]
+    assert len(e7) == 3 and e7.value_asof.isna().all()
+    e1 = out[out.entity_id == 1].sort_values("ts")
+    assert list(e1.value_asof) == [99.0, 99.0, 12.0]
+    e2 = out[out.entity_id == 2].sort_values("ts")
+    assert e2.value_asof.isna().iloc[0] and list(e2.value_asof[1:]) == [
+        20.0,
+        20.0,
+    ]
+
+
+def test_backfill_grid_no_leakage(spark, sides):
+    _, fa, _ = sides
+    out = backfill_grid(fa, step_s=86_400, value_cols=["value"], tiebreak="row_id")
+    audit = audit_point_in_time(out, "ts", ["ts_asof"]).toPandas().iloc[0]
+    assert audit.n_leaks == 0 and audit.n_matched > 0
+
+
+def test_backfill_grid_validation(spark, feat_small):
+    with pytest.raises(ValueError, match="positive"):
+        backfill_grid(feat_small, step_s=0)
+    with pytest.raises(ValueError, match="no rows"):
+        backfill_grid(feat_small.filter(F.lit(False)), step_s=10)
+    with pytest.raises(ValueError, match="empty"):
+        backfill_grid(feat_small, step_s=10, start_us=10**15, end_us=0)
+
+
+def test_backfill_grid_single_exchange_with_explicit_entities(
+    spark, feat_small
+):
+    """With an explicit entity table the spine is a pure narrow
+    explode — the whole backfill must cost exactly the as-of kernel's
+    one hash exchange."""
+    ents = spark.createDataFrame(pd.DataFrame({"entity_id": [1, 2]}))
+    out = backfill_grid(
+        feat_small, step_s=10, value_cols=["value"],
+        tiebreak="row_id", entities=ents,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = sum("Exchange hashpartitioning" in ln for ln in plan.splitlines())
+    assert n == 1, plan
