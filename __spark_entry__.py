@@ -662,6 +662,48 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pic2vec_spark.ops.scd import scd2_compress
+
+    ev = _events(spark, sf_dir)
+    return scd2_compress(
+        ev, ["user_id"], ["event_type"], ts="ts", tiebreak="event_id"
+    )
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history compression: collapse each user's consecutive runs
+    of the same event_type into validity intervals [valid_from,
+    valid_to) with per-key version ordinals and collapsed-row counts
+    (gaps-and-islands over one entity exchange)."""
+    comp = _scd2_user_state(spark, sf_dir)
+    return comp.select(
+        "user_id",
+        "event_type",
+        _us("valid_from").alias("valid_from_us"),
+        _us("valid_to").alias("valid_to_us"),
+        "version",
+        "n_obs",
+        "is_current",
+    )
+
+
+def q_scd2_state_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state read from compressed SCD2 history: every
+    user's state as of Jan 15 by interval containment — a narrow
+    filter, no as-of join, which is the payoff of storing SCD2."""
+    from pic2vec_spark.ops.scd import scd2_state_at
+
+    comp = _scd2_user_state(spark, sf_dir)
+    at = "2024-01-15 00:00:00"
+    return scd2_state_at(comp, at).select(
+        "user_id",
+        "event_type",
+        _us("valid_from").alias("valid_from_us"),
+        "version",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.windows import sessionize
 
@@ -1383,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_asof": q_multi_asof,
         "pit_audit": q_pit_audit,
         "pit_backfill": q_pit_backfill,
+        "scd2_user_state": q_scd2_user_state,
+        "scd2_state_mid": q_scd2_state_mid,
         "lag_lead": q_lag_lead,
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
@@ -1887,6 +1931,30 @@ WITH c AS (
 """
 
 
+# shared WITH-prefix for the SCD2 oracles: gaps-and-islands over the
+# events change-log (user_id key, event_type tracked value)
+_SCD2_M = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS total,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), st AS (
+  SELECT * FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+), fin AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         row_number() OVER w2 AS version,
+         COALESCE(lead(rn) OVER w2, total + 1) - rn AS n_obs
+  FROM st
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+"""
+
+
 def _audit_branch(feature: str, fts: str) -> str:
     """One long-form audit row: exact integer-µs staleness aggregates
     over the matched, non-leaking subset (mirrors audit_point_in_time)."""
@@ -1951,6 +2019,24 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) AS grid_ts_us, value_asof,
                    epoch_us(ts_asof) AS feature_ts_us
             FROM m WHERE side = 1
+        """,
+        # gaps-and-islands SCD2 compression, same formulation as
+        # scd2_compress: change-flag on lag, filter island starts,
+        # lead() for the exclusive validity bound
+        "scd2_user_state": _SCD2_M + """
+            SELECT user_id, event_type,
+                   epoch_us(valid_from) AS valid_from_us,
+                   epoch_us(valid_to) AS valid_to_us,
+                   version, n_obs, valid_to IS NULL AS is_current
+            FROM fin
+        """,
+        "scd2_state_mid": _SCD2_M + """
+            SELECT user_id, event_type,
+                   epoch_us(valid_from) AS valid_from_us, version
+            FROM fin
+            WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+              AND (valid_to IS NULL
+                   OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
         """,
         "doc_token_count": r"""
             SELECT doc_id,
