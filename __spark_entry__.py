@@ -662,6 +662,25 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) layout key over two bucketed dimensions —
+    user bucket x hour-of-epoch bucket — the write-side clustering key
+    that lets per-file min/max statistics prune multi-dimensional box
+    predicates.  The key arithmetic is ONE generated SQL string
+    (zorder_sql) evaluated verbatim by both engines."""
+    from pic2vec_spark.ops.layout import zorder_sql
+
+    ev = _events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("zx"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 256"
+        ).alias("zy"),
+    )
+    return t.withColumn("zkey", F.expr(zorder_sql(["zx", "zy"], bits=8)))
+
+
 def _scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.scd import scd2_compress
 
@@ -1427,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_backfill": q_pit_backfill,
         "scd2_user_state": q_scd2_user_state,
         "scd2_state_mid": q_scd2_state_mid,
+        "events_zorder": q_events_zorder,
         "lag_lead": q_lag_lead,
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
@@ -1931,6 +1951,23 @@ WITH c AS (
 """
 
 
+def _events_zorder_sql() -> str:
+    """Identical Morton-key arithmetic as the engine query — the key
+    expression text is generated once and shared verbatim."""
+    from pic2vec_spark.ops.layout import zorder_sql
+
+    return f"""
+        WITH t AS (
+          SELECT event_id,
+                 user_id % 256 AS zx,
+                 (epoch_us(ts) // 3600000000) % 256 AS zy
+          FROM events
+        )
+        SELECT event_id, zx, zy, {zorder_sql(["zx", "zy"], bits=8)} AS zkey
+        FROM t
+    """
+
+
 # shared WITH-prefix for the SCD2 oracles: gaps-and-islands over the
 # events change-log (user_id key, event_type tracked value)
 _SCD2_M = """
@@ -2038,6 +2075,7 @@ def _oracle_sql_base() -> dict[str, str]:
               AND (valid_to IS NULL
                    OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
         """,
+        "events_zorder": _events_zorder_sql(),
         "doc_token_count": r"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
