@@ -63,6 +63,10 @@ EXTENDED_R3 = [
     "feature_compaction",
     "caption_image_conflicts",
     "features_upsert",
+    "multi_asof",
+    "pit_backfill",
+    "scd2_user_state",
+    "events_zorder",
 ]
 
 
