@@ -1426,6 +1426,162 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image quality metrics (brightness/contrast/entropy/Laplacian
+    sharpness) — the pre-CNN curation screen.  Rows-only (binary decode
+    is not SQL-expressible); the kernels are closed-form-pinned by
+    tests/test_image_ops.py."""
+    from pic2vec_spark.ops.multimodal import image_stats
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return image_stats(images).select(
+        "image_id", "fmt", "stats_ok",
+        "brightness", "contrast", "dyn_range", "entropy", "sharpness",
+    )
+
+
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-row augmentation (md5-keyed op choice —
+    reproducible under retries/repartitioning).  Rows-only; kernels and
+    lossless round-trips pinned by tests/test_image_ops.py."""
+    from pic2vec_spark.ops.multimodal import augment_images
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return augment_images(images, seed=7).select(
+        "image_id", "fmt", "aug_op", "aug_ok", F.length("aug").alias("aug_bytes")
+    )
+
+
+# --------------------------------------------------------------------------
+# product-analytics layer (round 3b): funnel, transitions, cohorts, overlap
+# join, cube, robust stats, corpus bigrams, inverted index
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view->click->purchase: chained conditional MIN
+    aggregations (each step's scan filtered by event_type, stage table
+    entity-level and broadcast back) — no per-entity collect_list."""
+    from pic2vec_spark.ops.funnel import funnel_stages
+
+    return funnel_stages(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (lag over entity
+    timeline, grouped count, per-prev probability)."""
+    from pic2vec_spark.ops.funnel import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (engine-neutral week buckets:
+    floor(days since 2024-01-01 / 7))."""
+    from pic2vec_spark.ops.cohort import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def q_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: per-user sessions vs global
+    error-burst incidents (≥3 errors within the session gap), via the
+    bucketed overlap join — equi-join on time bucket + canonical-bucket
+    dedup, never a NestedLoop."""
+    from pic2vec_spark.ops.ranges import interval_overlap_join
+    from pic2vec_spark.ops.windows import sessionize
+
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, gap_s=SESSION_GAP_S, on="user_id", ts="ts", tiebreak="event_id")
+    left = s.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("s_start_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("s_end_us"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").withColumn("g", F.lit(1))
+    inc = sessionize(errs, gap_s=SESSION_GAP_S, on="g", ts="ts", tiebreak="event_id")
+    right = (
+        inc.groupBy("session_id")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("i_start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("i_end_us"),
+            F.count(F.lit(1)).alias("i_n"),
+        )
+        .filter(F.col("i_n") >= 3)
+        .withColumnRenamed("session_id", "incident_id")
+    )
+    # bounds are epoch-µs bigints, so bucket_s is in µs (1 hour)
+    return interval_overlap_join(
+        left, right, "s_start_us", "s_end_us", "i_start_us", "i_end_us",
+        bucket_s=3600.0 * 1e6,
+    ).select(
+        "user_id", "session_id", "incident_id",
+        (
+            F.least("s_end_us", "i_end_us") - F.greatest("s_start_us", "i_start_us")
+        ).alias("overlap_us"),
+    )
+
+
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all 4 grouping sets with
+    grouping_id, decimal-exact value sums (completes the grouping-sets
+    operator class next to pricing_rollup's ROLLUP and the pivot).
+    Day-of-week is engine-neutral: days-since-2024-01-01 mod 7."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "dow",
+            F.pmod(
+                F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+                F.lit(7),
+            ),
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("<all>")).alias("dow"),
+            "n",
+            "sum_value",
+            "gid",
+        )
+    )
+
+
+def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: exact median, median absolute
+    deviation, and |v − med| > 3·MAD counts."""
+    from pic2vec_spark.ops.stats import mad_outliers
+
+    return mad_outliers(_events(spark, sf_dir), on="event_type", value="value", cutoff=3.0)
+
+
+def q_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams over documents (posexplode + doc-keyed
+    lag + grouped count; final top-k sorts the aggregated bigram table)."""
+    from pic2vec_spark.ops.text import top_bigrams
+
+    return top_bigrams(_documents(spark, sf_dir), k=20)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> sorted postings-list index (df ≥ 5): distinct (term,doc)
+    shuffle + grouped sort_array(collect_list); postings zero-padded so
+    lexicographic == numeric order on both engines."""
+    from pic2vec_spark.ops.text import inverted_index
+
+    return inverted_index(_documents(spark, sf_dir), min_df=5)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1472,6 +1628,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "tumbling_hourly": q_tumbling_hourly,
         "topk_per_user": q_topk_per_user,
+        "funnel_stages": q_funnel_stages,
+        "event_transitions": q_event_transitions,
+        "cohort_retention": q_cohort_retention,
+        "session_incident_overlap": q_session_incident_overlap,
+        "event_cube": q_event_cube,
+        "value_mad_outliers": q_value_mad_outliers,
+        "corpus_bigrams": q_corpus_bigrams,
+        "inverted_index": q_inverted_index,
         "pit_featurize_asof": q_pit_featurize_asof,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -1505,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "image_phash_neardup": q_image_phash_neardup,
         "image_thumbnails": q_image_thumbnails,
+        "image_stats": q_image_stats,
+        "image_augment": q_image_augment,
     }
 
 
@@ -2572,5 +2738,144 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events
             )
             SELECT event_id, user_id, value, rk FROM r WHERE rk <= {TOP_K}
+        """,
+        "funnel_stages": f"""
+            WITH s0 AS (
+              SELECT user_id, epoch_us(MIN(ts)) AS step0_us
+              FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+            ), s1 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS step1_us
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND epoch_us(e.ts) > s0.step0_us
+              GROUP BY e.user_id
+            ), s2 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS step2_us
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND epoch_us(e.ts) > s1.step1_us
+              GROUP BY e.user_id
+            )
+            SELECT s0.user_id, s0.step0_us, s1.step1_us, s2.step2_us,
+                   (1 + CASE WHEN s1.step1_us IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN s2.step2_us IS NULL THEN 0 ELSE 1 END) AS stage
+            FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+                    LEFT JOIN s2 ON s1.user_id = s2.user_id
+        """,
+        "event_transitions": """
+            WITH x AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                     event_type AS next_type
+              FROM events
+            ), p AS (
+              SELECT prev_type, next_type, COUNT(*) AS n FROM x
+              WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+            )
+            SELECT prev_type, next_type, n,
+                   ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+            FROM p
+        """,
+        "cohort_retention": """
+            WITH wk AS (
+              SELECT user_id,
+                     CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w
+              FROM events
+            ), c AS (
+              SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT wk.user_id, c.cohort_week, wk.w - c.cohort_week AS week_offset
+              FROM wk JOIN c ON wk.user_id = c.user_id
+            )
+            SELECT cohort_week, week_offset, COUNT(*) AS n_users
+            FROM a GROUP BY cohort_week, week_offset
+        """,
+        "session_incident_overlap": f"""
+            WITH x AS (
+              SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_S * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id,
+                     ts
+              FROM x
+            ), L AS (
+              SELECT user_id, session_id, epoch_us(MIN(ts)) AS s_start_us, epoch_us(MAX(ts)) AS s_end_us
+              FROM sess GROUP BY user_id, session_id
+            ), y AS (
+              SELECT event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_S * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events WHERE event_type = 'error'
+              WINDOW w AS (ORDER BY ts, event_id)
+            ), incs AS (
+              SELECT CAST(SUM(new_s) OVER (ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS incident_id,
+                     ts
+              FROM y
+            ), R AS (
+              SELECT incident_id, epoch_us(MIN(ts)) AS i_start_us, epoch_us(MAX(ts)) AS i_end_us
+              FROM incs GROUP BY incident_id HAVING COUNT(*) >= 3
+            )
+            SELECT L.user_id, L.session_id, R.incident_id,
+                   LEAST(L.s_end_us, R.i_end_us) - GREATEST(L.s_start_us, R.i_start_us) AS overlap_us
+            FROM L JOIN R ON L.s_start_us <= R.i_end_us AND R.i_start_us <= L.s_end_us
+        """,
+        "event_cube": """
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(CAST(dow AS VARCHAR), '<all>') AS dow,
+                   COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+                   GROUPING(event_type, dow) AS gid
+            FROM (SELECT event_type,
+                         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS INT) AS dow,
+                         value FROM events)
+            GROUP BY CUBE(event_type, dow)
+        """,
+        "value_mad_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY event_type
+            ), dev AS (
+              SELECT e.event_type, e.value, ABS(e.value - med.m) AS adev, med.m
+              FROM events e JOIN med ON e.event_type = med.event_type
+            ), mad AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS md FROM dev GROUP BY event_type
+            )
+            SELECT dev.event_type, COUNT(value) AS n, ROUND(FIRST(dev.m), 6) AS med,
+                   ROUND(FIRST(mad.md), 6) AS mad,
+                   SUM(CASE WHEN dev.adev > 3.0 * mad.md THEN 1 ELSE 0 END) AS n_outliers
+            FROM dev JOIN mad ON dev.event_type = mad.event_type
+            GROUP BY dev.event_type
+        """,
+        "corpus_bigrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term,
+                     generate_subscripts(regexp_extract_all(lower(text), '([a-z]+)', 1), 1) AS pos
+              FROM documents
+            ), pairs AS (
+              SELECT lag(term) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || term AS bigram
+              FROM toks
+              QUALIFY lag(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+            ), agg AS (
+              SELECT bigram, COUNT(*) AS n FROM pairs GROUP BY bigram
+            )
+            SELECT bigram, n, rk FROM (
+              SELECT bigram, n, ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rk FROM agg
+            ) WHERE rk <= 20
+        """,
+        "inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT
+                     unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term,
+                     lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc
+              FROM documents
+            )
+            SELECT term, COUNT(*) AS df,
+                   string_agg(doc, ',' ORDER BY doc) AS postings
+            FROM pairs GROUP BY term HAVING COUNT(*) >= 5
         """,
     }

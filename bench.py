@@ -69,6 +69,18 @@ EXTENDED_R3 = [
     "events_zorder",
 ]
 
+# round-3b product-analytics additions — own total (`extended_r3b_sec`)
+EXTENDED_R3B = [
+    "funnel_stages",
+    "event_transitions",
+    "cohort_retention",
+    "session_incident_overlap",
+    "event_cube",
+    "value_mad_outliers",
+    "corpus_bigrams",
+    "inverted_index",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -159,6 +171,15 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         extended_r3[name] = min(runs)
     timings.update(extended_r3)
+    extended_r3b: dict[str, float] = {}
+    for name in EXTENDED_R3B:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        extended_r3b[name] = min(runs)
+    timings.update(extended_r3b)
     print(
         json.dumps(
             {
@@ -172,6 +193,7 @@ def main() -> None:
                 "flagship_runs_sec": flagship_runs,
                 "extended_sec": round(sum(extended.values()), 3),
                 "extended_r3_sec": round(sum(extended_r3.values()), 3),
+                "extended_r3b_sec": round(sum(extended_r3b.values()), 3),
                 "cpus": cpus,
             }
         )

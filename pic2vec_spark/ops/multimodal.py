@@ -132,6 +132,166 @@ def compute_phash(
     return df.mapInPandas(run, schema=schema)
 
 
+def _gray_f64(img: np.ndarray) -> np.ndarray:
+    from pic2vec_spark.preprocess import to_grayscale
+
+    return to_grayscale(img)[..., 0].astype(np.float64)
+
+
+def image_quality_stats(img: np.ndarray) -> dict:
+    """Pure-NumPy per-image quality metrics on the grayscale plane:
+    brightness (mean), contrast (std), dynamic range (max-min),
+    entropy (Shannon bits over the 256-bin histogram) and sharpness
+    (variance of the 4-neighbour Laplacian — the classic blur screen:
+    blurred images have small second derivatives everywhere)."""
+    g = _gray_f64(img)
+    hist = np.bincount(g.astype(np.uint8).ravel(), minlength=256).astype(np.float64)
+    p = hist / hist.sum()
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    if g.shape[0] >= 3 and g.shape[1] >= 3:
+        lap = (
+            4.0 * g[1:-1, 1:-1]
+            - g[:-2, 1:-1]
+            - g[2:, 1:-1]
+            - g[1:-1, :-2]
+            - g[1:-1, 2:]
+        )
+        sharpness = float(lap.var())
+    else:
+        sharpness = 0.0
+    return {
+        "brightness": float(g.mean()),
+        "contrast": float(g.std()),
+        "dyn_range": float(g.max() - g.min()),
+        "entropy": entropy,
+        "sharpness": sharpness,
+    }
+
+
+_STAT_COLS = ("brightness", "contrast", "dyn_range", "entropy", "sharpness")
+
+
+def image_stats(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Attach per-image quality metrics (decode + grayscale reductions in
+    one vectorized pass; narrow map, no shuffle — the dataset-curation
+    screen that drops black frames, blanks, and blurred scans before
+    paying CNN cost).  Decode failures yield NULL metrics + ok=False
+    (featurize-path missing semantics)."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType(), True) for c in _STAT_COLS]
+        + [T.StructField("stats_ok", T.BooleanType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in _STAT_COLS}
+            oks = []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    s = image_quality_stats(decode_image(data, fmt))
+                    for c in _STAT_COLS:
+                        cols[c].append(round(s[c], 6))
+                    oks.append(True)
+                except Exception:
+                    for c in _STAT_COLS:
+                        cols[c].append(None)
+                    oks.append(False)
+            out = pdf.copy()
+            for c in _STAT_COLS:
+                out[c] = pd.array(cols[c], dtype="float64")
+            out["stats_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+AUGMENT_OPS = ("hflip", "vflip", "rot180", "crop80", "bright120", "dark80")
+
+
+def _augment_kernel(img: np.ndarray, op: str) -> np.ndarray:
+    from pic2vec_spark.preprocess import resize_nearest
+
+    if op == "hflip":
+        return img[:, ::-1]
+    if op == "vflip":
+        return img[::-1]
+    if op == "rot180":
+        return img[::-1, ::-1]
+    if op == "crop80":  # center crop 80% then resize back (size-stable)
+        h, w = img.shape[:2]
+        ch, cw = max(1, int(h * 0.8)), max(1, int(w * 0.8))
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        return resize_nearest(img[y0 : y0 + ch, x0 : x0 + cw], (h, w))
+    if op == "bright120":
+        return np.clip(img.astype(np.float64) * 1.2, 0, 255).astype(np.uint8)
+    if op == "dark80":
+        return np.clip(img.astype(np.float64) * 0.8, 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown augmentation {op!r}; choose from {AUGMENT_OPS}")
+
+
+def augment_images(
+    df: DataFrame,
+    ops: list[str] | None = None,
+    seed: int = 0,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Deterministic image augmentation for training-data pipelines:
+    each row gets ONE op from ``ops`` chosen by a content-free hash of
+    (id, seed) — reproducible across runs, retries, and repartitioning
+    (no RNG state; the same row always draws the same op, mirroring the
+    md5-clock trick in ops/sampling.py).  Output columns: ``aug``
+    (re-encoded in the row's own format), ``aug_op``, ``aug_ok``.
+    Narrow map, no shuffle; decode/encode failures yield NULL + False.
+    """
+    import hashlib
+
+    chosen = list(ops or AUGMENT_OPS)
+    for op in chosen:
+        if op not in AUGMENT_OPS:
+            raise ValueError(f"unknown augmentation {op!r}; choose from {AUGMENT_OPS}")
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("aug", T.BinaryType(), True),
+            T.StructField("aug_op", T.StringType(), False),
+            T.StructField("aug_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def pick(rid) -> str:
+        h = hashlib.md5(f"{rid}|{seed}".encode()).digest()
+        return chosen[int.from_bytes(h[:8], "big") % len(chosen)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pic2vec_spark.codecs import encode_image
+
+        for pdf in batches:
+            blobs, ops_out, oks = [], [], []
+            for rid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                op = pick(rid)
+                ops_out.append(op)
+                try:
+                    img = decode_image(data, fmt)
+                    blobs.append(encode_image(_augment_kernel(img, op), fmt))
+                    oks.append(True)
+                except Exception:
+                    blobs.append(None)
+                    oks.append(False)
+            out = pdf.copy()
+            out["aug"] = blobs
+            out["aug_op"] = ops_out
+            out["aug_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------- stubs
 
 STUB_NOTE = (

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _B = "__range_bucket"
+_CB = "__canon_bucket"
 
 
 def range_join(
@@ -101,3 +102,87 @@ def range_join(
     return joined.filter(
         (as_num(start) <= as_num(ts)) & (as_num(ts) < as_num(end))
     ).drop(_B)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    lstart: str,
+    lend: str,
+    rstart: str,
+    rend: str,
+    on: str | None = None,
+    bucket_s: float = 3600.0,
+) -> DataFrame:
+    """Interval × interval overlap join (closed intervals):
+    ``lstart <= rend AND rstart <= lend``, optionally also matching the
+    equality key ``on``.  N:M — every overlapping pair, once.
+
+    Scale-safe formulation (the raw condition would plan as a
+    NestedLoop/cartesian): BOTH sides are replicated onto every
+    fixed-width bucket their interval spans and equi-joined on the
+    bucket.  A pair overlapping several buckets would match in each of
+    them, so the join keeps a match only in its CANONICAL bucket —
+    ``floor(max(lstart, rstart)/bucket)``.  For any overlapping pair,
+    ``max(lstart, rstart)`` lies inside both intervals, so both replicas
+    exist in that bucket: exactly-once without a distinct shuffle.
+
+    All four bound columns must be the same kind (all timestamps, or all
+    numeric — numeric compares as BIGINT when both sides are integral,
+    so epoch-µs bounds stay exact); the four names must be distinct
+    (pre-alias clashes).  Replication per row = ceil(span/bucket):
+    pick ``bucket_s`` near the typical interval length.  NULL bounds /
+    keys never match.  Intervals with ``end < start`` match nothing.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    if len({lstart, lend, rstart, rend}) != 4:
+        raise ValueError("lstart/lend/rstart/rend must be 4 distinct column names")
+
+    def kind(col, df) -> str:
+        s = df.schema[col].dataType.simpleString()
+        if s.startswith("timestamp"):
+            return "ts"
+        return "int" if s in ("tinyint", "smallint", "int", "bigint") else "num"
+
+    kinds = {kind(lstart, left), kind(lend, left), kind(rstart, right), kind(rend, right)}
+    if "ts" in kinds and len(kinds) != 1:
+        raise ValueError("interval bounds must all be timestamps or all numeric")
+    timey = kinds == {"ts"}
+
+    def as_num(col):
+        c = F.col(col)
+        if timey:
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("bigint") if kinds == {"int"} else c.cast("double")
+
+    bucket = bucket_s * 1e6 if timey else float(bucket_s)
+
+    def replicate(df: DataFrame, start: str, end: str) -> DataFrame:
+        # the pairwise overlap test (ls<=re AND rs<=le) does NOT itself
+        # reject an inverted interval (end < start) — an empty interval
+        # can still satisfy both inequalities — so validity is filtered
+        # explicitly (also drops NULL bounds before the explode)
+        df = df.filter(as_num(start) <= as_num(end))
+        return df.withColumn(
+            _B,
+            F.explode(
+                F.sequence(
+                    F.floor(as_num(start) / bucket),
+                    F.greatest(
+                        F.floor(as_num(end) / bucket),
+                        F.floor(as_num(start) / bucket),
+                    ),
+                )
+            ),
+        )
+
+    lv = replicate(left, lstart, lend)
+    rv = replicate(right, rstart, rend)
+    keys = ([on] if on else []) + [_B]
+    joined = lv.join(rv, keys)
+    overlap = (as_num(lstart) <= as_num(rend)) & (as_num(rstart) <= as_num(lend))
+    canonical = F.col(_B) == F.floor(
+        F.greatest(as_num(lstart), as_num(rstart)) / bucket
+    )
+    return joined.filter(overlap & canonical).drop(_B)

@@ -190,3 +190,94 @@ def pack_documents(
         .withColumn("seq_offset", F.col("__start") % F.lit(seq_len))
         .drop("__start")
     )
+
+
+def top_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k bigrams: adjacent ``[a-z]+`` term pairs within
+    each document of the lowercased text (same term regex as
+    ``tf_idf_top_terms``, so the two ops share vocabulary semantics).
+
+    Plan: posexplode terms (narrow) -> per-document window lag on the
+    term position to form pairs (one doc-keyed shuffle; a document's
+    terms fit a partition by construction — docs are bounded, unlike
+    entities) -> global grouped count (map-side combined; at most
+    |vocab|² groups, in practice Zipf-bounded) -> deterministic top-k by
+    (n desc, bigram asc).  The final top-k is a single-partition sort of
+    the *aggregated* bigram table, not of the corpus.
+
+    Output: (bigram, n, rk), rk 1..k.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"([a-z]+)"), 1
+            )
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        terms.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.concat_ws(" ", "prev", "term").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wk = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("bigram", "n", "rk")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    pad: int = 6,
+) -> DataFrame:
+    """Token -> postings-list index over the corpus: for every ``[a-z]+``
+    term appearing in at least ``min_df`` documents, the document
+    frequency and the sorted postings list (doc ids zero-padded to
+    ``pad`` digits and comma-joined, so the list is a deterministic,
+    engine-neutral string — lexicographic == numeric order under
+    padding).
+
+    Plan: explode terms -> DISTINCT (term, doc) — the one corpus-sized
+    shuffle — -> groupBy(term) with sort_array(collect_list(...)).
+    Postings per term are bounded by document frequency; for stop-word
+    scale terms at 100 TB the min_df gate keeps them, so callers shard
+    hot terms by a doc-hash prefix if full stop-word postings are ever
+    needed (documented, not silently truncated).
+
+    Output: (term, df, postings).
+    """
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"([a-z]+)"), 1
+                )
+            ).alias("term"),
+        )
+        .select("term", F.lpad(F.col(id_col).cast("string"), pad, "0").alias("doc"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc")), ",").alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
