@@ -999,6 +999,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_FLOOR = 0.5
+CAPTION_QUALITY_FLOOR = 0.425
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,6 +1455,60 @@ def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the simhash near-dup pair graph — the
+    dedup-health diagnostic (a fat tail = hub documents = a template or
+    boilerplate family worth a targeted rule).  Composes the
+    simhash_neardup member query; oracle composes its oracle."""
+    pairs = q_simhash_neardup(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal (image+caption) corpus construction — the
+    image-side mirror of training_corpus: decode-quality screen
+    (stats_ok, entropy/sharpness floors drop blanks and blurred rows) →
+    phash near-dup survivors (one image per Hamming CC cluster) →
+    caption quality floor → deterministic split.  Rows-only: the decode
+    stages are not SQL-expressible; every member kernel is pinned by its
+    own tests (test_image_ops, test_phash, test_dedup_text_knn)."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, neardup_clusters
+    from pic2vec_spark.ops.multimodal import compute_phash, image_stats
+    from pic2vec_spark.ops.sampling import hash_split
+    from pic2vec_spark.ops.text import quality_score
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    stats = image_stats(images)
+    ok = stats.filter(
+        F.col("stats_ok") & (F.col("entropy") >= 1.0) & (F.col("sharpness") >= 1.0)
+    )
+    ph = compute_phash(ok).filter(F.col("phash64_ok"))
+    pairs = hamming_neardup_pairs(
+        ph.select("image_id", "phash64"), "image_id",
+        max_distance=4, sig_col="phash64", bits=64,
+    )
+    clusters = neardup_clusters(pairs, "id1", "id2")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("image_id")
+    )
+    survivors = ph.join(losers, "image_id", "left_anti")
+    # captions are short fragments — they score lower than documents on
+    # the composite (length term), so the floor is caption-calibrated
+    capq = quality_score(survivors, text_col="caption").filter(
+        F.col("caption").isNotNull() & (F.col("quality") >= CAPTION_QUALITY_FLOOR)
+    )
+    return hash_split(capq.select("image_id"), "image_id", test_pct=10).orderBy(
+        "image_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # product-analytics layer (round 3b): funnel, transitions, cohorts, overlap
 # join, cube, robust stats, corpus bigrams, inverted index
@@ -1671,6 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_thumbnails": q_image_thumbnails,
         "image_stats": q_image_stats,
         "image_augment": q_image_augment,
+        "multimodal_corpus": q_multimodal_corpus,
+        "neardup_degree_hist": q_neardup_degree_hist,
     }
 
 
@@ -2314,6 +2371,16 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "doc_simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),
+        "neardup_degree_hist": f"""
+            WITH pairs AS ({_simhash_pairs_sql()}),
+            deg AS (
+              SELECT doc_id, COUNT(*) AS degree FROM (
+                SELECT id1 AS doc_id FROM pairs
+                UNION ALL SELECT id2 AS doc_id FROM pairs
+              ) GROUP BY doc_id
+            )
+            SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
+        """,
         "knn_lsh": _knn_lsh_sql(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),

@@ -226,3 +226,27 @@ class TestMadOutliers:
         )
         (row,) = mad_outliers(df).collect()
         assert row["n"] == 2 and row["med"] == 2.0
+
+
+class TestCompositionQueries:
+    """Driver-level compositions added in round 3b (degree histogram is
+    oracle-checked by the gate; the multimodal corpus is rows-only, so
+    its invariants are pinned here)."""
+
+    def test_multimodal_corpus_deterministic_and_sane(self, spark):
+        import __spark_entry__ as em
+
+        a = em.queries()["multimodal_corpus"](spark, "/root/testdata/sf0.001").toPandas()
+        b = em.queries()["multimodal_corpus"](spark, "/root/testdata/sf0.001").toPandas()
+        assert a.equals(b)
+        assert 0 < len(a) < 256  # screens must drop some rows, not all
+        assert set(a["split"]).issubset({"train", "test"})
+        assert a["image_id"].is_unique
+
+    def test_degree_hist_mass_equals_pair_endpoints(self, spark):
+        import __spark_entry__ as em
+
+        pairs = em.queries()["simhash_neardup"](spark, "/root/testdata/sf0.001")
+        hist = em.queries()["neardup_degree_hist"](spark, "/root/testdata/sf0.001").toPandas()
+        # sum(degree * n_docs) == 2 * |pairs|  (every pair has 2 endpoints)
+        assert int((hist["degree"] * hist["n_docs"]).sum()) == 2 * pairs.count()

@@ -27,6 +27,7 @@ EAGER = {
     "knn_ivf_store",
     "neardup_clusters",
     "dedup_survivors",
+    "multimodal_corpus",
     "training_corpus",
     "pit_featurize_asof",
     "multi_column_widened",
