@@ -1638,6 +1638,82 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# feature-encoding layer (round 3c): target/LOO/count encoding, quantile
+# bins, standard scaling, exact-sum correlations, hashed crosses
+# --------------------------------------------------------------------------
+
+TE_SMOOTHING = 20.0
+N_VALUE_BINS = 8
+N_CROSS_BUCKETS = 64
+
+
+def q_event_type_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding map for event_type against value
+    (dimension-sized output; rows get it via broadcast join)."""
+    from pic2vec_spark.ops.encode import target_encode
+
+    return target_encode(
+        _events(spark, sf_dir), "event_type", "value", smoothing=TE_SMOOTHING
+    )
+
+
+def q_event_value_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row leave-one-out target encoding (each event's category mean
+    excludes its own value — the anti-leakage form)."""
+    from pic2vec_spark.ops.encode import loo_target_encode
+
+    return loo_target_encode(
+        _events(spark, sf_dir), "event_type", "value", smoothing=TE_SMOOTHING
+    ).select("event_id", "event_type", "loo")
+
+
+def q_value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning of event values (exact interpolated
+    boundaries), summarized per bin so the check covers every row's
+    assignment without emitting the full table."""
+    from pic2vec_spark.ops.encode import quantile_bins
+
+    binned = quantile_bins(_events(spark, sf_dir), "value", N_VALUE_BINS)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+def q_event_value_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-score of event values from exact decimal sums (the
+    bit-stable fit+transform; per-row output pins every assignment)."""
+    from pic2vec_spark.ops.encode import standard_scale
+
+    return standard_scale(_events(spark, sf_dir), "value").select(
+        "event_id", F.round("z", 6).alias("z")
+    )
+
+
+LINEITEM_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem numerics from exact
+    decimal sums in one aggregation pass (feature-selection screen)."""
+    from pic2vec_spark.ops.encode import corr_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return corr_pairs(li, LINEITEM_CORR_COLS)
+
+
+def q_event_cross_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature cross of (event_type × hour-of-day) into 64
+    buckets (md5-portable hashing trick), reported as bucket counts."""
+    from pic2vec_spark.ops.encode import feature_cross
+
+    ev = _events(spark, sf_dir).withColumn("hr", F.hour("ts"))
+    crossed = feature_cross(ev, ["event_type", "hr"], N_CROSS_BUCKETS)
+    return crossed.groupBy("cross_bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1728,6 +1804,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment": q_image_augment,
         "multimodal_corpus": q_multimodal_corpus,
         "neardup_degree_hist": q_neardup_degree_hist,
+        "event_type_target_enc": q_event_type_target_enc,
+        "event_value_loo": q_event_value_loo,
+        "value_quantile_bins": q_value_quantile_bins,
+        "event_value_scaled": q_event_value_scaled,
+        "lineitem_corr": q_lineitem_corr,
+        "event_cross_hash": q_event_cross_hash,
     }
 
 
@@ -2005,8 +2087,117 @@ def _knn_ivf_sql() -> str:
     """
 
 
+def _lineitem_corr_sql() -> str:
+    """Textually mirrors ops/encode.corr_pairs: exact decimal sums in
+    one pass, then the same double-arithmetic corr expression shape."""
+    import itertools
+
+    cols = LINEITEM_CORR_COLS
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ",\n               ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(28,4))) AS DOUBLE) AS s_{c}"
+        for c in cols
+    )
+    prods = ",\n               ".join(
+        f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,8))) AS DOUBLE) AS p_{a}_{b}"
+        for a, b in itertools.combinations_with_replacement(cols, 2)
+    )
+    parts = []
+    for a, b in itertools.combinations(cols, 2):
+        num = f"(CAST(n AS DOUBLE) * p_{a}_{b} - s_{a} * s_{b})"
+        den = (
+            f"sqrt((CAST(n AS DOUBLE) * p_{a}_{a} - s_{a} * s_{a})"
+            f" * (CAST(n AS DOUBLE) * p_{b}_{b} - s_{b} * s_{b}))"
+        )
+        parts.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"       ROUND(CASE WHEN {den} > 0 THEN {num} / {den} END, 6) AS corr\n"
+            f"FROM s"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        f"WITH s AS (SELECT COUNT(*) AS n,\n               {sums},\n"
+        f"               {prods}\n        FROM lineitem WHERE {notnull})\n{union}"
+    )
+
+
+def _encode_oracle_sql() -> dict[str, str]:
+    """Oracles for the feature-encoding layer.  Each mirrors the engine
+    expression SHAPE exactly (see ops/encode module docstring): decimal
+    per-row casts make the sums order-proof; the derived statistics are
+    then identical IEEE double arithmetic on both engines."""
+    m = TE_SMOOTHING
+    fracs = ", ".join(str(i / N_VALUE_BINS) for i in range(1, N_VALUE_BINS))
+    return {
+        "event_type_target_enc": f"""
+            WITH r AS (
+              SELECT event_type, CAST(value AS DECIMAL(28,4)) AS t
+              FROM events WHERE event_type IS NOT NULL
+            ),
+            g AS (SELECT CAST(SUM(t) AS DOUBLE) / COUNT(t) AS prior FROM r)
+            SELECT event_type, COUNT(t) AS n,
+                   ROUND((CAST(SUM(t) AS DOUBLE) + {m} * prior)
+                         / (COUNT(t) + {m}), 6) AS te
+            FROM r CROSS JOIN g GROUP BY event_type, prior
+        """,
+        "event_value_loo": f"""
+            WITH r AS (
+              SELECT event_id, event_type, CAST(value AS DECIMAL(28,4)) AS t
+              FROM events WHERE event_type IS NOT NULL
+            ),
+            g AS (SELECT CAST(SUM(t) AS DOUBLE) / COUNT(t) AS prior FROM r),
+            c AS (SELECT event_type, COUNT(t) AS n_cat,
+                         CAST(SUM(t) AS DOUBLE) AS sum_cat
+                  FROM r GROUP BY event_type)
+            SELECT r.event_id, r.event_type,
+                   ROUND(CASE
+                     WHEN t IS NULL
+                       THEN (sum_cat + {m} * prior) / (n_cat + {m})
+                     WHEN (n_cat - 1 + {m}) > 0
+                       THEN (sum_cat - CAST(t AS DOUBLE) + {m} * prior)
+                            / (n_cat - 1 + {m})
+                     ELSE prior END, 6) AS loo
+            FROM r JOIN c ON r.event_type = c.event_type CROSS JOIN g
+        """,
+        "value_quantile_bins": f"""
+            WITH b AS (SELECT quantile_cont(value, [{fracs}]) AS bnds
+                       FROM events),
+            r AS (SELECT value,
+                         CASE WHEN value IS NOT NULL
+                              THEN 1 + len(list_filter(bnds, x -> value > x))
+                         END AS bin
+                  FROM events CROSS JOIN b)
+            SELECT bin, COUNT(*) AS n,
+                   ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+            FROM r GROUP BY bin
+        """,
+        "event_value_scaled": """
+            WITH s AS (SELECT COUNT(value) AS n,
+                              CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sm,
+                              CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS ssq
+                       FROM events)
+            SELECT event_id,
+                   ROUND(CASE WHEN n > 1 AND (ssq - sm * sm / n) / (n - 1) > 0
+                              THEN (value - sm / n)
+                                   / sqrt((ssq - sm * sm / n) / (n - 1))
+                         END, 6) AS z
+            FROM events CROSS JOIN s
+        """,
+        "lineitem_corr": _lineitem_corr_sql(),
+        "event_cross_hash": f"""
+            SELECT CAST('0x' || substr(md5('cross'
+                     || COALESCE(event_type, chr(1)) || chr(31)
+                     || COALESCE(CAST(hour(ts) AS VARCHAR), chr(1))), 1, 8)
+                   AS BIGINT) % {N_CROSS_BUCKETS} AS cross_bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d.update(_encode_oracle_sql())
     # composition oracle: reuse the three member oracles as subqueries
     # (DuckDB supports CTEs inside derived tables), so the consensus
     # check can never drift from the member checks

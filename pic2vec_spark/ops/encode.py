@@ -1,0 +1,331 @@
+"""Tabular feature-encoding operators: target encoding (smoothed +
+leave-one-out), exact quantile binning, standard scaling, frequency
+encoding, an exact-sum correlation matrix, and hashed feature crosses.
+
+These are the classic feature-engineering transforms a training
+pipeline applies to the *tabular* side of a multimodal corpus (the
+reference pipeline stops at CNN vectors + a caption column; a real
+training table also carries categorical/numeric context columns that
+need encoding before they meet a model).
+
+Cross-engine determinism is the design constraint (every operator here
+is oracle-checked against DuckDB running textually-identical math):
+
+- Sums that feed an encoder are per-row cast to DECIMAL at a scale the
+  data is exact at (the pricing-summary pattern, __spark_entry__.py
+  q_pricing_summary) so summation ORDER can never perturb a result —
+  partial aggregation and AQE re-planning stay bit-stable.
+- Derived statistics (means, variances, correlations) are then computed
+  in double from those exact sums with the SAME expression shape on
+  both engines: IEEE arithmetic on identical inputs is deterministic.
+- Hash-based transforms reuse ops/sampling's md5 bucket (portable to
+  any engine with md5).
+
+Scale shape (100 TB): every encoder is one grouped/global aggregation
+whose output is dimension-sized (category table, k-1 boundaries, one
+stats row, k^2/2 correlations) followed by a broadcast join or a
+narrow projection back onto the rows — no windows over unbounded
+groups, no driver-side per-row state.
+
+Reference contrast: pic2vec has no tabular encoding surface at all
+(its CSV passthrough keeps non-image columns verbatim,
+/root/reference/pic2vec/feature_preprocessing.py); this module is part
+of the beyond-reference training-data layer like ops/sampling and
+ops/text.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _hash_bucket
+
+# events.value-style money columns are exact at 4 decimals; a sum of
+# 10^12 of them fits decimal(38,4) with 22 integer digits to spare
+_DEC = "decimal(28,4)"
+# squares/products of up-to-4-decimal magnitudes (exact at 8 decimals,
+# up to ~1e10 per row; a 10^12-row sum still fits 38 digits)
+_DEC_SQ = "decimal(38,8)"
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Smoothed mean target encoding: per category,
+    ``te = (sum_t + m * prior) / (n + m)`` where ``prior`` is the
+    global target mean and ``m`` the smoothing pseudo-count — rare
+    categories shrink toward the prior instead of memorizing noise.
+
+    Returns the dimension-sized encoding map ``(cat_col, n, te)``;
+    apply it to rows with a broadcast join.  NULL targets are excluded
+    from both sums (SQL aggregate semantics); NULL categories form
+    their own group is avoided by filtering them (a NULL category has
+    no stable encoding — callers impute first).
+
+    Plan: one grouped aggregation (map-side partials) + one scalar
+    global aggregate broadcast into the projection.  te is exact-sum
+    based (see module docstring) and rounded to 6 decimals.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    rows = df.filter(F.col(cat_col).isNotNull()).select(
+        F.col(cat_col), F.col(target_col).cast(_DEC).alias("__t")
+    )
+    glob = rows.agg(
+        (F.sum("__t").cast("double") / F.count("__t")).alias("__prior")
+    )
+    m = F.lit(float(smoothing))
+    return (
+        rows.groupBy(cat_col)
+        .agg(
+            F.count("__t").alias("n"),
+            F.sum("__t").cast("double").alias("__sum_t"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            cat_col,
+            "n",
+            F.round(
+                (F.col("__sum_t") + m * F.col("__prior"))
+                / (F.col("n") + m),
+                6,
+            ).alias("te"),
+        )
+    )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str = "loo",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category mean EXCLUDES
+    the row's own target — ``(sum_cat - t_i + m * prior) / (n_cat - 1
+    + m)`` — the standard anti-leakage form when the encoded feature
+    and the training target coincide (a row must never see itself).
+
+    A singleton category with smoothing=0 would be 0/0; it yields the
+    prior (the only leak-free answer).  Rows with a NULL target get the
+    category's unadjusted smoothed encoding (nothing to leave out).
+
+    Plan: the per-category sums are a grouped aggregation joined back
+    broadcast (categories are dimension-sized); the per-row arithmetic
+    is a narrow projection.  Never a window: a hot category's rows stay
+    spread across partitions.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    rows = df.filter(F.col(cat_col).isNotNull()).withColumn(
+        "__t", F.col(target_col).cast(_DEC)
+    )
+    glob = rows.agg(
+        (F.sum("__t").cast("double") / F.count("__t")).alias("__prior")
+    )
+    cat = rows.groupBy(cat_col).agg(
+        F.count("__t").alias("__n_cat"),
+        F.sum("__t").cast("double").alias("__sum_cat"),
+    )
+    m = F.lit(float(smoothing))
+    t_d = F.col("__t").cast("double")
+    loo_num = F.col("__sum_cat") - t_d + m * F.col("__prior")
+    loo_den = F.col("__n_cat") - 1 + m
+    smoothed = (F.col("__sum_cat") + m * F.col("__prior")) / (
+        F.col("__n_cat") + m
+    )
+    enc = (
+        F.when(F.col("__t").isNull(), smoothed)
+        .when(loo_den > 0, loo_num / loo_den)
+        .otherwise(F.col("__prior"))
+    )
+    return (
+        rows.join(F.broadcast(cat), cat_col)
+        .crossJoin(F.broadcast(glob))
+        .withColumn(out_col, F.round(enc, 6))
+        .drop("__t", "__n_cat", "__sum_cat", "__prior")
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency binning: rows are assigned to ``1..n_bins`` by
+    exact interpolated quantile boundaries (SQL-standard
+    percentile_cont semantics — identical interpolation in Spark's
+    ``percentile`` and DuckDB's ``quantile_cont``, the same parity the
+    percentile queries rely on).  ``bin = 1 + #{boundaries < value}``
+    with boundaries at i/n_bins for i in 1..n_bins-1; ties on a
+    boundary go to the LOWER bin (value > boundary is strict).  NULL
+    values get a NULL bin.
+
+    Plan: one global aggregate produces the (n_bins-1)-element boundary
+    array, broadcast into a narrow projection — two passes over the
+    value column, no sort, no window.  (ntile() would need a single
+    global ordering — a one-partition sort at 100 TB; boundary
+    assignment is the scale-correct form and is also append-stable
+    given frozen boundaries.)
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    v = F.col(value_col).cast("double")
+    bnds = df.agg(
+        F.percentile(v, F.array([F.lit(f) for f in fracs])).alias("__bnds")
+    )
+    return (
+        df.crossJoin(F.broadcast(bnds))
+        .withColumn(
+            out_col,
+            F.when(
+                v.isNotNull(),
+                F.size(F.filter("__bnds", lambda b: v > b)) + F.lit(1),
+            ),
+        )
+        .drop("__bnds")
+    )
+
+
+def standard_scale(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Global z-score scaling: ``z = (v - mean) / sd`` with the SAMPLE
+    standard deviation derived from exact decimal sums —
+    ``sd² = (ssq - sum²/n) / (n-1)`` — so the fitted statistics are
+    independent of partitioning/summation order (stock ``stddev_samp``
+    merges double co-moments in partition order; under AQE two runs of
+    the same job can disagree in the last bits, which a bit-stable
+    feature store cannot tolerate).  Degenerate inputs (n < 2 or zero
+    variance) yield NULL z, as do NULL values.
+
+    Plan: one scalar aggregate broadcast into a narrow projection.
+    (Contrast ops/windows.entity_zscore — per-entity windows; this is
+    the global fit+transform.)
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.count(v).alias("__n"),
+        F.sum(v.cast(_DEC)).cast("double").alias("__s"),
+        F.sum((v * v).cast(_DEC_SQ)).cast("double").alias("__ssq"),
+    )
+    n = F.col("__n")
+    mean = F.col("__s") / n
+    var = (F.col("__ssq") - F.col("__s") * F.col("__s") / n) / (n - 1)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out_col,
+            F.when(
+                (n > 1) & (var > 0), (v - mean) / F.sqrt(var)
+            ),
+        )
+        .drop("__n", "__s", "__ssq")
+    )
+
+
+def count_encode(df: DataFrame, cat_col: str) -> DataFrame:
+    """Count + frequency encoding map: ``(cat_col, n, freq)`` with
+    ``freq = n / total`` — the cheapest useful categorical encoder and
+    the usual first replacement for an unbounded one-hot.  NULL
+    categories are excluded (impute first).  One grouped aggregation;
+    integer counts are exactly portable, freq is one IEEE division."""
+    rows = df.filter(F.col(cat_col).isNotNull()).select(cat_col)
+    glob = rows.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        rows.groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            cat_col,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("freq"),
+        )
+    )
+
+
+def corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols``, one row per
+    unordered pair ``(col_a, col_b, corr)`` — the feature-selection
+    screen (drop one of every highly-correlated pair before training).
+
+    Built from exact decimal sums in ONE aggregation pass —
+    ``corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))`` —
+    rather than stock ``F.corr``, whose streaming co-moment merges are
+    partition-order-dependent in the last bits (same rationale as
+    standard_scale).  Rows with a NULL in ANY of ``cols`` are dropped
+    (listwise deletion) so every pair shares one n.
+
+    Plan: a single global aggregate over k + k(k+1)/2 decimal sums
+    (map-side partials; one row out), then k(k-1)/2 constant-space
+    projections unioned — scan once regardless of k.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 cols, got {cols}")
+    keep = df
+    for c in cols:
+        keep = keep.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs.append(F.sum(v.cast(_DEC)).cast("double").alias(f"__s_{c}"))
+    for a, b in itertools.combinations_with_replacement(cols, 2):
+        p = (F.col(a).cast("double") * F.col(b).cast("double")).cast(_DEC_SQ)
+        aggs.append(F.sum(p).cast("double").alias(f"__p_{a}_{b}"))
+    stats = keep.agg(*aggs)
+
+    def one(a: str, b: str) -> DataFrame:
+        n = F.col("__n").cast("double")
+        sx, sy = F.col(f"__s_{a}"), F.col(f"__s_{b}")
+        sxy = F.col(f"__p_{a}_{b}")
+        sxx, syy = F.col(f"__p_{a}_{a}"), F.col(f"__p_{b}_{b}")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return stats.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(F.when(den > 0, num / den), 6).alias("corr"),
+        )
+
+    out = None
+    for a, b in itertools.combinations(cols, 2):
+        part = one(a, b)
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def feature_cross(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 1024,
+    salt: str = "cross",
+    out_col: str = "cross_bucket",
+) -> DataFrame:
+    """Hashed feature cross: the interaction of ``cols`` mapped to
+    ``[0, n_buckets)`` via the portable md5 bucket (ops/sampling) over
+    the unit-separator-joined string key — the hashing-trick encoder
+    for categorical interactions whose raw cardinality product is
+    unbounded.  Deterministic across runs/engines/partitionings; NULL
+    components render as the '\\x01' sentinel (not NUL — portable SQL
+    engines reject embedded NUL) so (NULL, x) and ('', x) cross
+    differently.  Narrow projection — no shuffle."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in cols
+        ],
+    )
+    return df.withColumn(out_col, _hash_bucket(key, salt, n_buckets))

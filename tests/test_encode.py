@@ -1,0 +1,177 @@
+"""Closed-form fixtures for the tabular feature-encoding operators
+(ops/encode): target encoding (smoothed + leave-one-out), quantile
+binning, standard scaling, frequency encoding, exact-sum correlations,
+hashed feature crosses."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pic2vec_spark.ops.encode import (
+    corr_pairs,
+    count_encode,
+    feature_cross,
+    loo_target_encode,
+    quantile_bins,
+    standard_scale,
+    target_encode,
+)
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+class TestTargetEncode:
+    def test_smoothed_closed_form(self, spark):
+        # cats: a -> [1, 3] (mean 2), b -> [5] ; prior = 3
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 5.0)], ["c", "t"]
+        )
+        out = {r["c"]: r for r in target_encode(df, "c", "t", smoothing=2.0).collect()}
+        # a: (4 + 2*3) / (2 + 2) = 2.5 ; b: (5 + 2*3) / (1 + 2) = 11/3
+        assert out["a"]["n"] == 2 and out["a"]["te"] == 2.5
+        assert out["b"]["n"] == 1 and out["b"]["te"] == round(11 / 3, 6)
+
+    def test_zero_smoothing_is_group_mean(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 5.0)], ["c", "t"]
+        )
+        out = {r["c"]: r["te"] for r in target_encode(df, "c", "t", smoothing=0).collect()}
+        assert out == {"a": 2.0, "b": 5.0}
+
+    def test_null_category_dropped(self, spark):
+        df = spark.createDataFrame([("a", 1.0), (None, 9.0)], ["c", "t"])
+        out = target_encode(df, "c", "t", smoothing=0).collect()
+        assert len(out) == 1 and out[0]["te"] == 1.0  # prior excludes NULL cat rows
+
+    def test_negative_smoothing_raises(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], ["c", "t"])
+        with pytest.raises(ValueError):
+            target_encode(df, "c", "t", smoothing=-1)
+
+
+class TestLooTargetEncode:
+    def test_leave_one_out_closed_form(self, spark):
+        # a -> [1, 3], prior over all = 3; m=0: each a-row sees the OTHER value
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0)], ["id", "c", "t"]
+        )
+        out = {r["id"]: r["loo"] for r in loo_target_encode(df, "c", "t", smoothing=0).collect()}
+        assert out[1] == 3.0 and out[2] == 1.0
+        assert out[3] == 3.0  # singleton with m=0 -> prior
+
+    def test_smoothing_closed_form(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0)], ["id", "c", "t"]
+        )
+        out = {r["id"]: r["loo"] for r in loo_target_encode(df, "c", "t", smoothing=1.0).collect()}
+        # prior 3; row1: (4 - 1 + 3) / (2 - 1 + 1) = 3.0 ; row3: (5 - 5 + 3)/(0 + 1) = 3.0
+        assert out[1] == 3.0 and out[3] == 3.0
+        # row2: (4 - 3 + 3) / 2 = 2.0
+        assert out[2] == 2.0
+
+    def test_null_target_gets_smoothed_encoding(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 3.0), (3, "a", None)], ["id", "c", "t"]
+        )
+        out = {r["id"]: r["loo"] for r in loo_target_encode(df, "c", "t", smoothing=0).collect()}
+        assert out[3] == 2.0  # group mean, nothing to leave out
+
+
+class TestQuantileBins:
+    def test_uniform_eight_rows_four_bins(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(1, 9)], ["v"])
+        out = {r["v"]: r["bin"] for r in quantile_bins(df, "v", 4).collect()}
+        # boundaries at .25/.5/.75 of 1..8 -> 2.75, 4.5, 6.25
+        assert out == {1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2, 5.0: 3, 6.0: 3, 7.0: 4, 8.0: 4}
+
+    def test_constant_column_all_bin_one(self, spark):
+        df = spark.createDataFrame([(5.0,)] * 4, ["v"])
+        assert {r["bin"] for r in quantile_bins(df, "v", 3).collect()} == {1}
+
+    def test_null_value_null_bin(self, spark):
+        df = spark.createDataFrame([(1.0,), (None,), (2.0,)], ["v"])
+        out = {r["v"]: r["bin"] for r in quantile_bins(df, "v", 2).collect()}
+        assert out[None] is None
+
+    def test_bad_n_bins(self, spark):
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        with pytest.raises(ValueError):
+            quantile_bins(df, "v", 1)
+
+
+class TestStandardScale:
+    def test_closed_form(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["v"])
+        out = sorted(r["z"] for r in standard_scale(df, "v").collect())
+        assert out == [-1.0, 0.0, 1.0]  # sd_samp([1,2,3]) = 1
+
+    def test_degenerate_variance_null(self, spark):
+        df = spark.createDataFrame([(2.0,), (2.0,)], ["v"])
+        assert [r["z"] for r in standard_scale(df, "v").collect()] == [None, None]
+
+    def test_single_row_null(self, spark):
+        df = spark.createDataFrame([(2.0,)], ["v"])
+        assert [r["z"] for r in standard_scale(df, "v").collect()] == [None]
+
+
+class TestCountEncode:
+    def test_counts_and_freq(self, spark):
+        df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], ["c"])
+        out = {r["c"]: (r["n"], r["freq"]) for r in count_encode(df, "c").collect()}
+        assert out == {"a": (2, round(2 / 3, 6)), "b": (1, round(1 / 3, 6))}
+
+
+class TestCorrPairs:
+    def test_perfect_and_anti(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)], ["x", "y", "w"]
+        )
+        out = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_pairs(df, ["x", "y", "w"]).collect()}
+        assert out[("x", "y")] == 1.0
+        assert out[("x", "w")] == -1.0
+        assert out[("y", "w")] == -1.0
+
+    def test_independent_sign(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, -1.0), (3.0, 1.0), (4.0, -1.0)], ["x", "y"]
+        )
+        ((_, _, c),) = corr_pairs(df, ["x", "y"]).collect()
+        assert abs(c) < 0.5
+
+    def test_null_row_listwise_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 2.0), (3.0, None)], ["x", "y"]
+        )
+        ((_, _, c),) = corr_pairs(df, ["x", "y"]).collect()
+        assert c == 1.0
+
+    def test_zero_variance_null(self, spark):
+        df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], ["x", "y"])
+        ((_, _, c),) = corr_pairs(df, ["x", "y"]).collect()
+        assert c is None
+
+
+class TestFeatureCross:
+    def test_deterministic_and_bounded(self, spark):
+        df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 2)], ["c", "h"])
+        a = {(r["c"], r["h"]): r["cross_bucket"] for r in feature_cross(df, ["c", "h"], 32).collect()}
+        b = {(r["c"], r["h"]): r["cross_bucket"] for r in feature_cross(df, ["c", "h"], 32).collect()}
+        assert a == b
+        assert all(0 <= v < 32 for v in a.values())
+
+    def test_null_distinct_from_empty(self, spark):
+        df = spark.createDataFrame([(None, 1), ("", 1)], ["c", "h"])
+        out = [r["cross_bucket"] for r in feature_cross(df, ["c", "h"], 1 << 20).collect()]
+        assert out[0] != out[1]
+
+    def test_math_matches_md5(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([("a", 1)], ["c", "h"])
+        (got,) = feature_cross(df, ["c", "h"], 97, salt="cross").collect()
+        want = int(hashlib.md5("crossa\x1f1".encode()).hexdigest()[:8], 16) % 97
+        assert got["cross_bucket"] == want
