@@ -281,3 +281,165 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+# --------------------------------------------------------------------------
+# repetition filters (Gopher-style) + cross-document passage sharing
+# --------------------------------------------------------------------------
+
+# \x1f joiner for n-gram keys: cannot appear in whitespace-split tokens,
+# so joined n-grams collide iff the token sequences are identical.
+_GRAM_SEP = 31
+
+# keep-thresholds for repetition_stats (Gopher-style rule-of-thumb
+# values re-tuned to the synthetic corpus so the flag actually splits
+# it: sf0.01 medians are ttr 0.46 / top-bigram 0.033 / dup-trigram 0.0)
+REPETITION_MIN_TTR = 0.35
+REPETITION_MAX_TOP_BIGRAM = 0.10
+REPETITION_MAX_DUP_TRIGRAM = 0.05
+
+
+def _ngram_expr(toks: str, n: int) -> str:
+    """SQL expr: array of chr(31)-joined token ``n``-grams of ``toks``
+    (an array<string> column/expr).  Empty when size(toks) < n."""
+    parts = ["x"] + [
+        f"element_at({toks}, i + {j + 1})" for j in range(1, n)
+    ]
+    joined = f", chr({_GRAM_SEP}), ".join(parts)
+    return (
+        f"transform(slice({toks}, 1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"(x, i) -> concat({joined}))"
+    )
+
+
+def _max_multiplicity_expr(arr: str) -> str:
+    """SQL expr: the count of the most frequent element of ``arr``
+    (bigint; 0 for an empty array).  O(n log n) per row — sort, then a
+    single fold tracking the current and max run length — so the whole
+    computation stays a narrow per-row projection (no explode, no
+    shuffle), which is what lets repetition_stats scan 100 TB as a
+    zero-exchange map."""
+    return f"""aggregate(
+        array_sort({arr}),
+        named_struct('prev', cast(null as string),
+                     'run', cast(0 as bigint), 'mx', cast(0 as bigint)),
+        (acc, x) -> named_struct(
+            'prev', x,
+            'run', if(acc.prev is not null and x = acc.prev,
+                      acc.run + cast(1 as bigint), cast(1 as bigint)),
+            'mx', greatest(acc.mx,
+                           if(acc.prev is not null and x = acc.prev,
+                              acc.run + cast(1 as bigint),
+                              cast(1 as bigint)))),
+        acc -> acc.mx)"""
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition metrics + keep flag.
+
+    Per document: token count, type-token ratio, most-frequent-token
+    fraction, most-frequent-bigram fraction, duplicate-trigram fraction
+    (1 - distinct/total), and ``repetition_keep`` from the module
+    thresholds.  The corpus has no newlines, so the line-based Gopher
+    rules (duplicate-line fraction etc.) are re-expressed on token
+    n-grams — the discriminating signal is the same (templated/looping
+    text shows up as low TTR and high top-n-gram mass).
+
+    Scale: pure Catalyst narrow projection — per-row array ops only,
+    zero shuffle, zero UDF; fractions are ROUND(exact_int / exact_int, 6)
+    so the DuckDB oracle reproduces them bit-for-bit.  Per-row cost is
+    O(len log len); for 100k-token outliers the arrays stay executor-
+    local (no row explosion into the shuffle).
+    """
+    out = df.withColumn("_toks", tokens(F.col(text_col)))
+    out = out.withColumns(
+        {
+            "_bi": F.expr(_ngram_expr("_toks", 2)),
+            "_tri": F.expr(_ngram_expr("_toks", 3)),
+        }
+    )
+    n = F.size("_toks").cast("bigint")
+    n_bi = F.size("_bi").cast("bigint")
+    n_tri = F.size("_tri").cast("bigint")
+    ttr = F.round(F.size(F.array_distinct("_toks")) / n, 6)
+    top_tok = F.round(F.expr(_max_multiplicity_expr("_toks")) / n, 6)
+    top_bi = F.when(
+        n_bi > 0, F.round(F.expr(_max_multiplicity_expr("_bi")) / n_bi, 6)
+    )
+    dup_tri = F.when(
+        n_tri > 0,
+        F.round(
+            (n_tri - F.size(F.array_distinct("_tri"))) / n_tri, 6
+        ),
+    )
+    return (
+        out.withColumns(
+            {
+                "n_tokens": n,
+                "ttr": ttr,
+                "top_token_frac": top_tok,
+                "top_bigram_frac": top_bi,
+                "dup_trigram_frac": dup_tri,
+            }
+        )
+        .withColumn(
+            "repetition_keep",
+            (F.col("ttr") >= REPETITION_MIN_TTR)
+            & (F.col("top_bigram_frac") <= REPETITION_MAX_TOP_BIGRAM)
+            & (F.col("dup_trigram_frac") <= REPETITION_MAX_DUP_TRIGRAM),
+        )
+        .drop("_toks", "_bi", "_tri")
+    )
+
+
+def shared_ngram_stats(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document passage sharing (exact-substring dedup signal, the
+    token-n-gram form of Lee et al. 2021's dedup criterion): per
+    document, how many of its DISTINCT token ``n``-grams also appear in
+    at least one OTHER document, and the shared fraction.
+
+    Plan: narrow n-gram projection -> explode DISTINCT (doc, gram) ->
+    gram-count aggregation (map-side partials; the gram key space is
+    content-bounded) -> rejoin pair rows to gram counts -> per-doc
+    re-aggregation.  Two key shuffles (gram, then doc) — both on
+    bounded-cardinality keys; a gram shared by M docs contributes M
+    pair rows, so pathological template grams are the skew case and the
+    ``n`` parameter is the mitigation (longer grams -> rarer).
+
+    Output: (id_col, n_grams, n_shared, shared_frac) — docs shorter
+    than ``n`` tokens report 0 grams and NULL fraction.
+    """
+    grams = (
+        df.withColumn("_t", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(F.expr(_ngram_expr("_t", n)))
+            ).alias("gram"),
+        )
+    )
+    gram_docs = grams.filter(F.col("gram").isNotNull()).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    joined = grams.join(gram_docs, "gram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.col("gram")).alias("n_grams"),
+        F.sum(
+            F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_shared"),
+        F.round(
+            F.when(
+                F.count(F.col("gram")) > 0,
+                F.sum(
+                    F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+                )
+                / F.count(F.col("gram")),
+            ),
+            6,
+        ).alias("shared_frac"),
+    )

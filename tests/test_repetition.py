@@ -1,0 +1,111 @@
+"""Gopher-style repetition filter + cross-doc passage sharing: the
+metrics are pinned on hand-computed fixtures, edge cases (short docs,
+single-token docs) are exercised, and shared_ngram_stats is checked
+against a brute-force Python recomputation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pic2vec_spark.ops.text import repetition_stats, shared_ngram_stats
+
+SEP = "\x1f"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_stats_hand_fixture(spark):
+    # "a b a b a" : 5 tokens, 2 distinct -> ttr 0.4
+    # top token 'a' x3 -> 0.6 ; bigrams [ab, ba, ab, ba] top 2/4=0.5
+    # trigrams [aba, bab, aba] distinct 2 -> dup (3-2)/3
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(_df(spark, [(1, "a b a b a")])).collect()
+    }
+    r = out[1]
+    assert r["n_tokens"] == 5
+    assert r["ttr"] == pytest.approx(0.4)
+    assert r["top_token_frac"] == pytest.approx(0.6)
+    assert r["top_bigram_frac"] == pytest.approx(0.5)
+    assert r["dup_trigram_frac"] == pytest.approx(round(1 / 3, 6))
+    assert r["repetition_keep"] is False  # ttr 0.4 ok, but top_bigram 0.5
+
+
+def test_repetition_stats_distinct_doc_keeps(spark):
+    text = " ".join(f"w{i}" for i in range(20))  # all distinct
+    r = repetition_stats(_df(spark, [(1, text)])).collect()[0]
+    assert r["ttr"] == pytest.approx(1.0)
+    assert r["top_token_frac"] == pytest.approx(0.05)
+    assert r["top_bigram_frac"] == pytest.approx(round(1 / 19, 6))
+    assert r["dup_trigram_frac"] == 0.0
+    assert r["repetition_keep"] is True
+
+
+def test_repetition_stats_short_docs(spark):
+    rows = repetition_stats(
+        _df(spark, [(1, "solo"), (2, "two tokens")])
+    ).collect()
+    by = {r["doc_id"]: r for r in rows}
+    assert by[1]["n_tokens"] == 1
+    assert by[1]["top_bigram_frac"] is None  # no bigrams
+    assert by[1]["dup_trigram_frac"] is None
+    assert by[2]["top_bigram_frac"] == pytest.approx(1.0)
+    assert by[2]["dup_trigram_frac"] is None  # no trigrams
+
+
+def test_shared_ngrams_hand_fixture(spark):
+    # docs 1 and 2 share the passage "p q r s"; doc 3 is disjoint;
+    # doc 4 is too short for 4-grams.
+    df = _df(
+        spark,
+        [
+            (1, "a b p q r s c d"),
+            (2, "x p q r s y z w"),
+            (3, "m n o u v e f g"),
+            (4, "t u v"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in shared_ngram_stats(df, n=4).collect()}
+    assert out[1]["n_grams"] == 5 and out[2]["n_grams"] == 5
+    assert out[1]["n_shared"] == 1  # only "p q r s"
+    assert out[2]["n_shared"] == 1
+    assert out[1]["shared_frac"] == pytest.approx(0.2)
+    assert out[3]["n_shared"] == 0
+    assert out[4]["n_grams"] == 0
+    assert out[4]["shared_frac"] is None
+
+
+def test_shared_ngrams_matches_bruteforce(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    n = 5
+    pdf = docs.select("doc_id", "text").toPandas()
+    grams = {
+        int(r.doc_id): {
+            SEP.join(toks[i : i + n])
+            for i in range(len(toks) - n + 1)
+        }
+        for r in pdf.itertuples()
+        for toks in [r.text.strip().split()]
+    }
+    counts: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            counts[g] = counts.get(g, 0) + 1
+    out = shared_ngram_stats(docs, n=n).collect()
+    assert len(out) == len(grams)
+    for r in out:
+        gs = grams[r["doc_id"]]
+        want_shared = sum(1 for g in gs if counts[g] >= 2)
+        assert r["n_grams"] == len(gs)
+        assert r["n_shared"] == want_shared
+
+
+def test_repetition_stats_is_narrow(spark, sf_smoke):
+    """Zero-exchange plan: the filter must scan-project only."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
