@@ -445,6 +445,24 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (ops/ivm.py): per-(user, event_type)
+    totals kept as a decomposable aggregate state.  The query computes
+    the state for the base slice (events before 2024-01-20) and the
+    delta slice SEPARATELY, merges the two states key-wise, and
+    finalizes.  The oracle aggregates the whole table directly, so a
+    match proves state merging is lossless — the 100 TB property that a
+    landing batch updates the view without rescanning base facts."""
+    from pic2vec_spark.ops.ivm import agg_state, finalize_agg, merge_agg_states
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.expr("TIMESTAMP_NTZ '2024-01-20 00:00:00'")
+    keys = ["user_id", "event_type"]
+    base = agg_state(ev.filter(F.col("ts") < cutoff), keys, "value")
+    delta = agg_state(ev.filter(F.col("ts") >= cutoff), keys, "value")
+    return finalize_agg(merge_agg_states([base, delta], keys), keys)
+
+
 def q_feature_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-entity feature compaction (ops/asof.py compact_features):
     keep one row per (entity, hour bucket) — the bucket's latest row,
@@ -887,6 +905,32 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_documents(spark, sf_dir)).select(
         "doc_id", "n_tokens", "stop_ratio", "punct_ratio", "mean_tok_len", "quality"
     )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter: TTR,
+    top-token/bigram mass, duplicate-trigram fraction, keep flag —
+    a zero-shuffle narrow projection (see ops/text.repetition_stats)."""
+    from pic2vec_spark.ops.text import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        "top_token_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "repetition_keep",
+    )
+
+
+def q_doc_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage sharing (token-8-gram exact-substring
+    dedup signal, Lee et al. 2021 style): per doc, distinct 8-grams,
+    how many appear in >= 2 docs, and the shared fraction."""
+    from pic2vec_spark.ops.text import shared_ngram_stats
+
+    return shared_ngram_stats(_documents(spark, sf_dir), n=8)
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1739,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": q_user_activity,
         "purchase_attribution": q_purchase_attribution,
         "daily_rollup": q_daily_rollup,
+        "ivm_user_totals": q_ivm_user_totals,
         "daily_quantiles": q_daily_quantiles,
         "feature_compaction": q_feature_compaction,
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
@@ -1771,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
+        "doc_repetition": q_doc_repetition,
+        "doc_shared_ngrams": q_doc_shared_ngrams,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2084,6 +2131,96 @@ def _knn_ivf_sql() -> str:
       FROM s
     )
     SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
+    """
+
+
+def _doc_repetition_sql() -> str:
+    """Mirrors ops/text.repetition_stats: same tokenization, same
+    chr(31)-joined n-grams, same ROUND(exact_int / exact_int, 6)
+    fractions, same keep thresholds (imported, so they cannot drift)."""
+    from pic2vec_spark.ops.text import (
+        REPETITION_MAX_DUP_TRIGRAM,
+        REPETITION_MAX_TOP_BIGRAM,
+        REPETITION_MIN_TTR,
+    )
+
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 list_transform(range(1, len(toks)),
+                   i -> toks[i] || chr(31) || toks[i+1]) AS bi,
+                 list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) AS tri
+          FROM t
+        ), tc AS (
+          SELECT doc_id, max(c) AS top_tok FROM (
+            SELECT doc_id, tk, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tk FROM g)
+            GROUP BY doc_id, tk
+          ) GROUP BY doc_id
+        ), bc AS (
+          SELECT doc_id, max(c) AS top_bi FROM (
+            SELECT doc_id, b, count(*) AS c
+            FROM (SELECT doc_id, unnest(bi) AS b FROM g)
+            GROUP BY doc_id, b
+          ) GROUP BY doc_id
+        ), m AS (
+          SELECT g.doc_id, n AS n_tokens,
+                 ROUND(len(list_distinct(toks)) / CAST(n AS DOUBLE), 6) AS ttr,
+                 ROUND(tc.top_tok / CAST(n AS DOUBLE), 6) AS top_token_frac,
+                 CASE WHEN len(bi) > 0
+                      THEN ROUND(bc.top_bi / CAST(len(bi) AS DOUBLE), 6)
+                 END AS top_bigram_frac,
+                 CASE WHEN len(tri) > 0
+                      THEN ROUND((len(tri) - len(list_distinct(tri)))
+                                 / CAST(len(tri) AS DOUBLE), 6)
+                 END AS dup_trigram_frac
+          FROM g JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, ttr, top_token_frac, top_bigram_frac,
+               dup_trigram_frac,
+               (ttr >= {REPETITION_MIN_TTR}
+                AND top_bigram_frac <= {REPETITION_MAX_TOP_BIGRAM}
+                AND dup_trigram_frac <= {REPETITION_MAX_DUP_TRIGRAM})
+                 AS repetition_keep
+        FROM m
+    """
+
+
+def _doc_shared_ngrams_sql(n: int = 8) -> str:
+    """Mirrors ops/text.shared_ngram_stats at the same n: distinct
+    chr(31)-joined token n-grams per doc, shared = gram appears in
+    >= 2 docs.  SUM casts to BIGINT (DuckDB HUGEINT renders as float
+    in fetchdf — the purchase_props_json lesson)."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(toks) - {n - 2}),
+                   i -> list_aggregate(toks[i:i+{n - 1}], 'string_agg', chr(31))
+                 ))) AS gram
+          FROM t
+        ), d AS (
+          SELECT gram, count(*) AS c FROM g GROUP BY gram
+        ), s AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 CAST(SUM(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+          FROM g JOIN d USING (gram) GROUP BY g.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(s.n_grams, 0) AS n_grams,
+               CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+               CASE WHEN s.n_grams > 0
+                    THEN ROUND(s.n_shared / CAST(s.n_grams AS DOUBLE), 6)
+               END AS shared_frac
+        FROM t LEFT JOIN s USING (doc_id)
     """
 
 
@@ -2519,6 +2656,8 @@ def _oracle_sql_base() -> dict[str, str]:
                      + (1.0 - least(punct / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.2, 4) AS quality
             FROM y
         """,
+        "doc_repetition": _doc_repetition_sql(),
+        "doc_shared_ngrams": _doc_shared_ngrams_sql(),
         "doc_lang_id": r"""
             WITH x AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -2709,6 +2848,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    epoch_us(MIN(ts)) AS first_us,
                    epoch_us(MAX(ts)) AS last_us
             FROM events GROUP BY user_id
+        """,
+        "ivm_user_totals": """
+            SELECT user_id, event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(value) AS n_vals,
+                   ROUND(SUM(value::DECIMAL(28,4))::DOUBLE, 4) AS sum_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value,
+                   CASE WHEN COUNT(value) > 0
+                        THEN ROUND(SUM(value::DECIMAL(28,4))::DOUBLE
+                                   / COUNT(value), 6)
+                   END AS avg_value
+            FROM events GROUP BY user_id, event_type
         """,
         "daily_rollup": """
             SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
