@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 # assign_cells lives in ops.knn and is SHARED with ivf_topk — one
 # definition, so probe==ivf_topk equivalence is structural
 from pic2vec_spark.ops.knn import (  # noqa: F401  (re-exported)
-    _centroid_cos_array,
     _cosine_unrolled,
+    _with_centroid_cos,
     assign_cells,
 )
 from pic2vec_spark.snapshots import SnapshotTable
@@ -116,11 +116,16 @@ def probe_ivf_index(
             "would scan the wrong cells and return silently wrong "
             "neighbors"
         )
-    cos_arr = _centroid_cos_array
-    qc = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.posexplode(cos_arr(vec_col, centroids)).alias("cell0", "ccos"),
+    qc = _with_centroid_cos(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec",
+        centroids,
+    ).select(
+        "query_id",
+        "qvec",
+        F.posexplode(F.col("__cos")).alias("cell0", "ccos"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell0").asc()

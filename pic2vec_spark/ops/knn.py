@@ -27,11 +27,20 @@ janino compilation per generated class per JVM (noticeable on a cold
 interpreted HOF lambdas — at the 10^9-row design point the compile cost
 amortizes to nothing while the HOF form would burn CPU-hours per
 billion rows.
+
+The exception is the IVF centroid matrix (``_with_centroid_cos``):
+n_centroids x dim unrolled terms is one expression tree, which exceeds
+janino's 64 KB method limit — codegen cannot split inside a single
+expression, so whole-stage compilation fails and every fresh plan pays
+a doomed multi-second compile attempt.  That one runs as an
+Arrow-vectorized pandas UDF with dimension-at-a-time accumulation
+(bit-identical left-to-right IEEE sums; see its docstring).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -278,34 +287,85 @@ def sample_vectors(
     return np.array([list(r[1]) for r in rows], dtype=np.float64)
 
 
-def _centroid_cos_array(vec: str, centroids: np.ndarray) -> Column:
-    """Array of round-6 cosines vec x each centroid (plan-embedded
-    literals).  Arithmetic matches the DuckDB oracle term for term —
-    every sum is sequential left-to-right in double — but unrolled into
-    codegen-able expressions instead of higher-order-function folds
-    (HOF lambdas run per element outside whole-stage codegen and
-    dominated cell-assignment cost); the centroid's own norm is a plan
-    constant computed with the same sequential order in Python.
-    ``vec`` is a COLUMN NAME (single-py4j-call SQL text, see
-    ``_plane_dot``)."""
+def _with_centroid_cos(
+    df: DataFrame, vec: str, centroids: np.ndarray, out: str = "__cos"
+) -> DataFrame:
+    """Adds ``out`` = array of round-6 cosines vec x each centroid.
+
+    This one deliberately breaks the "unroll into codegen expressions"
+    rule the LSH signatures follow (``_plane_dot``): n_centroids * dim
+    unrolled terms is ONE expression tree, codegen can only split
+    generated Java at expression boundaries, so janino gets a single
+    >64 KB method and fails — Spark then falls back to per-operator
+    codegen (execution stays fast) but pays a doomed ~13 s compile
+    attempt on EVERY fresh plan because expression ids differ (measured:
+    244 s for one sf0.01 gate query, vs 0.4 s warm).  A chain of
+    per-centroid projections doesn't help: CollapseProject re-inlines
+    single-use columns and whole-stage codegen fuses the consume chain
+    back into one method.
+
+    So the constant-matrix product runs as an Arrow-vectorized pandas
+    UDF — the standard Spark shape for embedding x literal-matrix math:
+    still a narrow per-partition map (ArrowEvalPython; the plan audit in
+    tests/test_plans.py bans only row-at-a-time BatchEvalPython), no
+    janino involvement, and NumPy is memory-bandwidth-bound here.
+
+    Oracle parity is bit-exact, not approximate: the accumulation loops
+    dimension-at-a-time (vectorized across rows), so every per-row sum
+    is the same left-to-right sequence of IEEE double ops as DuckDB's
+    list_dot_product fold and the old unrolled SQL; the centroid norms
+    are plan constants computed with the same sequential order.  Rows
+    whose length != centroid dim yield NULL (same CASE the unrolled
+    cosine used)."""
     import math
 
     dim = int(centroids.shape[1])
-    vsq = " + ".join(
-        f"(CAST(`{vec}`[{i}] AS DOUBLE) * CAST(`{vec}`[{i}] AS DOUBLE))"
-        for i in range(dim)
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)  # (k, dim)
+    cnorms = np.array(
+        [
+            math.sqrt(
+                # sequential: identical to list_dot_product's fold
+                _seq_sum(float(x) * float(x) for x in c)
+            )
+            for c in cmat
+        ],
+        dtype=np.float64,
     )
-    vnorm = f"SQRT({vsq})"
-    out = []
-    for c in centroids:
-        s = 0.0
-        for x in c:  # sequential: identical to list_dot_product's fold
-            s += float(x) * float(x)
-        cnorm = math.sqrt(s)
-        out.append(
-            f"ROUND(({_plane_dot(vec, c)}) / ({vnorm} * {cnorm!r}D), 6)"
+
+    @F.pandas_udf("array<double>")
+    def cos_arr(v):  # pd.Series -> pd.Series (hints omitted: the
+        # decorator's returnType alone fixes SCALAR eval type)
+        n = len(v)
+        ok = np.array(
+            [x is not None and len(x) == dim for x in v], dtype=bool
         )
-    return F.expr("array(" + ", ".join(out) + ")")
+        if not ok.any():
+            return pd.Series([None] * n)
+        e = np.zeros((int(ok.sum()), dim), dtype=np.float64)
+        for r, x in enumerate(v[ok]):
+            e[r, :] = x
+        # dimension-at-a-time accumulation == per-row left-to-right sum
+        dots = np.zeros((e.shape[0], cmat.shape[0]), dtype=np.float64)
+        vsq = np.zeros(e.shape[0], dtype=np.float64)
+        for i in range(dim):
+            col = e[:, i]
+            dots += col[:, None] * cmat[None, :, i]
+            vsq += col * col
+        cos = dots / (np.sqrt(vsq)[:, None] * cnorms[None, :])
+        cos = np.round(cos, 6)
+        res = [None] * n
+        for r, idx in enumerate(np.nonzero(ok)[0]):
+            res[int(idx)] = cos[r]
+        return pd.Series(res)
+
+    return df.withColumn(out, cos_arr(F.col(vec)))
+
+
+def _seq_sum(it) -> float:
+    s = 0.0
+    for x in it:
+        s += x
+    return s
 
 
 def assign_cells(
@@ -321,16 +381,19 @@ def assign_cells(
     index (``ops.ivf_store.build_ivf_index``), so the probe==ivf_topk
     exact-equivalence contract is structural, not copy-paste.
 
-    The cosine array is materialized in its own projection so the
-    argmax computes it ONCE per row (array_position(expr,
-    array_max(expr)) would duplicate the n_centroids-fold subtree —
-    ~2x assignment CPU at scale, since Catalyst does not reliably CSE
-    across arguments)."""
+    The cosine array is a single UDF output column, so the argmax
+    computes it ONCE per row (array_position(expr, array_max(expr))
+    over an inline expression would duplicate the n_centroids-fold
+    subtree — ~2x assignment CPU at scale, since Catalyst does not
+    reliably CSE across arguments)."""
     return (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cvec"),
-            _centroid_cos_array(vec_col, centroids).alias("__cos"),
+        _with_centroid_cos(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cvec"),
+            ),
+            "cvec",
+            centroids,
         )
         .select(
             "neighbor_id",
@@ -365,12 +428,17 @@ def ivf_topk(
     probes prune files; here the cell column keeps the join narrow.
     Output: (query_id, neighbor_id, cos, rk).
     """
-    cos_arr = _centroid_cos_array
     c = assign_cells(corpus, centroids, id_col, vec_col)
-    qc = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.posexplode(cos_arr(vec_col, centroids)).alias("cell0", "ccos"),
+    qc = _with_centroid_cos(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec",
+        centroids,
+    ).select(
+        "query_id",
+        "qvec",
+        F.posexplode(F.col("__cos")).alias("cell0", "ccos"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell0").asc()
