@@ -19,22 +19,23 @@ Determinism: hyperplanes come from a seeded NumPy RNG and are embedded
 as literal arrays in the plan, so results are partition-invariant and
 reproducible; tests check LSH recall against the exact path.
 
-Compile-vs-run tradeoff: the literal-plane/known-dim math is UNROLLED
-into flat codegen expressions (see ``_plane_dot``/``_cosine_unrolled``)
-rather than higher-order-function folds.  This costs a one-time ~10s of
-janino compilation per generated class per JVM (noticeable on a cold
-500-row smoke run), but per-row evaluation is ~100x cheaper than
-interpreted HOF lambdas — at the 10^9-row design point the compile cost
-amortizes to nothing while the HOF form would burn CPU-hours per
-billion rows.
+Compile-vs-run tradeoff, two regimes by expression size:
 
-The exception is the IVF centroid matrix (``_with_centroid_cos``):
-n_centroids x dim unrolled terms is one expression tree, which exceeds
-janino's 64 KB method limit — codegen cannot split inside a single
-expression, so whole-stage compilation fails and every fresh plan pays
-a doomed multi-second compile attempt.  That one runs as an
-Arrow-vectorized pandas UDF with dimension-at-a-time accumulation
-(bit-identical left-to-right IEEE sums; see its docstring).
+- PAIR math (``_cosine_unrolled``: one cosine, ~3*dim terms) is
+  UNROLLED into flat codegen expressions rather than higher-order-
+  function folds.  One-time janino compilation per generated class per
+  JVM, but per-row evaluation is ~100x cheaper than interpreted HOF
+  lambdas — at the 10^9-candidate-pair design point the compile cost
+  amortizes to nothing while the HOF form would burn CPU-hours.
+- MATRIX math (``_with_centroid_cos``: n_centroids x dim;
+  ``_all_signatures``: n_tables*n_planes x dim) cannot unroll: it is
+  one expression tree, codegen cannot split inside a single expression,
+  and janino's 64 KB method limit rejects it — whole-stage compilation
+  fails and every fresh plan pays a doomed multi-second compile attempt
+  before falling back.  Those run as Arrow-vectorized pandas UDFs with
+  dimension-at-a-time accumulation, which keeps every per-row sum the
+  same left-to-right IEEE sequence as the unrolled SQL and the DuckDB
+  oracle (bit-exact parity; see the docstrings).
 """
 
 from __future__ import annotations
@@ -83,8 +84,9 @@ def _cosine_unrolled(a: str, b: str, dim: int) -> Column:
     dim-0 probes yield NULL like the old form's 0/0 did.
 
     ``a``/``b`` are COLUMN NAMES: the expression is emitted as one SQL
-    string and parsed JVM-side in a single py4j call (see
-    ``_plane_dot`` for why)."""
+    string and parsed JVM-side in a single py4j call — building ~3*dim
+    terms as Column objects costs thousands of py4j round-trips
+    (measured ~25 s of pure Python plan construction per query)."""
     if dim == 0:
         return F.lit(None).cast("double")
 
@@ -137,64 +139,66 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
 
-def _plane_dot(vec: str, plane) -> str:
-    """Dot product against a LITERAL plane, unrolled into a flat
-    codegen-able sum.  Arithmetic is identical to the F.aggregate fold
-    (and DuckDB's list_dot_product): each element promoted to double,
-    multiplied, accumulated left-to-right — but higher-order-function
-    lambdas evaluate per element OUTSIDE whole-stage codegen, which made
-    signature computation the dominant LSH cost (~10M lambda evals for
-    a 5k-corpus bucketize); the unrolled form stays inside codegen.
+def _all_signatures(planes: np.ndarray):
+    """Arrow-vectorized UDF: all ``n_tables`` sign-bit signatures of a
+    vector in ONE pass — array<bigint> of length n_tables.
 
-    ``vec`` is a COLUMN NAME: the whole sum is emitted as one SQL string
-    and parsed JVM-side in a single py4j call — building it as Column
-    objects costs thousands of py4j round-trips (~25 s of pure Python
-    plan-construction per query, measured)."""
-    if len(plane) == 0:
-        # empty plane (dim-0 probe row): the fold's identity, not None
-        return "CAST(0.0 AS DOUBLE)"
-    return " + ".join(
-        f"(CAST(`{vec}`[{i}] AS DOUBLE) * {float(p)!r}D)"
-        for i, p in enumerate(plane)
+    Same reasoning as ``_with_centroid_cos``: the full signature matrix
+    is n_tables*n_planes*dim terms, far past janino's 64 KB method
+    limit as one unrolled expression, and an n_tables-branch union of
+    per-table unrolled signatures (the previous shape) re-scans the
+    source n_tables times and compiles 2*n_tables whole-stage classes
+    (~10 s of janino per cold query).  The UDF scans once, compiles
+    nothing, and keeps bit-parity: plane dots accumulate dimension-at-
+    a-time (vectorized across rows), i.e. each per-row dot is the same
+    left-to-right IEEE double sum as the unrolled SQL and the DuckDB
+    oracle; the sign test and bit packing are exact integer ops.
+
+    Degenerate rows keep the old expression semantics: a NULL vector or
+    one shorter than the plane dim made every CASE term fall to its
+    ELSE 0 (null dot >= 0 is not true), i.e. bucket 0 in every table;
+    longer vectors use their first ``dim`` elements (GetArrayItem never
+    read past dim)."""
+    n_tables, n_planes, dim = planes.shape
+    pmat = np.ascontiguousarray(
+        planes.reshape(n_tables * n_planes, dim), dtype=np.float64
     )
+    bits = (1 << np.arange(n_planes, dtype=np.int64))  # per-plane bit
 
+    @F.pandas_udf("array<bigint>")
+    def sigs(v):  # pd.Series -> pd.Series
+        n = len(v)
+        zero = np.zeros(n_tables, dtype=np.int64)
+        ok = np.array(
+            [x is not None and len(x) >= dim for x in v], dtype=bool
+        )
+        res = [zero] * n
+        if ok.any():
+            e = np.zeros((int(ok.sum()), dim), dtype=np.float64)
+            for r, x in enumerate(v[ok]):
+                e[r, :] = x[:dim]
+            dots = np.zeros((e.shape[0], pmat.shape[0]), dtype=np.float64)
+            for i in range(dim):  # left-to-right per-row sums (parity)
+                dots += e[:, i][:, None] * pmat[None, :, i]
+            sign = (dots >= 0).reshape(-1, n_tables, n_planes)
+            buckets = (sign * bits[None, None, :]).sum(axis=2)
+            for r, idx in enumerate(np.nonzero(ok)[0]):
+                res[int(idx)] = buckets[r]
+        return pd.Series(res)
 
-def _signature(vec: str, planes: np.ndarray) -> Column:
-    """Sign-bit signature for one LSH table (planes: (n_planes, dim));
-    ``vec`` is a column name (see ``_plane_dot``)."""
-    terms = [
-        f"(CASE WHEN ({_plane_dot(vec, plane)}) >= 0 "
-        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j, plane in enumerate(planes)
-    ]
-    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
+    return sigs
 
 
 def _bucketize(df: DataFrame, idc: str, vecc: str, planes: np.ndarray) -> DataFrame:
-    """Replicate df once per LSH table with (table, bucket) columns.
-
-    Deliberately an n_tables-branch UNION, one table's signature per
-    branch: a single projection computing all tables' signatures (then
-    explode) concentrates n_tables*n_planes*dim unrolled terms in one
-    generated method, blowing past janino's compile budget — measured
-    ~3x SLOWER end-to-end than the union despite scanning once.  The
-    branches here re-scan only the raw source (cheap, column-pruned);
-    contrast ops/dedup, where the exploded per-branch expressions are
-    tiny and the union would re-run whole aggregation subtrees."""
-    rows = []
-    for t in range(planes.shape[0]):
-        rows.append(
-            df.select(
-                F.col(idc),
-                F.col(vecc),
-                F.lit(t).alias("table"),
-                _signature(vecc, planes[t]).alias("bucket"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    """Replicate df once per LSH table with (table, bucket) columns:
+    one scan, one Arrow UDF computing every table's signature (see
+    ``_all_signatures``), one posexplode."""
+    sigs = _all_signatures(planes)
+    return df.select(
+        F.col(idc),
+        F.col(vecc),
+        F.posexplode(sigs(F.col(vecc))).alias("table", "bucket"),
+    )
 
 
 def lsh_bucket_topk(
@@ -293,7 +297,7 @@ def _with_centroid_cos(
     """Adds ``out`` = array of round-6 cosines vec x each centroid.
 
     This one deliberately breaks the "unroll into codegen expressions"
-    rule the LSH signatures follow (``_plane_dot``): n_centroids * dim
+    rule the pair re-rank follows (``_cosine_unrolled``): n_centroids * dim
     unrolled terms is ONE expression tree, codegen can only split
     generated Java at expression boundaries, so janino gets a single
     >64 KB method and fails — Spark then falls back to per-operator
