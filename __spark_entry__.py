@@ -1042,6 +1042,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WF_CUTS = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
+WF_PURGE_S = 21600.0  # 6 h
+WF_EMBARGO_S = 43200.0  # 12 h
+
+
+def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged + embargoed time-series CV folds (ops/sampling.py
+    walk_forward_splits): 3 weekly test windows over January events,
+    6 h purge before each window, 12 h embargo after.  Reported per
+    (fold, role) as counts + ts bounds — the min/max train timestamps
+    against the window edges are direct evidence the leakage moat
+    holds; row-level assignment is pinned in tests/test_analytics."""
+    from pic2vec_spark.ops.sampling import walk_forward_splits
+
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    assigned = walk_forward_splits(
+        ev, "ts", WF_CUTS, purge_s=WF_PURGE_S, embargo_s=WF_EMBARGO_S
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return assigned.groupBy("fold", "role").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_us).alias("min_ts_us"),
+        F.max(ts_us).alias("max_ts_us"),
+    )
+
+
+def q_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (ops/linkage.py): blocked fuzzy-match pairs over
+    the distinct part names — block on the last name token, length-band
+    guard, levenshtein <= 2 inside blocks only.  Never all-pairs."""
+    from pic2vec_spark.ops.linkage import fuzzy_pairs
+
+    names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_name")
+        .distinct()
+    )
+    return fuzzy_pairs(
+        names,
+        id_col="p_name",
+        text_col="p_name",
+        block=F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=2,
+    )
+
+
 QUALITY_FLOOR = 0.5
 CAPTION_QUALITY_FLOOR = 0.425
 
@@ -1829,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
+        "walk_forward_splits": q_walk_forward_splits,
+        "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "doc_packing": q_doc_packing,
@@ -2383,6 +2431,38 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         )
         SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 3
+    """
+    wf_folds = ", ".join(
+        f"({i}, epoch_us(TIMESTAMP '{WF_CUTS[i]}'), "
+        f"epoch_us(TIMESTAMP '{WF_CUTS[i + 1]}'))"
+        for i in range(len(WF_CUTS) - 1)
+    )
+    d["walk_forward_splits"] = f"""
+        WITH f(fold, start_us, end_us) AS (VALUES {wf_folds}),
+        e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        a AS (
+          SELECT f.fold, e.ts_us,
+                 CASE WHEN ts_us >= start_us AND ts_us < end_us THEN 'test'
+                      WHEN ts_us < start_us - {int(WF_PURGE_S * 1e6)}
+                        OR ts_us >= end_us + {int(WF_EMBARGO_S * 1e6)}
+                        THEN 'train'
+                 END AS role
+          FROM e CROSS JOIN f
+        )
+        SELECT fold, role, COUNT(*) AS n_rows,
+               MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+        FROM a WHERE role IS NOT NULL GROUP BY fold, role
+    """
+    d["part_name_matches"] = """
+        WITH p AS (
+          SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS blk
+          FROM part
+        )
+        SELECT a.p_name AS id1, b.p_name AS id2,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
     """
     d["train_test_split"] = """
         SELECT doc_id,

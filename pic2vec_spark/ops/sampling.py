@@ -144,3 +144,76 @@ def weighted_sample(
         .filter(F.col("__wrk") <= k)
         .withColumnRenamed("__wrk", "sample_rank")
     )
+
+
+def walk_forward_splits(
+    df: DataFrame,
+    ts_col: str,
+    cuts: list[str],
+    purge_s: float = 0.0,
+    embargo_s: float = 0.0,
+) -> DataFrame:
+    """Purged + embargoed time-series CV fold assignment (Lopez de
+    Prado's purged k-fold, the leakage-safe training-split for
+    point-in-time features).
+
+    ``cuts`` = n+1 boundary timestamps defining n test windows
+    ``[cut_i, cut_{i+1})``.  Per fold, a row is
+
+    - ``test``  if ts in the window;
+    - ``train`` if ts <  window start - purge_s  (past, clear of
+      look-ahead features computed over windows that straddle the cut)
+      or ts >= window end + embargo_s (future, clear of serially
+      correlated leakage right after the test block);
+    - dropped for that fold otherwise (the purge/embargo moat).
+
+    Walk-forward = keep only train rows before the window (filter
+    ``role = 'train' AND ts_us < start_us``); the assignment itself is
+    the general purged form so both schemes come from one operator.
+
+    Scale: the fold table is a literal inline array (n folds, driver
+    constants) exploded against the input — a narrow per-row map, zero
+    shuffle, output <= n x input rows.  All comparisons are on integer
+    epoch-us, so the DuckDB oracle reproduces the assignment exactly.
+    Output: (fold, role, <input columns>).
+    """
+    if len(cuts) < 2:
+        raise ValueError("walk_forward_splits needs >= 2 cut timestamps")
+    purge_us = int(round(purge_s * 1_000_000))
+    embargo_us = int(round(embargo_s * 1_000_000))
+    folds = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("fold"),
+                F.unix_micros(
+                    F.lit(cuts[i]).cast("timestamp")
+                ).alias("start_us"),
+                F.unix_micros(
+                    F.lit(cuts[i + 1]).cast("timestamp")
+                ).alias("end_us"),
+            )
+            for i in range(len(cuts) - 1)
+        ]
+    )
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    out = df.withColumn("__ts_us", ts_us).select(
+        "*", F.explode(folds).alias("__f")
+    )
+    role = (
+        F.when(
+            (F.col("__ts_us") >= F.col("__f.start_us"))
+            & (F.col("__ts_us") < F.col("__f.end_us")),
+            F.lit("test"),
+        )
+        .when(
+            (F.col("__ts_us") < F.col("__f.start_us") - F.lit(purge_us))
+            | (F.col("__ts_us") >= F.col("__f.end_us") + F.lit(embargo_us)),
+            F.lit("train"),
+        )
+    )
+    return (
+        out.withColumn("role", role)
+        .filter(F.col("role").isNotNull())
+        .withColumn("fold", F.col("__f.fold"))
+        .drop("__f", "__ts_us")
+    )
