@@ -316,3 +316,100 @@ def stream_merge(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_agg_view(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    keys: list[str],
+    value_col: str,
+    schema,
+    files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Streaming incremental view maintenance: a file-source stream of
+    fact rows keeps a keyed aggregate view (ops/ivm decomposable state:
+    count / exact decimal sum / min / max) continuously up to date in
+    the SnapshotTable at ``table_root`` — the continuous form of the
+    batch ``ivm_user_totals`` driver query, and the IVM analogue of
+    ``streaming_rollup``'s time-bucketed cascade.
+
+    Per micro-batch: the delta's aggregate state is computed ALONE
+    (``agg_state``), the view rows for the touched keys only are read
+    back (manifest stats pruning + key semi-join — never a view scan),
+    merged key-wise (``merge_agg_states``, associative/commutative) and
+    upserted copy-on-write (``SnapshotTable.merge``).  Base facts are
+    never rescanned; per-trigger cost is O(delta + touched partitions).
+
+    Exactly-once: state ADDITION is not naturally idempotent (a replayed
+    delta would double-count, unlike ``stream_merge``'s last-writer-wins
+    upsert), so the view's manifest records the last applied batch id
+    (``ivm_last_batch``) and the sink skips any batch id <= it — the
+    standard foreachBatch transactional pattern for the crash window
+    between the table commit and the streaming checkpoint commit.  The
+    guard assumes one checkpoint lineage per view (batch ids restart at
+    0 under a NEW checkpoint, which this treats as replay).
+
+    Merge identity for composite keys is ``__k`` = chr(31)-joined key
+    strings; rows with a NULL key component are dropped up front (no
+    merge identity — same rejection as ``stream_merge``).
+    Returns the started query."""
+    from pic2vec_spark.ops.ivm import agg_state, merge_agg_states
+
+    table = SnapshotTable(table_root, spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def to_keyed(state: DataFrame) -> DataFrame:
+        return state.withColumn(
+            "__k",
+            F.concat_ws(
+                "\x1f", *[F.col(k).cast("string") for k in keys]
+            ),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        clean = batch_df
+        for k in keys:
+            clean = clean.filter(F.col(k).isNotNull())
+        delta = to_keyed(agg_state(clean, keys, value_col)).localCheckpoint(
+            eager=True
+        )
+        if delta.isEmpty():
+            return
+        man = table.manifest()
+        if man is None:
+            table.write(
+                delta,
+                stats_cols=["__k"],
+                properties={"ivm_last_batch": int(batch_id)},
+            )
+            return
+        props = dict(man.get("properties") or {})
+        last = props.get("ivm_last_batch")
+        if last is not None and int(batch_id) <= int(last):
+            return  # replayed batch: already folded into the view
+        lo, hi = delta.agg(F.min("__k"), F.max("__k")).collect()[0]
+        cur = table.scan(min_stats={"__k": (lo, hi)}).join(
+            delta.select("__k"), "__k", "left_semi"
+        )
+        merged = to_keyed(
+            merge_agg_states(
+                [cur.drop("__k"), delta.drop("__k")], keys
+            )
+        )
+        table.merge(
+            merged, "__k", properties={**props, "ivm_last_batch": int(batch_id)}
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

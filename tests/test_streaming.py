@@ -387,3 +387,70 @@ def test_stream_merge_survives_all_null_key_batch(spark, tmp_path):
     assert after.event_id.notna().all(), "a NULL-key CDC row was merged"
     assert len(after) == len(before)
     assert float(after.set_index("event_id").loc[3, "value"]) == 777.0
+
+
+def test_stream_agg_view_matches_direct_and_is_replay_safe(spark, tmp_path):
+    """IVM view maintained over 3 micro-batches == direct aggregate of
+    all facts; a full replay under a fresh checkpoint changes nothing
+    (batch-id guard)."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.ivm import agg_state, finalize_agg
+    from pic2vec_spark.streaming import stream_agg_view
+
+    inp = tmp_path / "facts"
+    inp.mkdir()
+    keys = ["user_id", "event_type"]
+    rows = [
+        (i % 7, f"t{i % 3}", float(i % 50) if i % 10 else None, i)
+        for i in range(300)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, value double, id bigint"
+    )
+    schema = sdf.drop("id").schema
+    for b in range(3):
+        sdf.filter(F.col("id") % 3 == b).drop("id").coalesce(1).write.parquet(
+            str(inp / f"d{b}")
+        )
+
+    root = str(tmp_path / "view")
+    q = stream_agg_view(
+        spark, str(inp) + "/*", str(tmp_path / "ckpt"), root,
+        keys, "value", schema, files_per_trigger=1,
+    )
+    _wait(q)
+
+    table = SnapshotTable(root, spark)
+    got = {
+        (r["user_id"], r["event_type"]): (
+            r["n_rows"], r["n_vals"], r["sum_value"], r["avg_value"]
+        )
+        for r in finalize_agg(table.scan().drop("__k"), keys).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (
+            r["n_rows"], r["n_vals"], r["sum_value"], r["avg_value"]
+        )
+        for r in finalize_agg(
+            agg_state(sdf.drop("id"), keys, "value"), keys
+        ).collect()
+    }
+    assert got == want and len(got) == 21
+    applied_sid = table.current_snapshot_id()
+
+    # full replay under a FRESH checkpoint: every batch id restarts at 0
+    # <= the recorded ivm_last_batch -> skipped, totals unchanged
+    q2 = stream_agg_view(
+        spark, str(inp) + "/*", str(tmp_path / "ckpt2"), root,
+        keys, "value", schema,
+    )
+    _wait(q2)
+    assert table.current_snapshot_id() == applied_sid
+    got2 = {
+        (r["user_id"], r["event_type"]): (
+            r["n_rows"], r["n_vals"], r["sum_value"], r["avg_value"]
+        )
+        for r in finalize_agg(table.scan().drop("__k"), keys).collect()
+    }
+    assert got2 == want
