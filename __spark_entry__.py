@@ -2345,7 +2345,8 @@ def _encode_oracle_sql() -> dict[str, str]:
             FROM r JOIN c ON r.event_type = c.event_type CROSS JOIN g
         """,
         "value_quantile_bins": f"""
-            WITH b AS (SELECT quantile_cont(value, [{fracs}]) AS bnds
+            WITH b AS (SELECT list_transform(quantile_cont(value, [{fracs}]),
+                                             x -> round(x, 6)) AS bnds
                        FROM events),
             r AS (SELECT value,
                          CASE WHEN value IS NOT NULL

@@ -168,6 +168,15 @@ def quantile_bins(
     boundary go to the LOWER bin (value > boundary is strict).  NULL
     values get a NULL bin.
 
+    Boundaries are ROUNDED to 6 decimals before comparison: the two
+    engines interpolate with different formula shapes (Spark
+    ``lo + t*(hi-lo)``, DuckDB ``lo*(1-t) + hi*t``), which disagree in
+    the last double bits even when ``lo == hi`` (observed: 51.87 vs
+    51.86999999999999 on a duplicate-heavy column), silently flipping
+    every tie at that boundary.  Round-6 is the repo-wide determinism
+    convention; a bin edge more precise than 1e-6 is meaningless for
+    equal-frequency binning.
+
     Plan: one global aggregate produces the (n_bins-1)-element boundary
     array, broadcast into a narrow projection — two passes over the
     value column, no sort, no window.  (ntile() would need a single
@@ -180,7 +189,10 @@ def quantile_bins(
     fracs = [i / n_bins for i in range(1, n_bins)]
     v = F.col(value_col).cast("double")
     bnds = df.agg(
-        F.percentile(v, F.array([F.lit(f) for f in fracs])).alias("__bnds")
+        F.transform(
+            F.percentile(v, F.array([F.lit(f) for f in fracs])),
+            lambda b: F.round(b, 6),
+        ).alias("__bnds")
     )
     return (
         df.crossJoin(F.broadcast(bnds))
