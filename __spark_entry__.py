@@ -1042,6 +1042,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (ops/quality.py): five expectations
+    over events evaluated in ONE aggregation pass, plus a referential-
+    integrity check against the customer dimension — the validation
+    layer a pipeline runs before training jobs consume a snapshot."""
+    from pic2vec_spark.ops.quality import (
+        check_constraints,
+        check_foreign_key,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    ev = _events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    report = check_constraints(
+        ev,
+        [
+            not_null("event_id"),
+            not_null("value"),
+            in_range("value", 0, 300),
+            matches("event_type", "^[a-z_]+$"),
+            unique("event_id"),
+        ],
+    )
+    return report.unionByName(
+        check_foreign_key(ev, "user_id", cust, "c_custkey")
+    )
+
+
 WF_CUTS = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
 WF_PURGE_S = 21600.0  # 6 h
 WF_EMBARGO_S = 43200.0  # 12 h
@@ -1876,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
         "walk_forward_splits": q_walk_forward_splits,
+        "data_quality": q_data_quality,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -2453,6 +2485,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT fold, role, COUNT(*) AS n_rows,
                MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
         FROM a WHERE role IS NOT NULL GROUP BY fold, role
+    """
+    d["data_quality"] = """
+        SELECT 'not_null(event_id)' AS check_name, COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_violations,
+               COUNT(*) - COUNT(event_id) = 0 AS pass
+        FROM events
+        UNION ALL
+        SELECT 'not_null(value)', COUNT(*),
+               CAST(COUNT(*) - COUNT(value) AS BIGINT),
+               COUNT(*) - COUNT(value) = 0
+        FROM events
+        UNION ALL
+        SELECT 'in_range(value,0,300)', COUNT(*),
+               CAST(SUM(CASE WHEN value IS NOT NULL
+                              AND (value < 0 OR value > 300)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 300)
+                        THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'matches(event_type)', COUNT(*),
+               CAST(SUM(CASE WHEN event_type IS NOT NULL
+                              AND NOT regexp_matches(event_type, '^[a-z_]+$')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN event_type IS NOT NULL
+                         AND NOT regexp_matches(event_type, '^[a-z_]+$')
+                        THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'unique(event_id)', COUNT(*),
+               CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT),
+               COUNT(event_id) - COUNT(DISTINCT event_id) = 0
+        FROM events
+        UNION ALL
+        SELECT 'foreign_key(user_id)',
+               (SELECT COUNT(*) FROM events),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                  ON e.user_id = c.c_custkey
+                WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL),
+               (SELECT COUNT(*) FROM events e
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                  ON e.user_id = c.c_custkey
+                WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
     """
     d["part_name_matches"] = """
         WITH p AS (

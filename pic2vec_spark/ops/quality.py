@@ -1,0 +1,129 @@
+"""Declarative data-quality constraints (expectations) over DataFrames.
+
+The validation layer a 100 TB training pipeline runs before anything
+else: each constraint compiles to ONE aggregate expression, and a whole
+constraint suite evaluates in a SINGLE pass over the table (one job, one
+shuffle-free partial-aggregate tree) — never one scan per check.  The
+result is a tiny (check_name, n_rows, n_violations, pass) report frame,
+cheap to store per snapshot as an audit row.
+
+Constraints:
+
+- ``not_null(col)`` — NULL count.
+- ``in_range(col, lo, hi)`` — non-NULL values outside [lo, hi].
+- ``matches(col, regexp)`` — non-NULL strings not fully matching.
+- ``unique(col)`` — rows carrying a duplicated key (n - distinct).
+- ``foreign_key(col, dim_df, dim_col)`` — non-NULL values absent from
+  the referenced dimension (evaluated as a broadcast-able left-anti
+  count, the one constraint that needs a join).
+
+Distinct-based and FK checks are exact; at 10^12 rows swap ``unique``
+for the KMV sketch in ops/rollup if an estimate suffices.
+
+(The reference validates inputs driver-side before a pandas run,
+image_featurizer.py:93-534; this is the distributed, declarative form.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    name: str
+    # aggregate expression counting VIOLATIONS (bigint)
+    violations: Column
+
+
+def not_null(col: str) -> Constraint:
+    return Constraint(
+        f"not_null({col})",
+        F.count(F.lit(1)) - F.count(F.col(col)),
+    )
+
+
+def in_range(col: str, lo, hi) -> Constraint:
+    v = F.col(col)
+    return Constraint(
+        f"in_range({col},{lo},{hi})",
+        F.sum(
+            F.when(v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi))), 1)
+            .otherwise(0)
+        ).cast("bigint"),
+    )
+
+
+def matches(col: str, pattern: str) -> Constraint:
+    v = F.col(col)
+    return Constraint(
+        f"matches({col})",
+        F.sum(
+            F.when(v.isNotNull() & ~v.rlike(pattern), 1).otherwise(0)
+        ).cast("bigint"),
+    )
+
+
+def unique(col: str) -> Constraint:
+    # rows in excess of one per key = n_non_null - n_distinct
+    v = F.col(col)
+    return Constraint(
+        f"unique({col})",
+        (F.count(v) - F.count_distinct(v)).cast("bigint"),
+    )
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate all constraints in ONE aggregation pass.
+
+    Output: (check_name, n_rows, n_violations, pass) — one row per
+    constraint, unpivoted from the single aggregate row with a literal
+    inline explode (no second scan)."""
+    if not constraints:
+        raise ValueError("check_constraints needs at least one constraint")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[c.violations.alias(f"__v{i}") for i, c in enumerate(constraints)],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col("__n").alias("n_rows"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("n_violations"),
+            )
+            for i, c in enumerate(constraints)
+        ]
+    )
+    out = agg.select(F.explode(rows).alias("__r")).select("__r.*")
+    return out.withColumn("pass", F.col("n_violations") == 0)
+
+
+def check_foreign_key(
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    dim_col: str,
+) -> DataFrame:
+    """Referential-integrity report row: non-NULL fact keys absent from
+    the dimension.  One left-anti join (broadcast when the dimension is
+    small — Catalyst/AQE decides) + one aggregate; same output schema as
+    ``check_constraints`` so reports union cleanly."""
+    n = df.count()
+    orphans = (
+        df.filter(F.col(col).isNotNull())
+        .join(
+            dim.select(F.col(dim_col).alias(col)).distinct(),
+            col,
+            "left_anti",
+        )
+        .count()
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(f"foreign_key({col})", n, orphans, orphans == 0)],
+        "check_name string, n_rows bigint, n_violations bigint, pass boolean",
+    )
