@@ -1073,6 +1073,42 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_SPLIT_TS = "2024-01-16"  # events span 2024-01-01..30; mid-month split
+
+
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI drift of the value distribution between the
+    first and second half of the events timeline (ops/drift.py): fixed
+    12-bin [0,300) histogram + under/overflow, smoothed PSI over
+    observed bins — one bounded-cardinality shuffle at any scale."""
+    from pic2vec_spark.ops.drift import psi_numeric
+
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    cur = F.col("ts") >= F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
+    return psi_numeric(ev, "event_type", "value", cur, 0.0, 300.0, nbins=12)
+
+
+def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI of the event_type mix across the same timeline
+    split — one report row; NULL categories are their own bin."""
+    from pic2vec_spark.ops.drift import psi_categorical
+
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    cur = F.col("ts") >= F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
+    return psi_categorical(ev, "event_type", cur)
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (ops/cms.py): build a 4x512
+    deterministic md5-hashed sketch over events.user_id, then verify the
+    exact top-20 users' estimates against truth — est_cnt must never
+    undercount.  Sketch state is depth*width counters regardless of
+    input size; estimates probe it via a broadcast join."""
+    from pic2vec_spark.ops.cms import heavy_hitters
+
+    return heavy_hitters(_events(spark, sf_dir), "user_id", k=20, depth=4, width=512)
+
+
 WF_CUTS = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
 WF_PURGE_S = 21600.0  # 6 h
 WF_EMBARGO_S = 43200.0  # 12 h
@@ -1908,6 +1944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "walk_forward_splits": q_walk_forward_splits,
         "data_quality": q_data_quality,
+        "value_drift_psi": q_value_drift_psi,
+        "event_type_drift": q_event_type_drift,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -2529,6 +2568,98 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    # PSI formula shared by both drift oracles: smoothed (cnt+0.5) /
+    # (n + 0.5*k) proportions over observed bins, ln on the final ratio.
+    d["value_drift_psi"] = """
+        WITH rows_ AS (
+          SELECT event_type,
+                 CASE WHEN value < 0 THEN 0
+                      WHEN value >= 300 THEN 13
+                      ELSE LEAST(CAST(FLOOR((value - 0.0) / 25.0) AS INT) + 1, 12)
+                 END AS bin,
+                 (ts >= TIMESTAMP '2024-01-16') AS cur
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ),
+        counts AS (
+          SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS ref,
+                 CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS curn
+          FROM rows_ GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT event_type, ref, curn,
+                 SUM(ref) OVER w AS nref, SUM(curn) OVER w AS ncur,
+                 COUNT(*) OVER w AS k
+          FROM counts WINDOW w AS (PARTITION BY event_type)
+        )
+        SELECT event_type,
+               CAST(MAX(nref) AS BIGINT) AS n_ref,
+               CAST(MAX(ncur) AS BIGINT) AS n_cur,
+               CAST(MAX(k) AS BIGINT) AS n_bins,
+               ROUND(SUM(((curn + 0.5) / (ncur + 0.5 * k)
+                          - (ref + 0.5) / (nref + 0.5 * k))
+                         * LN(((curn + 0.5) / (ncur + 0.5 * k))
+                              / ((ref + 0.5) / (nref + 0.5 * k)))), 6) AS psi
+        FROM p GROUP BY 1
+    """
+    d["event_type_drift"] = """
+        WITH rows_ AS (
+          SELECT COALESCE(event_type, '<null>') AS bin,
+                 (ts >= TIMESTAMP '2024-01-16') AS cur
+          FROM events WHERE ts IS NOT NULL
+        ),
+        counts AS (
+          SELECT bin,
+                 CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS ref,
+                 CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS curn
+          FROM rows_ GROUP BY 1
+        ),
+        p AS (
+          SELECT ref, curn,
+                 SUM(ref) OVER () AS nref, SUM(curn) OVER () AS ncur,
+                 COUNT(*) OVER () AS k
+          FROM counts
+        )
+        SELECT CAST(MAX(nref) AS BIGINT) AS n_ref,
+               CAST(MAX(ncur) AS BIGINT) AS n_cur,
+               CAST(MAX(k) AS BIGINT) AS n_bins,
+               ROUND(SUM(((curn + 0.5) / (ncur + 0.5 * k)
+                          - (ref + 0.5) / (nref + 0.5 * k))
+                         * LN(((curn + 0.5) / (ncur + 0.5 * k))
+                              / ((ref + 0.5) / (nref + 0.5 * k)))), 6) AS psi
+        FROM p
+    """
+    d["heavy_hitters_cms"] = """
+        WITH seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
+        ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        cms AS (
+          SELECT seed,
+                 CAST('0x' || substr(md5('cms' || seed::VARCHAR || ':'
+                                         || user_id::VARCHAR), 1, 8)
+                      AS BIGINT) % 512 AS idx,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ev CROSS JOIN seeds GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+          FROM ev GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 20
+        ),
+        probe AS (
+          SELECT t.user_id, s.seed,
+                 CAST('0x' || substr(md5('cms' || s.seed::VARCHAR || ':'
+                                         || t.user_id::VARCHAR), 1, 8)
+                      AS BIGINT) % 512 AS idx
+          FROM truth t CROSS JOIN seeds s
+        ),
+        est AS (
+          SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+          FROM probe p LEFT JOIN cms c ON c.seed = p.seed AND c.idx = p.idx
+          GROUP BY 1
+        )
+        SELECT t.user_id, t.true_cnt, e.est_cnt,
+               e.est_cnt >= t.true_cnt AS no_underestimate
+        FROM truth t JOIN est e USING (user_id)
     """
     d["part_name_matches"] = """
         WITH p AS (

@@ -1,0 +1,72 @@
+"""Count-min sketch: exactness at no-collision width, the one-sided
+error guarantee under forced collisions, mergeability, estimate
+consistency, and the broadcast-probe plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pic2vec_spark.ops.cms import cms_build, cms_estimate, heavy_hitters
+
+
+@pytest.fixture()
+def keyed(spark):
+    rows = [(f"k{i % 7}",) for i in range(70)] + [("hot",)] * 30 + [(None,)] * 3
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_exact_when_wide(spark, keyed):
+    # 8 distinct keys, width 512: collisions essentially impossible for
+    # this fixed hash family (verified: this test asserts it).
+    hh = {r["k"]: r for r in heavy_hitters(keyed, "k", k=8, width=512).collect()}
+    assert hh["hot"]["true_cnt"] == 30 and hh["hot"]["est_cnt"] == 30
+    assert all(r["est_cnt"] == r["true_cnt"] for r in hh.values())
+    assert all(r["no_underestimate"] for r in hh.values())
+    assert sum(r["true_cnt"] for r in hh.values()) == 100  # nulls excluded
+
+
+def test_one_sided_error_under_collisions(spark, keyed):
+    # width 2 forces heavy collisions: estimates may overcount but must
+    # NEVER undercount any key, at any depth.
+    for depth in (1, 4):
+        rows = heavy_hitters(keyed, "k", k=8, depth=depth, width=2).collect()
+        assert len(rows) == 8
+        assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
+
+
+def test_sketch_size_and_merge(spark, keyed):
+    a = keyed.limit(40)
+    b = keyed.exceptAll(a)
+    full = cms_build(keyed, "k", depth=3, width=16)
+    assert full.count() <= 3 * 16
+    # merge = elementwise counter addition == sketch of the union
+    merged = (
+        cms_build(a, "k", depth=3, width=16)
+        .unionByName(cms_build(b, "k", depth=3, width=16))
+        .groupBy("seed", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_estimate_zero_for_unseen_key(spark, keyed):
+    cms = cms_build(keyed, "k", depth=4, width=512)
+    probe = spark.createDataFrame([("never-seen",), ("hot",)], "k string")
+    got = {r["k"]: r["est_cnt"] for r in cms_estimate(cms, probe, "k", 4, 512).collect()}
+    assert got["hot"] == 30
+    assert got["never-seen"] == 0  # width 512: no collision for this key
+
+
+def test_validation_and_plan(spark, keyed):
+    with pytest.raises(ValueError):
+        cms_build(keyed, "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_build(keyed, "k", width=1)
+    plan = (
+        heavy_hitters(keyed, "k", k=5, width=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
