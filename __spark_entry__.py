@@ -1073,6 +1073,27 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (ops/text.hashed_tf): sparse hashing-trick
+    vectors with NO vocabulary state — idx and sign from portable md5,
+    colliding tokens cancel in expectation.  Every 10th doc to keep the
+    gate frame small; semantics identical at any slice."""
+    from pic2vec_spark.ops.text import hashed_tf
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return hashed_tf(docs, "text", "doc_id", n_features=1024)
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram fluency score (ops/text.unigram_logprob):
+    mean ln p(token) per document under the corpus's empirical unigram
+    model — the CCNet-style screen; per-token logs rounded then summed
+    as DECIMAL so partitioning cannot change the result."""
+    from pic2vec_spark.ops.text import unigram_logprob
+
+    return unigram_logprob(_documents(spark, sf_dir), "text", "doc_id")
+
+
 DRIFT_SPLIT_TS = "2024-01-16"  # events span 2024-01-01..30; mid-month split
 
 
@@ -1947,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift_psi": q_value_drift_psi,
         "event_type_drift": q_event_type_drift,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "doc_hashed_features": q_doc_hashed_features,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -2568,6 +2591,42 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    d["doc_hashed_features"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        t AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5('htf' || tok), 1, 8) AS BIGINT)
+                   % 1024 AS feature_idx,
+                 1 - 2 * (CAST('0x' || substr(md5('htf-sgn' || tok), 1, 8)
+                               AS BIGINT) % 2) AS sgn
+          FROM toks WHERE length(tok) > 0
+        )
+        SELECT doc_id, feature_idx, CAST(SUM(sgn) AS BIGINT) AS weight
+        FROM t GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+    """
+    d["doc_unigram_logprob"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents
+        ),
+        t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab),
+        lp AS (
+          SELECT t.doc_id,
+                 CAST(ROUND(LN(v.cnt / (SELECT tot FROM tot)), 6)
+                      AS DECIMAL(18,8)) AS lp
+          FROM t JOIN vocab v USING (tok)
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FROM lp GROUP BY 1
     """
     # PSI formula shared by both drift oracles: smoothed (cnt+0.5) /
     # (n + 0.5*k) proportions over observed bins, ln on the final ratio.

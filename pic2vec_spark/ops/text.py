@@ -443,3 +443,90 @@ def shared_ngram_stats(
             6,
         ).alias("shared_frac"),
     )
+
+
+def hashed_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1024,
+    salt: str = "htf",
+) -> DataFrame:
+    """Signed feature hashing (the hashing-trick vectorizer): each
+    token maps to ``idx = md5_bucket(token) in [0, n_features)`` with a
+    sign from an independent md5 bit, and a document's sparse vector is
+    the per-(doc, idx) sum of signs — Weinberger et al.'s unbiased
+    estimator, so colliding tokens cancel in expectation instead of
+    stacking.  Output: (id_col, feature_idx, weight), zero-weight
+    (fully canceled) entries dropped — the sparse representation.
+
+    Deterministic across runs/engines/partitionings (portable md5
+    arithmetic, ops/sampling._hash_bucket family).  Plan: explode →
+    partial-aggregated groupBy(doc, idx); the shuffle carries at most
+    min(tokens, docs x n_features) rows.  Vocabulary state: NONE — that
+    is the point of the hashing trick at 10^12-token scale (no fit
+    pass, no vocab broadcast, append-stable)."""
+    from pic2vec_spark.ops.sampling import _hash_bucket
+
+    if n_features < 2:
+        raise ValueError(f"n_features must be >= 2, got {n_features}")
+    tok = F.col("__tok")
+    sign_h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "-sgn"), tok)), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .filter(F.length(tok) > 0)
+        .select(
+            id_col,
+            _hash_bucket(tok, salt, n_features).alias("feature_idx"),
+            (F.lit(1) - F.lit(2) * (sign_h % 2)).cast("bigint").alias("__sgn"),
+        )
+        .groupBy(id_col, "feature_idx")
+        .agg(F.sum("__sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram model — the CCNet-style fluency screen: documents
+    of rare/garbled tokens score far below prose, no external LM needed.
+
+    ``lp(w) = ln(count(w) / total_tokens)`` is rounded to 6 decimals
+    per TOKEN and summed as DECIMAL(18,8) so the per-doc sum is exact
+    integer arithmetic — summation order cannot change the result
+    across partitionings or engines (the repo's order-proof-sum
+    pattern); the mean divides once at the end.  Output: (id_col,
+    n_tokens, avg_logprob).
+
+    Plan: one token-count aggregation (vocabulary-sized), rejoined to
+    the exploded tokens (AQE broadcasts real-language vocabularies),
+    then one per-doc aggregation.  Empty-after-trim documents drop out
+    (no tokens to score)."""
+    ex = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .filter(F.length("__tok") > 0)
+    )
+    vocab = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    totals = vocab.agg(F.sum("__cnt").alias("__tot"))
+    lp = (
+        ex.join(vocab, "__tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.round(F.log(F.col("__cnt") / F.col("__tot")), 6)
+            .cast("decimal(18,8)")
+            .alias("__lp"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )
