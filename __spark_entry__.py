@@ -1073,6 +1073,46 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (snapshots.SnapshotTable.compact): build a
+    streaming-accretion-shaped table (1 big file + 24 small appended
+    files of events), bin-pack files under 500 rows, and report layout
+    + data integrity.  Every output column is predictable from the
+    events row count alone, so the DuckDB oracle computes the expected
+    file counts arithmetically and a match proves the bin-pack math AND
+    row preservation end-to-end."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+    big = ev.orderBy("event_id").limit(600)
+    rest = ev.join(big.select("event_id"), "event_id", "left_anti")
+    root = tempfile.mkdtemp(prefix="drv_compact_")
+    try:
+        t = SnapshotTable(root, spark)
+        t.write(big, num_partitions=1, stats_cols=["event_id"])
+        t.append(rest, num_partitions=24, stats_cols=["event_id"])
+        files_before = int((t.lineage().rows > 0).sum())
+        rows_before = int(t.lineage().rows.sum())
+        t.compact(target_rows=500)
+        lin = t.lineage()
+        files_after = int((lin.rows > 0).sum())
+        rows_after = int(lin.rows.sum())
+        data_equal = (
+            t.scan().exceptAll(ev).count() == 0
+            and ev.exceptAll(t.scan()).count() == 0
+        )
+        return spark.createDataFrame(
+            [(files_before, files_after, rows_before, rows_after, data_equal)],
+            "files_before bigint, files_after bigint, rows_before bigint, "
+            "rows_after bigint, data_equal boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature hashing (ops/text.hashed_tf): sparse hashing-trick
     vectors with NO vocabulary state — idx and sign from portable md5,
@@ -1969,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_drift": q_event_type_drift,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "doc_hashed_features": q_doc_hashed_features,
+        "snapshot_compaction": q_snapshot_compaction,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
@@ -2591,6 +2632,18 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    # every column is arithmetic on the events row count: 25 input
+    # files (1 big of 600 rows + 24 round-robin appends of the rest,
+    # each < 500 at gate scale), bin-packed to ceil((n-600)/500) files
+    # with the 600-row file carried forward untouched
+    d["snapshot_compaction"] = """
+        SELECT CAST(25 AS BIGINT) AS files_before,
+               CAST(1 + CEIL((COUNT(*) - 600) / 500.0) AS BIGINT) AS files_after,
+               COUNT(*) AS rows_before,
+               COUNT(*) AS rows_after,
+               TRUE AS data_equal
+        FROM events
     """
     d["doc_hashed_features"] = r"""
         WITH toks AS (

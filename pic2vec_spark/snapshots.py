@@ -389,6 +389,69 @@ class SnapshotTable:
             properties=properties,
         )
 
+    def compact(
+        self,
+        target_rows: int,
+        stats_cols: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> str | None:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` bin-pack):
+        partitions below ``target_rows`` are read back and rewritten as
+        ~target_rows files; partitions already at/above target are
+        carried forward in the manifest untouched (their files are never
+        re-read or rewritten).  Zero-row partitions are dropped.  Returns
+        the new snapshot id, or None when fewer than two small files
+        exist (nothing to pack).
+
+        This is the maintenance pass an incremental 100 TB store needs:
+        streaming/append commits accrete driver-cheap but scan-expensive
+        small files (each costs a task + open + footer read), and
+        compaction restores scan efficiency at a cost proportional to
+        the SMALL data only.  Data is bit-identical across the rewrite
+        (same rows, new file layout) — pinned by tests; crash safety is
+        the standard snapshot protocol (manifest rename + CURRENT flip
+        last), so a killed compaction leaves the parent intact and
+        re-running it is idempotent in effect.
+
+        ``stats_cols`` defaults to the columns the parent's partitions
+        already carry stats for, so merge()'s pruning keeps working on
+        the compacted snapshot."""
+        if target_rows < 1:
+            raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+        man = self.manifest()
+        if man is None:
+            raise FileNotFoundError(f"no snapshot at {self.root} to compact")
+        parts = man["partitions"]
+        small = [p for p in parts if 0 < p["rows"] < target_rows]
+        if len(small) < 2:
+            return None
+        carry = [p for p in parts if p["rows"] >= target_rows]
+        if stats_cols is None:
+            stats_cols = sorted(
+                {c for p in parts for c in (p.get("stats") or {})}
+            )
+        df = self.spark.read.parquet(
+            *[str(self.data_dir / p["file"]) for p in small]
+        )
+        small_rows = sum(p["rows"] for p in small)
+        n_out = max(1, -(-small_rows // target_rows))  # ceil
+        if properties is None:
+            properties = dict(man.get("properties") or {})
+        properties = {
+            **properties,
+            "compact_in_files": len(small),
+            "compact_out_files": n_out,
+            "compact_rows": small_rows,
+        }
+        pid_offset = (max((p["pid"] for p in parts), default=-1)) + 1
+        sid = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        return self._write_partitions(
+            df, sid, None, n_out, stats_cols,
+            parent=man["snapshot_id"], skip_pids=None,
+            fail_after_partitions=None, carry_partitions=carry,
+            pid_offset=pid_offset, properties=properties,
+        )
+
     def _orphan_lineage(self, sid: str) -> list[dict]:
         """Lineage sidecars written by tasks of an uncommitted snapshot."""
         side = self.snap_dir / f"{sid}.partials"

@@ -224,3 +224,66 @@ def test_merge_without_stats_rewrites_everything(spark, events, tmp_path):
     out = t.scan().toPandas()
     assert len(out) == 100
     assert (out.value == 0.5).sum() == 5
+
+
+def test_compact_bin_packs_small_files(spark, events, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    # 1 big partition + many small appends = the streaming-accretion shape
+    big = events.limit(600)
+    rest = events.exceptAll(big)
+    t.write(big, num_partitions=1, stats_cols=["user_id"])
+    t.append(rest, num_partitions=12, stats_cols=["user_id"])
+    before = t.lineage()
+    n_rows = events.count()
+    assert before.rows.sum() == n_rows and len(before) == 13
+
+    sid = t.compact(target_rows=500)
+    assert sid is not None and t.current_snapshot_id() == sid
+    after = t.lineage()
+    # the big file was carried forward untouched (same file name)
+    big_files = set(before[before.rows >= 500].file)
+    assert big_files <= set(after.file)
+    # small files were packed: strictly fewer files, same total rows
+    assert len(after) < len(before)
+    assert after.rows.sum() == n_rows
+    # data is identical across the rewrite
+    assert t.scan().exceptAll(events).count() == 0
+    assert events.exceptAll(t.scan()).count() == 0
+    # stats were re-derived so merge() pruning still works
+    man = t.manifest()
+    assert all(p.get("stats", {}).get("user_id") for p in man["partitions"])
+    assert man["properties"]["compact_in_files"] == 12
+    assert man["parent"] is not None
+
+
+def test_compact_noop_and_validation(spark, events, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    t.write(events, num_partitions=2, stats_cols=["user_id"])
+    # both partitions are >= target: nothing to pack
+    assert t.compact(target_rows=10) is None
+    with pytest.raises(ValueError):
+        t.compact(target_rows=0)
+    with pytest.raises(FileNotFoundError):
+        SnapshotTable(str(tmp_path / "nope"), spark).compact(target_rows=10)
+
+
+def test_compact_then_merge_still_prunes(spark, events, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    t.write(events, partition_by="event_id", num_partitions=10,
+            stats_cols=["event_id"])
+    # make the layout small-file-heavy, then compact
+    t.append(events.limit(40), num_partitions=8, stats_cols=["event_id"])
+    # (the 40 appended rows duplicate event_ids; merge below keys on
+    # event_id so dedupe first via compaction-data equality is not the
+    # goal here — pruning behavior is)
+    sid = t.compact(target_rows=100000)  # packs everything into 1 file
+    assert sid is not None
+    man = t.manifest()
+    live = [p for p in man["partitions"] if p["rows"] > 0]
+    assert len(live) == 1
+    # merge on the compacted snapshot works and records touched counts
+    one = t.scan().limit(1)
+    from pyspark.sql import functions as F
+    upd = one.withColumn("value", F.lit(-1.0))
+    t.merge(upd, key="event_id", stats_cols=["event_id"])
+    assert t.manifest()["properties"]["merge_touched"] >= 1
