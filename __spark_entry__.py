@@ -1073,6 +1073,61 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/text.contamination_stats, the
+    GPT-3 appendix-C screen): docs with doc_id % 7 == 0 play the eval
+    benchmark; every remaining training doc reports how many of its
+    distinct token 5-grams leak from the benchmark and is flagged on
+    any overlap."""
+    from pic2vec_spark.ops.text import contamination_stats
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return contamination_stats(corpus, bench, n=5)
+
+
+def _decontamination_sql(n: int = 5) -> str:
+    """Mirrors ops/text.contamination_stats at the same n (the n-gram
+    construction idiom is _doc_shared_ngrams_sql's)."""
+    return rf"""
+        WITH corpus AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE doc_id % 7 <> 0
+        ), bg AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, len(regexp_split_to_array(trim(text), '\s+'))
+                            - {n - 2}),
+                   i -> list_aggregate(
+                          regexp_split_to_array(trim(text), '\s+')[i:i+{n - 1}],
+                          'string_agg', chr(31))
+                 ))) AS gram
+          FROM documents WHERE doc_id % 7 = 0
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(toks) - {n - 2}),
+                   i -> list_aggregate(toks[i:i+{n - 1}], 'string_agg', chr(31))
+                 ))) AS gram
+          FROM corpus
+        ), s AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_contaminated
+          FROM g LEFT JOIN bg USING (gram) GROUP BY g.doc_id
+        )
+        SELECT c.doc_id,
+               COALESCE(s.n_grams, 0) AS n_grams,
+               CAST(COALESCE(s.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               CASE WHEN s.n_grams > 0
+                    THEN ROUND(s.n_contaminated / CAST(s.n_grams AS DOUBLE), 6)
+               END AS contaminated_frac,
+               COALESCE(s.n_grams > 0 AND s.n_contaminated > 0, FALSE)
+                 AS contaminated
+        FROM corpus c LEFT JOIN s USING (doc_id)
+    """
+
+
 def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (snapshots.SnapshotTable.compact): build a
     streaming-accretion-shaped table (1 big file + 24 small appended
@@ -2010,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "doc_hashed_features": q_doc_hashed_features,
         "snapshot_compaction": q_snapshot_compaction,
+        "decontamination": q_decontamination,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
@@ -2633,6 +2689,7 @@ def oracle_sql() -> dict[str, str]:
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
     """
+    d["decontamination"] = _decontamination_sql()
     # every column is arithmetic on the events row count: 25 input
     # files (1 big of 600 rows + 24 round-robin appends of the rest,
     # each < 500 at gate scale), bin-packed to ceil((n-600)/500) files

@@ -530,3 +530,62 @@ def unigram_logprob(
             F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
+
+
+def contamination_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination screen (the GPT-3 appendix-C /
+    Brown et al. 2020 procedure): per TRAINING document, how many of
+    its distinct token ``n``-grams appear anywhere in the ``benchmark``
+    frame — eval-set text that leaked into the corpus inflates
+    benchmark scores unless these docs are flagged and dropped.
+
+    Output: (id_col, n_grams, n_contaminated, contaminated_frac,
+    contaminated) — ``contaminated`` is frac > threshold (default:
+    any overlap flags).  Docs shorter than ``n`` tokens report 0 grams,
+    NULL fraction, and false.
+
+    Plan: both sides reduce to distinct-gram projections; the benchmark
+    side is aggregated FIRST (distinct grams of an eval set are tiny
+    relative to a corpus — AQE broadcasts them), then a left join marks
+    each (doc, gram) pair and one per-doc aggregation finishes.  The
+    corpus side shuffles once on gram only if the benchmark set exceeds
+    broadcast size; corpus text itself never moves twice."""
+    def _grams(frame: DataFrame, cols: list[str]):
+        return (
+            frame.withColumn("_t", tokens(F.col(text_col)))
+            .select(
+                *cols,
+                F.explode_outer(
+                    F.array_distinct(F.expr(_ngram_expr("_t", n)))
+                ).alias("gram"),
+            )
+        )
+
+    bench = (
+        _grams(benchmark, [])
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = _grams(df, [id_col]).join(bench, "gram", "left")
+    hit = F.sum(F.when(F.col("__hit") == 1, 1).otherwise(0))
+    return marked.groupBy(id_col).agg(
+        F.count(F.col("gram")).alias("n_grams"),
+        hit.cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.when(F.count(F.col("gram")) > 0, hit / F.count(F.col("gram"))),
+            6,
+        ).alias("contaminated_frac"),
+        F.coalesce(
+            F.when(F.count(F.col("gram")) > 0, hit / F.count(F.col("gram")))
+            > threshold,
+            F.lit(False),
+        ).alias("contaminated"),
+    )

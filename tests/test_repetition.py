@@ -109,3 +109,42 @@ def test_repetition_stats_is_narrow(spark, sf_smoke):
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_contamination_stats_hand_fixture(spark):
+    from pic2vec_spark.ops.text import contamination_stats
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 4-gram "quick brown fox jumps"
+            (1, "she saw the quick brown fox jumps right past"),
+            # no benchmark 4-gram
+            (2, "a completely different sentence with no overlap at all"),
+            # shorter than n tokens
+            (3, "too short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_stats(corpus, bench, n=4).collect()
+    }
+    # doc 1: 9 tokens -> 6 distinct 4-grams; exactly 2 leak ("the quick
+    # brown fox" and "quick brown fox jumps")
+    assert got[1]["n_grams"] == 6 and got[1]["n_contaminated"] == 2
+    assert got[1]["contaminated_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert got[1]["contaminated"] is True
+    assert got[2]["n_contaminated"] == 0 and got[2]["contaminated"] is False
+    assert got[3]["n_grams"] == 0
+    assert got[3]["contaminated_frac"] is None
+    assert got[3]["contaminated"] is False
+    # threshold above doc 1's fraction unflags it
+    relaxed = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_stats(corpus, bench, n=4, threshold=0.5).collect()
+    }
+    assert relaxed == {1: False, 2: False, 3: False}
