@@ -1073,6 +1073,18 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space curation screen (ops/knn.centroid_outliers):
+    per-label decimal-exact centroids, cosine of every vector to its
+    own label's centroid, flag below 0.2 — catches mislabeled /
+    off-distribution vectors before training.  Centroid table is
+    labels-sized and broadcast; the fact side never shuffles."""
+    from pic2vec_spark.ops.knn import centroid_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_outliers(emb, "label", "vec_id", "embedding", threshold=0.2)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (ops/text.contamination_stats, the
     GPT-3 appendix-C screen): docs with doc_id % 7 == 0 play the eval
@@ -2066,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hashed_features": q_doc_hashed_features,
         "snapshot_compaction": q_snapshot_compaction,
         "decontamination": q_decontamination,
+        "embedding_outliers": q_embedding_outliers,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
@@ -2690,6 +2703,50 @@ def oracle_sql() -> dict[str, str]:
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
     """
     d["decontamination"] = _decontamination_sql()
+    # centroid components: double -> DECIMAL(25,8) -> exact SUM -> one
+    # double division (the order-proof-sum pattern); cosine = sequential
+    # double folds on both engines, rounded to 6
+    d["embedding_outliers"] = """
+        WITH ex AS (
+          SELECT label,
+                 unnest(generate_series(1, len(embedding))) AS pos,
+                 unnest(list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(25,8)))) AS vd
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        comp AS (
+          SELECT label, pos,
+                 CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS m
+          FROM ex GROUP BY 1, 2
+        ),
+        cent AS (
+          SELECT label, list(m ORDER BY pos) AS centroid
+          FROM comp GROUP BY 1
+        )
+        SELECT e.vec_id, e.label,
+               ROUND(
+                 list_dot_product(list_transform(e.embedding,
+                                                 x -> CAST(x AS DOUBLE)),
+                                  c.centroid)
+                 / (sqrt(list_dot_product(list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE)),
+                                          list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(c.centroid, c.centroid))),
+                 6) AS cos_centroid,
+               ROUND(
+                 list_dot_product(list_transform(e.embedding,
+                                                 x -> CAST(x AS DOUBLE)),
+                                  c.centroid)
+                 / (sqrt(list_dot_product(list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE)),
+                                          list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(c.centroid, c.centroid))),
+                 6) < 0.2 AS is_outlier
+        FROM embeddings e JOIN cent c USING (label)
+        WHERE e.embedding IS NOT NULL
+    """
     # every column is arithmetic on the events row count: 25 input
     # files (1 big of 600 rows + 24 round-robin appends of the rest,
     # each < 500 at gate scale), bin-packed to ceil((n-600)/500) files

@@ -590,3 +590,81 @@ def cosine_neardup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group elementwise-mean centroid of a vector column.
+
+    Component sums run in DECIMAL(25,8) (per-component double values
+    rounded to 8 decimals at the cast), so the sum is exact integer
+    arithmetic — partitioning/engine cannot change it — and the mean
+    divides once in double at the end.  Plan: posexplode ->
+    partial-aggregated groupBy(group, pos) (shuffle bounded by
+    groups x dims, never by row count) -> per-group array rebuild via
+    sorted collect_list (groups x dims rows — driver-free).  NULL
+    vectors are excluded.  Output: (group_col, centroid array<double>,
+    n_vectors)."""
+    ex = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(group_col, F.posexplode(vec_col).alias("pos", "v"))
+        .select(
+            group_col,
+            "pos",
+            F.col("v").cast("double").cast("decimal(25,8)").alias("vd"),
+        )
+    )
+    comp = ex.groupBy(group_col, "pos").agg(
+        (F.sum("vd").cast("double") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        comp.groupBy(group_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+            # max, not first: deterministic, and == the group's vector
+            # count whenever vectors are rectangular (ragged inputs are
+            # the caller's bug — dimension 0 is present in every vector)
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            group_col,
+            F.transform("pm", lambda x: x["m"]).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-space outlier screen: cosine of every vector to its
+    own group's centroid; vectors below ``threshold`` are flagged — the
+    curation pass that catches mislabeled / off-distribution rows
+    (wrong-language docs in a language bucket, corrupted images in a
+    class) before they poison training.
+
+    Output: (id_col, group_col, cos_centroid, is_outlier).  The
+    centroid table is groups-sized — broadcast back, so the fact side
+    never shuffles.  Cosine folds left-to-right in double (the knn
+    parity contract), rounded to 6."""
+    cents = group_centroids(df, group_col, vec_col).select(group_col, "centroid")
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .join(F.broadcast(cents), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias(
+                "cos_centroid"
+            ),
+        )
+        .withColumn("is_outlier", F.col("cos_centroid") < threshold)
+    )

@@ -549,3 +549,50 @@ def test_pack_documents_stream_invariants(spark, docs):
 
     with pytest.raises(ValueError, match="seq_len"):
         pack_documents(docs, seq_len=0)
+
+
+def test_group_centroids_hand_fixture(spark):
+    from pic2vec_spark.ops.knn import centroid_outliers, group_centroids
+
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [0.0, 1.0]),
+        (3, "b", [2.0, 2.0]),
+        (4, "b", None),  # NULL vector excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, label string, embedding array<float>")
+    cents = {
+        r["label"]: (r["centroid"], r["n_vectors"])
+        for r in group_centroids(df, "label").collect()
+    }
+    assert cents["a"] == ([0.5, 0.5], 2)
+    assert cents["b"] == ([2.0, 2.0], 1)
+
+    out = {
+        r["vec_id"]: r
+        for r in centroid_outliers(df, "label", threshold=0.8).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # cos([1,0],[.5,.5]) = 1/sqrt(2) ~ 0.707107 < 0.8 -> outlier
+    assert out[1]["cos_centroid"] == pytest.approx(0.707107, abs=1e-6)
+    assert out[1]["is_outlier"] and out[2]["is_outlier"]
+    # vec 3 IS its centroid: cos = 1
+    assert out[3]["cos_centroid"] == 1.0 and not out[3]["is_outlier"]
+
+
+def test_centroid_outliers_plan_broadcasts(spark):
+    from pic2vec_spark.ops.knn import centroid_outliers
+
+    rows = [(i, i % 3, [float(i), 1.0, 0.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    frame = centroid_outliers(df, "label")
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # centroid of a group equals the mean regardless of partitioning
+    one = {r["vec_id"]: r["cos_centroid"] for r in frame.collect()}
+    many = {
+        r["vec_id"]: r["cos_centroid"]
+        for r in centroid_outliers(df.repartition(13), "label").collect()
+    }
+    assert one == many
