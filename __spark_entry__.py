@@ -1156,6 +1156,11 @@ def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     big = ev.orderBy("event_id").limit(600)
     rest = ev.join(big.select("event_id"), "event_id", "left_anti")
+    # target scales with the input so the op does real packing at every
+    # SF (appended files hold (n-600)/24 ~ 0.83*target rows each); the
+    # oracle recomputes the same arithmetic from COUNT(*)
+    n_events = ev.count()
+    target = max(500, n_events // 20)
     root = tempfile.mkdtemp(prefix="drv_compact_")
     try:
         t = SnapshotTable(root, spark)
@@ -1163,7 +1168,7 @@ def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(rest, num_partitions=24, stats_cols=["event_id"])
         files_before = int((t.lineage().rows > 0).sum())
         rows_before = int(t.lineage().rows.sum())
-        t.compact(target_rows=500)
+        t.compact(target_rows=target)
         lin = t.lineage()
         files_after = int((lin.rows > 0).sum())
         rows_after = int(lin.rows.sum())
@@ -2749,15 +2754,23 @@ def oracle_sql() -> dict[str, str]:
     """
     # every column is arithmetic on the events row count: 25 input
     # files (1 big of 600 rows + 24 round-robin appends of the rest,
-    # each < 500 at gate scale), bin-packed to ceil((n-600)/500) files
-    # with the 600-row file carried forward untouched
+    # each under target = max(500, n//20)); the 600-row file is carried
+    # forward only while it is itself >= target
     d["snapshot_compaction"] = """
+        WITH t AS (
+          SELECT COUNT(*) AS n,
+                 GREATEST(500, COUNT(*) // 20) AS target
+          FROM events
+        )
         SELECT CAST(25 AS BIGINT) AS files_before,
-               CAST(1 + CEIL((COUNT(*) - 600) / 500.0) AS BIGINT) AS files_after,
-               COUNT(*) AS rows_before,
-               COUNT(*) AS rows_after,
+               CAST(CASE WHEN 600 >= target
+                         THEN 1 + CEIL((n - 600) / CAST(target AS DOUBLE))
+                         ELSE CEIL(n / CAST(target AS DOUBLE))
+                    END AS BIGINT) AS files_after,
+               n AS rows_before,
+               n AS rows_after,
                TRUE AS data_equal
-        FROM events
+        FROM t
     """
     d["doc_hashed_features"] = r"""
         WITH toks AS (

@@ -81,6 +81,18 @@ EXTENDED_R3B = [
     "inverted_index",
 ]
 
+# round-3c monitoring/curation additions — own total (`extended_r3c_sec`)
+EXTENDED_R3C = [
+    "data_quality",
+    "value_drift_psi",
+    "heavy_hitters_cms",
+    "doc_hashed_features",
+    "doc_unigram_logprob",
+    "decontamination",
+    "embedding_outliers",
+    "snapshot_compaction",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -180,6 +192,15 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         extended_r3b[name] = min(runs)
     timings.update(extended_r3b)
+    extended_r3c: dict[str, float] = {}
+    for name in EXTENDED_R3C:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        extended_r3c[name] = min(runs)
+    timings.update(extended_r3c)
     print(
         json.dumps(
             {
@@ -194,6 +215,7 @@ def main() -> None:
                 "extended_sec": round(sum(extended.values()), 3),
                 "extended_r3_sec": round(sum(extended_r3.values()), 3),
                 "extended_r3b_sec": round(sum(extended_r3b.values()), 3),
+                "extended_r3c_sec": round(sum(extended_r3c.values()), 3),
                 "cpus": cpus,
             }
         )
