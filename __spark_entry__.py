@@ -1073,6 +1073,29 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-freshness audit over the as-of join: per entity, how old
+    was the feature each query event actually consumed (ts - ts_asof)?
+    The serving-quality metric a PIT feature store monitors — stale
+    features degrade silently without this.  Composes q_asof_join, so
+    the oracle wraps the as-of oracle as a CTE; staleness stays in
+    exact integer microseconds until one final division."""
+    j = q_asof_join(spark, sf_dir)
+    stale_us = F.col("ts_us") - F.col("feature_ts_us")
+    matched = F.count("feature_ts_us")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        matched.alias("n_matched"),
+        F.round(F.max(stale_us) / 1e6, 6).alias("max_staleness_s"),
+        F.round(
+            F.when(matched > 0, F.sum(stale_us) / matched / 1e6), 6
+        ).alias("avg_staleness_s"),
+        F.round(F.percentile(stale_us, F.lit(0.95)) / 1e6, 6).alias(
+            "p95_staleness_s"
+        ),
+    )
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space curation screen (ops/knn.centroid_outliers):
     per-label decimal-exact centroids, cosine of every vector to its
@@ -2084,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_compaction": q_snapshot_compaction,
         "decontamination": q_decontamination,
         "embedding_outliers": q_embedding_outliers,
+        "asof_staleness": q_asof_staleness,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
@@ -2707,6 +2731,24 @@ def oracle_sql() -> dict[str, str]:
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
     """
+    d["asof_staleness"] = (
+        "WITH j AS ("
+        + _ASOF_ORACLE.format(val="value_asof", fts="epoch_us(fts)")
+        + """)
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(feature_ts_us) AS n_matched,
+               ROUND(MAX(ts_us - feature_ts_us) / 1000000.0, 6)
+                 AS max_staleness_s,
+               CASE WHEN COUNT(feature_ts_us) > 0 THEN
+                 ROUND(CAST(SUM(ts_us - feature_ts_us) AS BIGINT)
+                       / COUNT(feature_ts_us) / 1000000.0, 6)
+               END AS avg_staleness_s,
+               ROUND(quantile_cont(ts_us - feature_ts_us, 0.95) / 1000000.0, 6)
+                 AS p95_staleness_s
+        FROM j GROUP BY user_id
+    """
+    )
     d["decontamination"] = _decontamination_sql()
     # centroid components: double -> DECIMAL(25,8) -> exact SUM -> one
     # double division (the order-proof-sum pattern); cosine = sequential
