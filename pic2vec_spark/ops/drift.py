@@ -130,3 +130,43 @@ def psi_categorical(
     ).withColumn("__all", F.lit("all"))
     out = _psi_over_bins(counts, ["__all"], smooth)
     return out.drop("__all")
+
+
+def psi_from_hist(
+    hist: Column,
+    ref_counts: list[int],
+    smooth: float = 0.5,
+) -> Column:
+    """PSI of a histogram-array column against a fixed reference
+    histogram — the sketch-side PSI for monitoring pipelines where the
+    current distribution arrives as re-aggregable bin counts
+    (ops/rollup.histogram_rollup partials, streaming windows) instead
+    of raw rows.  The bin space is FIXED at len(ref_counts) on both
+    sides (K is constant — unlike psi_numeric's observed-bin K, which
+    adapts to the data), so partials from any source compare against
+    the same reference.  Reference proportions fold to literals at plan
+    time; the whole expression is one narrow projection per
+    already-aggregated row."""
+    k = len(ref_counts)
+    if k < 1:
+        raise ValueError("ref_counts must be non-empty")
+    if min(ref_counts) < 0:
+        raise ValueError("ref_counts must be non-negative")
+    s = float(smooth)
+    n_ref = float(sum(ref_counts))
+    pr = F.array(
+        *[F.lit((c + s) / (n_ref + s * k)) for c in ref_counts]
+    )
+    n_cur = F.aggregate(
+        hist, F.lit(0).cast("long"), lambda acc, v: acc + v
+    ).cast("double")
+    denom = n_cur + F.lit(s * k)
+    terms = F.zip_with(
+        hist,
+        pr,
+        lambda h, p: ((h + F.lit(s)) / denom - p)
+        * F.log(((h + F.lit(s)) / denom) / p),
+    )
+    return F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v), 6
+    )

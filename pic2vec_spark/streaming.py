@@ -413,3 +413,44 @@ def stream_agg_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_drift(
+    events: DataFrame,
+    ref_counts: list[int],
+    bucket_s: int = 3600,
+    watermark: str = "2 hours",
+    ts: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Streaming drift monitor: per tumbling window, the PSI of the
+    window's value distribution against a fixed reference histogram
+    (e.g. the training snapshot's bin counts) — the alerting half of
+    ops/drift, fed by the same shared bin arithmetic as the batch
+    rollup (ops/rollup.hist_bin_col), so a window's PSI here equals the
+    batch PSI over the same rows (pinned in tests/test_streaming.py).
+
+    Per-window state is len(ref_counts) longs (bounded by the watermark,
+    not the stream); the PSI itself is a narrow projection over the
+    already-aggregated window rows (ops/drift.psi_from_hist — reference
+    proportions fold to literals).  Output: (window_ts, n_events, psi).
+    """
+    from pic2vec_spark.ops.drift import psi_from_hist
+    from pic2vec_spark.ops.rollup import hist_agg_exprs, hist_bin_col
+
+    n_bins = len(ref_counts)
+    return (
+        events.withColumn(ts, F.col(ts).cast("timestamp"))
+        .withWatermark(ts, watermark)
+        .withColumn("__bin", hist_bin_col(value_col, lo, hi, n_bins))
+        .groupBy(F.window(F.col(ts), f"{bucket_s} seconds"))
+        .agg(*hist_agg_exprs(n_bins))
+        .select(
+            F.col("window.start").alias("window_ts"),
+            "n_events",
+            psi_from_hist(F.col("hist"), ref_counts, smooth).alias("psi"),
+        )
+    )

@@ -454,3 +454,67 @@ def test_stream_agg_view_matches_direct_and_is_replay_safe(spark, tmp_path):
         for r in finalize_agg(table.scan().drop("__k"), keys).collect()
     }
     assert got2 == want
+
+
+def test_streaming_drift_matches_batch_psi(spark, tmp_path):
+    """Per-window streaming PSI == the same formula computed in plain
+    Python over the batch bin counts — the stream adds windowing and
+    state, never different math."""
+    import math
+
+    import pandas as pd
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev"
+    events.coalesce(1).write.parquet(str(src))
+
+    from pic2vec_spark.ops.rollup import hist_bin_col
+    from pic2vec_spark.streaming import streaming_drift
+
+    # reference = the whole corpus's own bin counts (PSI of a window
+    # against it measures window-vs-global shift)
+    from pyspark.sql import functions as F
+
+    ref = [0] * 20
+    for r in (
+        spark.read.parquet(str(src))
+        .select(hist_bin_col("value", 0.0, 100.0, 20).alias("b"))
+        .groupBy("b").count().collect()
+    ):
+        ref[r["b"]] = r["count"]
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    q = (
+        streaming_drift(stream, ref, bucket_s=3600, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM drift_stream").toPandas()
+    assert len(got) > 0
+
+    # independent per-window PSI in plain Python
+    pdf = spark.read.parquet(str(src)).select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("w"),
+        hist_bin_col("value", 0.0, 100.0, 20).alias("b"),
+    ).toPandas()
+    s, k = 0.5, 20
+    nr = sum(ref)
+    for r in got.itertuples():
+        bins = pdf[pdf.w == pd.to_datetime(r.window_ts)].b.value_counts()
+        cur = [int(bins.get(i, 0)) for i in range(k)]
+        nc = sum(cur)
+        assert nc == r.n_events
+        psi = sum(
+            ((c + s) / (nc + s * k) - (rf + s) / (nr + s * k))
+            * math.log(((c + s) / (nc + s * k)) / ((rf + s) / (nr + s * k)))
+            for c, rf in zip(cur, ref)
+        )
+        assert r.psi == pytest.approx(round(psi, 6), abs=2e-6)
+    # a window drawn from the reference distribution itself is stable
+    assert (got.psi < 0.25).any()
