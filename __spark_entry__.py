@@ -1073,6 +1073,16 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (ops/skew.skew_profile): volume,
+    cardinality, max/mean ratio, top-10 concentration, and exact Gini
+    of per-key row counts for events.user_id — the pre-join health
+    check that decides whether a 100 TB shuffle needs salting."""
+    from pic2vec_spark.ops.skew import skew_profile
+
+    return skew_profile(_events(spark, sf_dir), "user_id", top_n=10)
+
+
 def q_asof_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-freshness audit over the as-of join: per entity, how old
     was the feature each query event actually consumed (ts - ts_asof)?
@@ -2108,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "embedding_outliers": q_embedding_outliers,
         "asof_staleness": q_asof_staleness,
+        "key_skew_profile": q_key_skew_profile,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
@@ -2730,6 +2741,29 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    d["key_skew_profile"] = """
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1
+        ),
+        r AS (
+          SELECT c, user_id,
+                 ROW_NUMBER() OVER (ORDER BY c, user_id ASC NULLS FIRST) AS i,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, user_id ASC NULLS LAST)
+                   AS rr
+          FROM c
+        )
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               ROUND(MAX(c) / (CAST(SUM(c) AS BIGINT) / COUNT(*)), 6)
+                 AS skew_ratio,
+               ROUND(CAST(SUM(CASE WHEN rr <= 10 THEN c ELSE 0 END) AS BIGINT)
+                     / CAST(SUM(c) AS BIGINT), 6) AS top_share,
+               ROUND((2 * CAST(SUM(i * c) AS BIGINT))
+                       / (COUNT(*) * CAST(SUM(c) AS BIGINT))
+                     - (COUNT(*) + 1) / COUNT(*), 6) AS gini
+        FROM r
     """
     d["asof_staleness"] = (
         "WITH j AS ("

@@ -94,6 +94,35 @@ EXTENDED_R3C = [
 ]
 
 
+def _cpu_probe_gflops(procs: int = 8) -> float:
+    """Aggregate dense-GEMM GFLOPS across ``procs`` processes — a
+    ~2-second probe of how much CPU this SHARED box is actually giving
+    us right now.  Recorded in the output JSON so a round's wall-times
+    carry their load context: the same engine has measured 4-7x
+    wall-clock swings here with zero local processes (external tenant
+    steal), and this number is the evidence."""
+    import multiprocessing as mp
+
+    import numpy as np  # noqa: F401 (worker import check)
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_gemm_work, range(procs))
+    wall = time.perf_counter() - t0
+    flops = procs * 2 * 2 * 800**3
+    return round(flops / wall / 1e9, 1)
+
+
+def _gemm_work(_):
+    import numpy as np
+
+    a = np.random.rand(800, 800)
+    b = np.random.rand(800, 800)
+    for _ in range(2):
+        a = 0.5 * (a @ b)
+    return None
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -130,6 +159,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
+    probe_before = _cpu_probe_gflops()
     spark = get_spark("pic2vec_spark_bench", parallelism=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -217,6 +247,8 @@ def main() -> None:
                 "extended_r3b_sec": round(sum(extended_r3b.values()), 3),
                 "extended_r3c_sec": round(sum(extended_r3c.values()), 3),
                 "cpus": cpus,
+                "cpu_probe_gflops_before": probe_before,
+                "cpu_probe_gflops_after": _cpu_probe_gflops(),
             }
         )
     )

@@ -45,3 +45,54 @@ def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle/join key — the
+    health check to run BEFORE keying a 100 TB shuffle on a column:
+
+    - ``n_rows`` / ``n_keys``: volume and key cardinality (NULL keys are
+      their own group and counted: a mostly-NULL join key is itself the
+      worst skew).
+    - ``max_key_rows`` / ``skew_ratio`` (= max/mean rows per key): the
+      headline number — a ratio of R means the hottest task runs ~R
+      times longer than average; above ~4-8, plan salting / AQE skew
+      split.
+    - ``top_share``: fraction of all rows held by the ``top_n`` hottest
+      keys (concentration).
+    - ``gini``: Gini coefficient of the per-key row counts (0 uniform,
+      ->1 concentrated), exact, computed from the sorted-rank identity
+      ``(2*sum(i*c_i)/(n*sum(c)) - (n+1)/n)`` over keys ranked by count.
+
+    Plan: one groupBy(key) count (the profile costs one pass of the key
+    column — cheap next to the shuffle it de-risks), then rank/aggregate
+    over the keys-sized count table.  All integer arithmetic until the
+    final divisions, so the DuckDB oracle matches exactly."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    counts = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("__c"), F.col(key).asc_nulls_first())
+    ranked = counts.withColumn("__i", F.row_number().over(w))
+    top = Window.orderBy(F.desc("__c"), F.col(key).asc_nulls_last())
+    ranked = ranked.withColumn("__r", F.row_number().over(top))
+    return ranked.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+        F.round(
+            F.max("__c") / (F.sum("__c") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+        F.round(
+            F.sum(F.when(F.col("__r") <= top_n, F.col("__c")).otherwise(0))
+            / F.sum("__c"),
+            6,
+        ).alias("top_share"),
+        F.round(
+            (F.lit(2) * F.sum(F.col("__i") * F.col("__c")))
+            / (F.count(F.lit(1)) * F.sum("__c"))
+            - (F.count(F.lit(1)) + F.lit(1)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -584,3 +584,29 @@ def test_compact_rejects_non_backward(spark, timeline):
             spark.createDataFrame(q), spark.createDataFrame(f),
             direction="forward", compact_bucket_s=60.0,
         )
+
+
+def test_skew_profile_hand_fixture(spark):
+    from pic2vec_spark.ops.skew import skew_profile
+
+    # counts: hot=6, a=2, b=1, NULL=1  -> n=10, k=4, max=6
+    rows = [("hot",)] * 6 + [("a",)] * 2 + [("b",)] + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_profile(df, "k", top_n=2).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (10, 4, 6)
+    assert r["skew_ratio"] == pytest.approx(6 / 2.5, abs=1e-6)
+    assert r["top_share"] == pytest.approx(8 / 10, abs=1e-6)  # hot + a
+    # Gini via the rank identity: counts sorted asc [1,1,2,6],
+    # sum(i*c) = 1+2+6+24 = 33 -> 2*33/(4*10) - 5/4 = 0.4
+    assert r["gini"] == pytest.approx(0.4, abs=1e-6)
+    with pytest.raises(ValueError):
+        skew_profile(df, "k", top_n=0)
+
+
+def test_skew_profile_uniform_gini_zero(spark):
+    from pic2vec_spark.ops.skew import skew_profile
+
+    df = spark.createDataFrame([(str(i),) for i in range(8)] * 3, "k string")
+    r = skew_profile(df, "k").collect()[0]
+    assert r["skew_ratio"] == 1.0
+    assert r["gini"] == 0.0
