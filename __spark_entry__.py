@@ -1477,6 +1477,46 @@ def q_features_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_features_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot DELETE (right-to-erasure): write customer as a
+    range-clustered snapshot, tombstone-delete every MACHINERY-segment
+    key plus a nonexistent ghost key, and scan the survivor set.  The
+    oracle is the plain complement filter, so a match proves remove +
+    carry-forward + ghost-no-op semantics end-to-end (snapshots.py
+    delete: copy-on-write at partition granularity)."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        (F.col("c_custkey") / 100).cast("long").alias("key_bucket"),
+    )
+    doomed = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey"
+    ).unionByName(
+        spark.createDataFrame([(10**12,)], "c_custkey bigint")
+    )
+    root = tempfile.mkdtemp(prefix="drv_delete_")
+    try:
+        table = SnapshotTable(root, spark)
+        table.write(
+            cust, partition_by="key_bucket", num_partitions=16,
+            stats_cols=["c_custkey"],
+        )
+        table.delete(doomed, "c_custkey")
+        kept = table.scan().select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        # temp files die in finally — land the fixture-scale result first
+        return spark.createDataFrame(kept.toPandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_lineage_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage-vs-data consistency, oracle-checked: the sum of the
     manifest's per-partition lineage row counts and the actual scanned
@@ -2127,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "snapshot_lineage": q_snapshot_lineage,
         "features_upsert": q_features_upsert,
+        "features_delete": q_features_delete,
         "lineage_reconcile": q_lineage_reconcile,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -3633,6 +3674,11 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
               WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
             )
+        """,
+        "features_delete": """
+            SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+                   c_mktsegment AS mktsegment
+            FROM customer WHERE c_mktsegment <> 'MACHINERY'
         """,
         "lineage_reconcile": """
             SELECT COUNT(*) AS lineage_rows, COUNT(*) AS scanned_rows,

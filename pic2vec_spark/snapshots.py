@@ -389,6 +389,93 @@ class SnapshotTable:
             properties=properties,
         )
 
+    def delete(
+        self,
+        keys: DataFrame,
+        key: str,
+        stats_cols: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> str:
+        """Keyed DELETE (the right-to-erasure / tombstone path):
+        rows whose ``key`` appears in ``keys`` are removed, producing a
+        new snapshot.  Same copy-on-write shape as ``merge``: partitions
+        whose (min, max) ``key`` stats cannot contain any delete key are
+        carried forward untouched; only overlapping partitions are read,
+        anti-joined, and rewritten.  The parent snapshot still holds the
+        deleted rows (time travel keeps working) — physical erasure of
+        history is snapshot expiry, a separate retention decision.
+
+        Cost ∝ touched data; crash safety is the snapshot protocol
+        (manifest + CURRENT flip last).  Deleting keys that don't exist
+        is a no-op for those keys (the anti-join ignores them)."""
+        man = self.manifest()
+        if man is None:
+            raise FileNotFoundError(f"no snapshot at {self.root} to delete from")
+        keys = keys.select(key).distinct().localCheckpoint(eager=True)
+        parts = man["partitions"]
+        live = [p for p in parts if p["rows"] > 0]
+        have_stats = bool(live) and all(
+            p.get("stats", {}).get(key) is not None
+            and None not in p["stats"][key]
+            for p in live
+        )
+        if have_stats:
+            bounds = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "pid": [p["pid"] for p in live],
+                        "lo": [p["stats"][key][0] for p in live],
+                        "hi": [p["stats"][key][1] for p in live],
+                    }
+                )
+            )
+            key_type = keys.schema[key].dataType
+            if isinstance(key_type, (T.TimestampType, T.TimestampNTZType)):
+                probe_key = F.unix_micros(F.col(key).cast("timestamp"))
+            else:
+                probe_key = F.col(key)
+            touched_pids = {
+                r["pid"]
+                for r in keys.select(probe_key.alias("__k"))
+                .join(
+                    F.broadcast(bounds),
+                    (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+                )
+                .select("pid")
+                .distinct()
+                .collect()
+            }
+        else:
+            touched_pids = {p["pid"] for p in live}
+        touched = [p for p in live if p["pid"] in touched_pids]
+        carry = [p for p in parts if p["pid"] not in touched_pids]
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        if touched:
+            old = self.spark.read.parquet(
+                *[str(self.data_dir / p["file"]) for p in touched]
+            )
+        else:
+            old = self.spark.createDataFrame([], schema=schema)
+        remaining = old.join(keys, key, "left_anti")
+        if properties is None:
+            properties = dict(man.get("properties") or {})
+        properties = {
+            **properties,
+            "delete_key": key,
+            "delete_touched": len(touched),
+            "delete_carried": len(carry),
+        }
+        pid_offset = (max((p["pid"] for p in parts), default=-1)) + 1
+        sid = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
+        n = max(len(touched), 1)
+        return self._write_partitions(
+            remaining, sid, key, n, stats_cols or [key],
+            parent=man["snapshot_id"], skip_pids=None,
+            fail_after_partitions=None,
+            carry_partitions=carry, pid_offset=pid_offset,
+            properties=properties,
+        )
+
     def compact(
         self,
         target_rows: int,

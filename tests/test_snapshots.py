@@ -287,3 +287,48 @@ def test_compact_then_merge_still_prunes(spark, events, tmp_path):
     upd = one.withColumn("value", F.lit(-1.0))
     t.merge(upd, key="event_id", stats_cols=["event_id"])
     assert t.manifest()["properties"]["merge_touched"] >= 1
+
+
+def test_delete_copy_on_write(spark, events, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    ev = events.withColumn(
+        "key_bucket", (F.col("event_id") / 100).cast("long")
+    )
+    t.write(ev, partition_by="key_bucket", num_partitions=8,
+            stats_cols=["event_id"])
+    before_files = set(t.lineage().file)
+    n = ev.count()
+
+    # delete a narrow key range (hits few partitions) + one ghost key
+    doomed = ev.filter(F.col("event_id") <= 30).select("event_id")
+    ghost = spark.createDataFrame([(10**12,)], "event_id bigint")
+    n_del = doomed.count()
+    t.delete(doomed.unionByName(ghost), key="event_id")
+
+    back = t.scan()
+    assert back.count() == n - n_del
+    assert back.filter(F.col("event_id") <= 30).count() == 0
+    # untouched partitions carried forward (files reused)
+    man = t.manifest()
+    assert man["properties"]["delete_key"] == "event_id"
+    assert man["properties"]["delete_carried"] >= 1
+    carried = before_files & set(t.lineage().file)
+    assert len(carried) == man["properties"]["delete_carried"]
+    # parent still has the rows (time travel)
+    assert t.scan(man["parent"]).count() == n
+
+
+def test_delete_without_stats_and_errors(spark, events, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    with pytest.raises(FileNotFoundError):
+        t.delete(events.select("event_id"), key="event_id")
+    t.write(events, num_partitions=4)  # no stats -> full rewrite, still correct
+    n = events.count()
+    doomed = events.limit(25).select("event_id")
+    t.delete(doomed, key="event_id")
+    assert t.scan().count() == n - 25
+    assert t.manifest()["properties"]["delete_touched"] == 4
