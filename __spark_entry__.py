@@ -1555,6 +1555,19 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(embs, queries, k=KNN_K)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (ops/knn.hard_negatives): for each of the
+    first KNN_QUERIES vectors, the top-k most-similar vectors with a
+    DIFFERENT label — the hard negatives that carry the gradient in
+    triplet/InfoNCE training.  Same broadcast + WindowGroupLimit shape
+    as knn_cosine."""
+    from pic2vec_spark.ops.knn import hard_negatives
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return hard_negatives(embs, k=KNN_K, queries=queries)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (random-hyperplane LSH buckets + exact re-rank).
     Rows-only driver check; recall vs the exact path is asserted in
@@ -2168,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_lineage": q_snapshot_lineage,
         "features_upsert": q_features_upsert,
         "features_delete": q_features_delete,
+        "hard_negatives": q_hard_negatives,
         "lineage_reconcile": q_lineage_reconcile,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -3375,6 +3389,28 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
+        """,
+        "hard_negatives": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS query_label,
+                     embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < {KNN_QUERIES}
+            ), c AS (
+              SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                     embedding::DOUBLE[] AS cvec
+              FROM embeddings
+            ), s AS (
+              SELECT query_id, query_label, neighbor_id, neighbor_label,
+                     {_SQL_COS.format(a='qvec', b='cvec')} AS cos
+              FROM c, q WHERE neighbor_label <> query_label
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+              FROM s
+            )
+            SELECT query_id, query_label, neighbor_id, neighbor_label,
+                   cos, rk
+            FROM r WHERE rk <= {KNN_K}
         """,
         "embedding_neardup": f"""
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

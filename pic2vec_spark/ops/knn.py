@@ -668,3 +668,51 @@ def centroid_outliers(
         )
         .withColumn("is_outlier", F.col("cos_centroid") < threshold)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive-training pair mining: for each query vector, the
+    top-k most-similar vectors with a DIFFERENT label — the "hard
+    negatives" that carry the gradient signal in triplet/InfoNCE
+    training (easy negatives are already far; random negatives are
+    mostly easy).
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, cos,
+    rk), exact, deterministic ties (cos desc, neighbor_id asc).  Same
+    broadcast shape as ``cosine_topk``: queries broadcast against the
+    corpus, WindowGroupLimit prunes the per-query top-k map-side.  At
+    10^9+ corpus rows swap the exact scorer for the LSH-bucketed
+    candidate generator and re-rank — identical downstream contract."""
+    q = (queries if queries is not None else corpus).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cos", "rk",
+        )
+    )

