@@ -1073,6 +1073,30 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing by per-source quota (ops/sampling.quota_sample):
+    at most 15 docs per source, deterministic md5 order — the recipe
+    step that stops one crawl dump from dominating the mixture."""
+    from pic2vec_spark.ops.sampling import quota_sample
+
+    return quota_sample(
+        _documents(spark, sf_dir), "source", "doc_id", cap=15
+    ).select("doc_id", "source")
+
+
+def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization (ops/encode.winsorize): values
+    clipped to the exact [p05, p95] quantiles of their group — the
+    fat-tail tamer that keeps row count intact."""
+    from pic2vec_spark.ops.encode import winsorize
+
+    out = winsorize(
+        _events(spark, sf_dir), "value", group_col="event_type",
+        p_lo=0.05, p_hi=0.95,
+    )
+    return out.select("event_id", "event_type", "value", "value_wins")
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic (ops/skew.skew_profile): volume,
     cardinality, max/mean ratio, top-10 concentration, and exact Gini
@@ -2172,6 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "asof_staleness": q_asof_staleness,
         "key_skew_profile": q_key_skew_profile,
+        "source_quota_sample": q_source_quota_sample,
+        "value_winsorized": q_value_winsorized,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
         "stratified_sample": q_stratified_sample,
@@ -2796,6 +2822,30 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    d["source_quota_sample"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota' || doc_id::VARCHAR), doc_id
+                 ) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rk <= 15
+    """
+    d["value_winsorized"] = """
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN e.value IS NOT NULL
+                    THEN ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6)
+               END AS value_wins
+        FROM events e JOIN b USING (event_type)
     """
     d["key_skew_profile"] = """
         WITH c AS (

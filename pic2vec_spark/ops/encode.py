@@ -341,3 +341,50 @@ def feature_cross(
         ],
     )
     return df.withColumn(out_col, _hash_bucket(key, salt, n_buckets))
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization): values below the p_lo
+    quantile / above the p_hi quantile are clamped to those quantiles —
+    the standard fat-tail tamer before scaling or model input, keeping
+    row count intact (unlike a filter).  Optionally per group.
+
+    Exact quantiles (same engine-shared linear interpolation as
+    ops/stats.mad_outliers — that is what makes it oracle-checkable);
+    at unbounded group cardinality swap percentile for
+    percentile_approx, same plan shape.  Plan: one grouped (or global)
+    quantile aggregate over the value projection, broadcast back, one
+    narrow clamp projection.  NULL values pass through as NULL (guarded
+    explicitly: Spark's greatest/least SKIP nulls, which would silently
+    clamp a missing value to the lower bound); rows with a NULL group
+    drop (no reference distribution to clip against)."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})")
+    out_col = out_col or f"{value_col}_wins"
+    v = F.col(value_col).cast("double")
+    if group_col is not None:
+        bounds = df.groupBy(group_col).agg(
+            F.percentile(v, F.lit(p_lo)).alias("__lo"),
+            F.percentile(v, F.lit(p_hi)).alias("__hi"),
+        )
+        joined = df.join(F.broadcast(bounds), group_col)
+    else:
+        bounds = df.agg(
+            F.percentile(v, F.lit(p_lo)).alias("__lo"),
+            F.percentile(v, F.lit(p_hi)).alias("__hi"),
+        )
+        joined = df.crossJoin(F.broadcast(bounds))
+    return joined.withColumn(
+        out_col,
+        F.when(
+            v.isNotNull(),
+            F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6),
+        ),
+    ).drop("__lo", "__hi")

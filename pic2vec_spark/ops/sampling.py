@@ -217,3 +217,32 @@ def walk_forward_splits(
         .withColumn("fold", F.col("__f.fold"))
         .drop("__f", "__ts_us")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Corpus mixing by per-source quota: keep at most ``cap`` rows per
+    source, chosen by the deterministic md5 rank (uniform within each
+    source) — the LLM-corpus recipe step that stops one crawl dump from
+    dominating the mixture.  Sources under their cap keep every row.
+
+    Same determinism contract as stratified_sample (md5 order, key
+    tiebreak): reproducible across runs/engines/partitionings and
+    append-stable in the sense that an already-kept row is only ever
+    displaced by a new row that hashes ahead of it.  One shuffle on the
+    source key; WindowGroupLimit prunes to O(cap) rows per source
+    map-side, so a billion-row source never materializes its tail."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
