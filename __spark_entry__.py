@@ -1073,6 +1073,60 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_text(doc_id, text):
+    """Deterministic PII injection shared (in shape) with the oracle:
+    the synthetic corpus has no organic PII, so the query plants one of
+    each kind on a doc_id schedule to exercise every pattern."""
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(F.lit(" mail user"), doc_id.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(" call +1 (415) 555-0199")).otherwise(F.lit("")),
+        F.when(doc_id % 4 == 0, F.lit(" host 192.168.1.77")).otherwise(F.lit("")),
+        F.when(doc_id % 9 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (ops/text.scrub_pii): plant one of each PII kind
+    on a doc_id schedule, then scrub — emails/SSNs/IPv4s/phones become
+    <KIND> tokens with per-kind counts; pure narrow regex projection."""
+    from pic2vec_spark.ops.text import scrub_pii
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", _pii_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id", "pii_email", "pii_ssn", "pii_ipv4", "pii_phone",
+        "pii_total", "text_clean",
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (ops/text.strip_boilerplate):
+    plant a cookie banner / copyright footer on doc_id schedules (the
+    single-line synthetic corpus has no organic template chrome), then
+    strip lines appearing in > 5% of docs, preserving surviving-line
+    order."""
+    from pic2vec_spark.ops.text import strip_boilerplate
+
+    doc_id = F.col("doc_id")
+    text3 = F.concat(
+        F.when(doc_id % 3 == 0, F.lit("ACCEPT COOKIES TO CONTINUE\n")).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+        F.when(doc_id % 4 == 0, F.lit("\nCOPYRIGHT FOOTER 2024")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = _documents(spark, sf_dir).select("doc_id", text3.alias("text"))
+    return strip_boilerplate(docs, max_doc_frac=0.05)
+
+
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing by per-source quota (ops/sampling.quota_sample):
     at most 15 docs per source, deterministic md5 order — the recipe
@@ -2197,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_staleness": q_asof_staleness,
         "key_skew_profile": q_key_skew_profile,
         "source_quota_sample": q_source_quota_sample,
+        "pii_scrub": q_pii_scrub,
+        "boilerplate_strip": q_boilerplate_strip,
         "value_winsorized": q_value_winsorized,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "part_name_matches": q_part_name_matches,
@@ -2822,6 +2878,87 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    # same injection schedule as _pii_text / q_boilerplate_strip
+    _pii_t = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0"
+        "         THEN ' mail user' || doc_id::VARCHAR || '@example.com'"
+        "         ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (415) 555-0199' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' host 192.168.1.77' ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN ' id 123-45-6789' ELSE '' END"
+    )
+    _pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    }
+    _clean = "t"
+    for _k, _p in _pats.items():
+        _esc = _p.replace("'", "''")
+        _clean = (
+            f"regexp_replace({_clean}, '{_esc}', '<{_k.upper()}>', 'g')"
+        )
+    _cnt = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS pii_{k}"
+        for k, p in _pats.items()
+    )
+    d["pii_scrub"] = f"""
+        WITH d AS (SELECT doc_id, {_pii_t} AS t FROM documents)
+        SELECT doc_id, {_cnt},
+               CAST(len(regexp_extract_all(t, '{_pats["email"]}'))
+                  + len(regexp_extract_all(t, '{_pats["ssn"]}'))
+                  + len(regexp_extract_all(t, '{_pats["ipv4"]}'))
+                  + len(regexp_extract_all(t, '{_pats["phone"]}'))
+                    AS BIGINT) AS pii_total,
+               {_clean} AS text_clean
+        FROM d
+    """
+    d["boilerplate_strip"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'ACCEPT COOKIES TO CONTINUE' || chr(10) ELSE '' END
+                 || text
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN chr(10) || 'COPYRIGHT FOOTER 2024' ELSE '' END
+                   AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        n AS (
+          SELECT GREATEST(1, CAST(FLOOR(COUNT(*) * 0.05) AS INT)) AS cut
+          FROM d
+        ),
+        l AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(string_split(t, chr(10)))))
+                   AS pos,
+                 unnest(string_split(t, chr(10))) AS line
+          FROM d
+        ),
+        fr AS (
+          SELECT line FROM (
+            SELECT DISTINCT doc_id, line FROM l
+            WHERE length(trim(line)) >= 1
+          ) GROUP BY line HAVING COUNT(*) > (SELECT cut FROM n)
+        ),
+        kept AS (
+          SELECT * FROM l WHERE line NOT IN (SELECT line FROM fr)
+        ),
+        stripped AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN line IN (SELECT line FROM fr)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+          FROM l GROUP BY doc_id
+        )
+        SELECT k.doc_id,
+               string_agg(k.line, chr(10) ORDER BY k.pos) AS text_clean,
+               COUNT(*) AS n_lines,
+               MAX(s.n_stripped) AS n_stripped
+        FROM kept k JOIN stripped s USING (doc_id)
+        GROUP BY k.doc_id
     """
     d["source_quota_sample"] = """
         WITH r AS (

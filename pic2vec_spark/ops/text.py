@@ -589,3 +589,121 @@ def contamination_stats(
             F.lit(False),
         ).alias("contaminated"),
     )
+
+
+# PII patterns: deliberately conservative, ASCII-focused (engine-portable
+# regex subset — no lookbehind, which DuckDB's RE2 rejects)
+PII_PATTERNS = {
+    # declaration order IS replacement order: ssn before phone, because
+    # an SSN also matches the looser phone shape
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """PII redaction pass: emails, phone numbers, IPv4s, and SSN-shaped
+    strings replaced with ``<KIND>`` tokens, plus per-kind match counts
+    — the scrub a corpus takes before leaving the ingest boundary.
+    Pattern-based (high recall on structured PII; names/addresses need
+    NER and are out of scope — stated, not implied).
+
+    Pure narrow projection: K regexp_replace + K regexp_count per row,
+    no shuffle, whole-stage codegen; patterns avoid lookbehind so the
+    DuckDB oracle runs the identical regex dialect.  Output: out_col
+    (default ``{text_col}_clean``) + ``pii_{kind}`` counts + ``pii_total``.
+    Counts are per-pattern over the ORIGINAL text and may overlap (an
+    SSN also matches the phone shape); replacement applies in
+    declaration order, so the more specific token wins in the text.
+    """
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; have {list(PII_PATTERNS)}")
+    out_col = out_col or f"{text_col}_clean"
+    cleaned = F.col(text_col)
+    counts = {}
+    for k in kinds:
+        pat = PII_PATTERNS[k]
+        counts[f"pii_{k}"] = F.regexp_count(F.col(text_col), F.lit(pat)).cast(
+            "bigint"
+        )
+        cleaned = F.regexp_replace(cleaned, pat, f"<{k.upper()}>")
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.withColumns({**counts, "pii_total": total, out_col: cleaned})
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.05,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb step): a
+    LINE that appears verbatim in more than ``max_doc_frac`` of all
+    documents is template chrome (nav bars, cookie banners, footers) —
+    strip it from every document, preserving the order of surviving
+    lines.  Lines shorter than ``min_line_chars`` after trim are kept
+    (blank separators are structure, not boilerplate).
+
+    Plan: posexplode lines -> distinct (line, doc) -> line-frequency
+    aggregation (content-bounded key space, map-side partials) -> AQE
+    broadcast of the boilerplate set (lines above the cut are FEW — the
+    whole point) -> order-preserving rebuild via sorted collect_list.
+    Two bounded shuffles; the rebuild groups each doc's own lines, so
+    per-doc memory is the document itself.  Output: id_col, out text
+    (``{text_col}_clean``), n_lines, n_stripped."""
+    if not 0.0 < max_doc_frac <= 1.0:
+        raise ValueError(f"max_doc_frac must be in (0, 1], got {max_doc_frac}")
+    n_docs = df.filter(F.col(text_col).isNotNull()).count()
+    cut = max(1, int(n_docs * max_doc_frac))
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    freq = (
+        lines.filter(eligible)
+        .select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") > cut)
+        .select("line", F.lit(True).alias("__boiler"))
+    )
+    marked = lines.join(freq, "line", "left")
+    kept = marked.filter(F.col("__boiler").isNull())
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+            ).alias(f"{text_col}_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .join(
+            marked.groupBy(id_col).agg(
+                F.sum(F.col("__boiler").isNotNull().cast("bigint")).alias(
+                    "n_stripped"
+                )
+            ),
+            id_col,
+        )
+    )

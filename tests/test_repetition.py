@@ -148,3 +148,43 @@ def test_contamination_stats_hand_fixture(spark):
         for r in contamination_stats(corpus, bench, n=4, threshold=0.5).collect()
     }
     assert relaxed == {1: False, 2: False, 3: False}
+
+
+def test_scrub_pii_hand_fixture(spark):
+    from pic2vec_spark.ops.text import scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@test.org now"),
+        (2, "call +1 (415) 555-0199 or 555 123 4567"),
+        (3, "host 10.0.0.1 ssn 123-45-6789"),
+        (4, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[1]["text_clean"] == "mail <EMAIL> now"
+    assert got[1]["pii_email"] == 1 and got[1]["pii_total"] == 1
+    assert "<PHONE>" in got[2]["text_clean"] and got[2]["pii_phone"] == 2
+    # SSN wins over the looser phone shape in the TEXT (declaration
+    # order), while counts overlap by design
+    assert "<SSN>" in got[3]["text_clean"] and "<IPV4>" in got[3]["text_clean"]
+    assert got[3]["pii_ssn"] == 1 and got[3]["pii_ipv4"] == 1
+    assert got[4]["text_clean"] == "clean text" and got[4]["pii_total"] == 0
+    with pytest.raises(ValueError):
+        scrub_pii(df, kinds=["email", "nope"])
+
+
+def test_strip_boilerplate_hand_fixture(spark):
+    from pic2vec_spark.ops.text import strip_boilerplate
+
+    banner = "COOKIE BANNER"
+    rows = [(i, f"{banner}\nbody {i}\n\nunique tail {i}") for i in range(8)]
+    rows.append((99, "no banner here"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # banner appears in 8/9 docs > ceil-free cut floor(9*0.2)=1
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, max_doc_frac=0.2).collect()}
+    assert out[0]["text_clean"] == "body 0\n\nunique tail 0"  # order + blank kept
+    assert out[0]["n_stripped"] == 1 and out[0]["n_lines"] == 3
+    assert out[99]["text_clean"] == "no banner here"
+    assert out[99]["n_stripped"] == 0
+    with pytest.raises(ValueError):
+        strip_boilerplate(df, max_doc_frac=0.0)
