@@ -1646,6 +1646,45 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(embs, k=KNN_K, queries=queries)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (ops/rank.rrf_fuse):
+    fuse an embedding ranking (cosine top-10) with a lexical ranking
+    (distinct-token overlap top-10) for the first 8 query docs — rank
+    arithmetic only, no score calibration.  Lists are top-k-truncated
+    upstream, so the fusion join touches O(queries x k) rows."""
+    from pyspark.sql import Window
+
+    from pic2vec_spark.ops.knn import cosine_topk
+    from pic2vec_spark.ops.rank import rrf_fuse
+    from pic2vec_spark.ops.text import tokens
+
+    embs = _embeddings(spark, sf_dir)
+    vec = cosine_topk(embs, embs.filter(F.col("vec_id") < 8), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rk"
+    )
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    qt = toks.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    ov = (
+        qt.join(toks, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ov"), F.col("doc_id").asc()
+    )
+    lex = (
+        ov.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "rk")
+    )
+    return rrf_fuse([vec, lex], top=10)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (random-hyperplane LSH buckets + exact re-rank).
     Rows-only driver check; recall vs the exact path is asserted in
@@ -2264,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_upsert": q_features_upsert,
         "features_delete": q_features_delete,
         "hard_negatives": q_hard_negatives,
+        "hybrid_rrf": q_hybrid_rrf,
         "lineage_reconcile": q_lineage_reconcile,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -3576,6 +3616,49 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
+        """,
+        "hybrid_rrf": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < 8
+            ), c AS (
+              SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings
+            ), vs AS (
+              SELECT query_id, doc_id,
+                     {_SQL_COS.format(a='qvec', b='cvec')} AS cos
+              FROM c, q WHERE doc_id <> query_id
+            ), vec AS (
+              SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rk
+              FROM vs QUALIFY rk <= 10
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS tok
+              FROM documents
+            ), ov AS (
+              SELECT qt.doc_id AS query_id, t.doc_id, COUNT(*) AS ov
+              FROM toks qt JOIN toks t USING (tok)
+              WHERE qt.doc_id < 8 AND t.doc_id <> qt.doc_id
+              GROUP BY 1, 2
+            ), lex AS (
+              SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY ov DESC, doc_id) AS rk
+              FROM ov QUALIFY rk <= 10
+            ), fused AS (
+              SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+                     COALESCE(v.doc_id, l.doc_id) AS doc_id,
+                     ROUND(COALESCE(1.0 / (60 + v.rk), 0)
+                           + COALESCE(1.0 / (60 + l.rk), 0), 6) AS rrf_score
+              FROM vec v FULL OUTER JOIN lex l
+                ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+            )
+            SELECT query_id, doc_id, rrf_score,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY rrf_score DESC, doc_id) AS rk
+            FROM fused QUALIFY rk <= 10
         """,
         "hard_negatives": f"""
             WITH q AS (

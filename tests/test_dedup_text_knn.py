@@ -622,3 +622,28 @@ def test_hard_negatives_excludes_same_label(spark):
         assert r["neighbor_label"] != r["query_label"]
     # every query gets k negatives when enough cross-label rows exist
     assert sorted(r for r in labels) == [1, 2, 3, 4, 5]
+
+
+def test_rrf_fuse_hand_fixture(spark):
+    from pic2vec_spark.ops.rank import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id bigint, doc_id bigint, rk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id bigint, doc_id bigint, rk int"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 11: in both lists -> 1/62 + 1/61; doc 10: 1/61 only
+    assert got[11]["rrf_score"] == pytest.approx(round(1 / 62 + 1 / 61, 6), abs=1e-9)
+    assert got[10]["rrf_score"] == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    assert got[13]["rrf_score"] == pytest.approx(round(1 / 62, 6), abs=1e-9)
+    # both-lists doc outranks any single-list doc here
+    assert got[11]["rk"] == 1 and got[10]["rk"] == 2
+    assert got[12]["rk"] == 4  # 1/63 < 1/62
+    out = rrf_fuse([a, b], top=2)
+    assert out.count() == 2
+    with pytest.raises(ValueError):
+        rrf_fuse([a])
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], k=0)
