@@ -32,6 +32,10 @@ EAGER = {
     "pit_featurize_asof",
     "multi_column_widened",
     "knn_ivf",
+    # round-3c: constructors write+compact/delete temp snapshots; their
+    # returned frames are driver-built report rows (no UDF surface)
+    "snapshot_compaction",
+    "features_delete",
 }
 
 
