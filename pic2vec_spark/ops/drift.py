@@ -170,3 +170,69 @@ def psi_from_hist(
     return F.round(
         F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v), 6
     )
+
+
+def chi2_from_hist(hist: Column, ref_counts: list[int]) -> Column:
+    """Pearson chi-square statistic of a histogram-array column against
+    the reference histogram: ``sum((o_i - e_i)^2 / e_i)`` where the
+    expected counts ``e_i`` scale the reference proportions to the
+    window's total (zero-reference bins get the 0.5 Laplace floor so
+    novel-bin mass is penalized, not divided by zero).  Same fixed-bin
+    contract and literal-folding plan shape as psi_from_hist; compare
+    against chi2 critical values for len(ref)-1 dof."""
+    k = len(ref_counts)
+    if k < 1:
+        raise ValueError("ref_counts must be non-empty")
+    n_ref = float(sum(ref_counts))
+    if n_ref <= 0:
+        raise ValueError("ref_counts must have positive total")
+    props = F.array(
+        *[F.lit(max(c, 0.5) / n_ref) for c in ref_counts]
+    )
+    n_cur = F.aggregate(
+        hist, F.lit(0).cast("long"), lambda acc, v: acc + v
+    ).cast("double")
+    terms = F.zip_with(
+        hist,
+        props,
+        lambda o, p: (o - p * n_cur) * (o - p * n_cur) / (p * n_cur),
+    )
+    return F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v), 6
+    )
+
+
+def jsd_from_hist(
+    hist: Column, ref_counts: list[int], smooth: float = 0.5
+) -> Column:
+    """Jensen-Shannon divergence (natural log; in [0, ln 2]) between
+    the histogram column and the reference — PSI's bounded, symmetric
+    sibling: defined even when a bin is empty on one side, so it is the
+    safer alerting metric for small windows.  Same smoothing and
+    literal-folding contract as psi_from_hist."""
+    k = len(ref_counts)
+    if k < 1:
+        raise ValueError("ref_counts must be non-empty")
+    s = float(smooth)
+    n_ref = float(sum(ref_counts))
+    pr = F.array(*[F.lit((c + s) / (n_ref + s * k)) for c in ref_counts])
+    n_cur = F.aggregate(
+        hist, F.lit(0).cast("long"), lambda acc, v: acc + v
+    ).cast("double")
+    denom = n_cur + F.lit(s * k)
+    terms = F.zip_with(
+        hist,
+        pr,
+        lambda h, p: (
+            ((h + F.lit(s)) / denom)
+            * F.log(
+                ((h + F.lit(s)) / denom)
+                / ((((h + F.lit(s)) / denom) + p) / F.lit(2.0))
+            )
+            + p
+            * F.log(p / ((((h + F.lit(s)) / denom) + p) / F.lit(2.0)))
+        ),
+    )
+    return F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) / F.lit(2.0), 6
+    )

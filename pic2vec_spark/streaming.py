@@ -438,7 +438,11 @@ def streaming_drift(
     already-aggregated window rows (ops/drift.psi_from_hist — reference
     proportions fold to literals).  Output: (window_ts, n_events, psi).
     """
-    from pic2vec_spark.ops.drift import psi_from_hist
+    from pic2vec_spark.ops.drift import (
+        chi2_from_hist,
+        jsd_from_hist,
+        psi_from_hist,
+    )
     from pic2vec_spark.ops.rollup import hist_agg_exprs, hist_bin_col
 
     n_bins = len(ref_counts)
@@ -452,5 +456,7 @@ def streaming_drift(
             F.col("window.start").alias("window_ts"),
             "n_events",
             psi_from_hist(F.col("hist"), ref_counts, smooth).alias("psi"),
+            chi2_from_hist(F.col("hist"), ref_counts).alias("chi2"),
+            jsd_from_hist(F.col("hist"), ref_counts, smooth).alias("jsd"),
         )
     )

@@ -97,3 +97,45 @@ def test_psi_plan_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chi2_and_jsd_from_hist(spark):
+    import math
+
+    from pic2vec_spark.ops.drift import chi2_from_hist, jsd_from_hist
+
+    ref = [10, 20, 30]
+    df = spark.createDataFrame(
+        [([10, 20, 30],), ([60, 0, 0],)], "hist array<bigint>"
+    )
+    rows = df.select(
+        chi2_from_hist(F.col("hist"), ref).alias("chi2"),
+        jsd_from_hist(F.col("hist"), ref).alias("jsd"),
+    ).collect()
+    # identical distribution: chi2 == 0 exactly; jsd ~ 0 (smoothing only)
+    assert rows[0]["chi2"] == 0.0
+    assert rows[0]["jsd"] < 0.01
+    # concentrated shift: both blow up, jsd bounded by ln 2
+    assert rows[1]["chi2"] > 50
+    assert 0.1 < rows[1]["jsd"] <= math.log(2) + 1e-9
+
+    # independent hand check of chi2 for the shifted row:
+    # e = [10,20,30] scaled to n=60 -> e=[10,20,30];
+    # (60-10)^2/10 + (0-20)^2/20 + (0-30)^2/30 = 250+20+30 = 300
+    assert rows[1]["chi2"] == pytest.approx(300.0, abs=1e-6)
+
+    # independent hand check of jsd for the identical row
+    s, k, nr = 0.5, 3, 60
+    p = [(c + s) / (nr + s * k) for c in ref]
+    q = p  # same counts, same total
+    m = [(a + b) / 2 for a, b in zip(p, q)]
+    jsd = 0.5 * sum(
+        a * math.log(a / c) + b * math.log(b / c)
+        for a, b, c in zip(p, q, m)
+    )
+    assert rows[0]["jsd"] == pytest.approx(round(jsd, 6), abs=1e-9)
+
+    with pytest.raises(ValueError):
+        chi2_from_hist(F.col("hist"), [])
+    with pytest.raises(ValueError):
+        chi2_from_hist(F.col("hist"), [0, 0])
