@@ -460,3 +460,62 @@ def streaming_drift(
             jsd_from_hist(F.col("hist"), ref_counts, smooth).alias("jsd"),
         )
     )
+
+
+def stream_quality(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    constraints,
+    schema,
+    files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Streaming data-quality monitor: every micro-batch of fact rows is
+    evaluated against an ops/quality constraint suite (ONE aggregation
+    pass over the delta) and the (check_name, n_rows, n_violations,
+    pass) report rows are appended — stamped with the batch id — to an
+    audit SnapshotTable.  This is the gate a continuously-ingesting
+    feature store runs so a poisoned drop is caught at the batch that
+    introduced it, with the audit trail stored as data (queryable,
+    snapshot-versioned, lineage'd) rather than logs.
+
+    Exactly-once: appends are not idempotent, so the audit table's
+    manifest records the last audited batch id (``dq_last_batch``) and
+    replayed batches are skipped — the same foreachBatch transactional
+    pattern as ``stream_agg_view``.  Per-trigger cost is one pass over
+    the delta; the audit table grows by len(constraints) rows per batch.
+    Returns the started query."""
+    from pic2vec_spark.ops.quality import check_constraints
+
+    table = SnapshotTable(table_root, spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        man = table.manifest()
+        if man is not None:
+            last = (man.get("properties") or {}).get("dq_last_batch")
+            if last is not None and int(batch_id) <= int(last):
+                return  # replayed batch: already audited
+        report = check_constraints(batch_df, constraints).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("bigint")
+        )
+        props = {"dq_last_batch": int(batch_id)}
+        if man is None:
+            table.write(report, num_partitions=1, properties=props)
+        else:
+            table.append(report, num_partitions=1, properties=props)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -518,3 +518,48 @@ def test_streaming_drift_matches_batch_psi(spark, tmp_path):
         assert r.psi == pytest.approx(round(psi, 6), abs=2e-6)
     # a window drawn from the reference distribution itself is stable
     assert (got.psi < 0.25).any()
+
+
+def test_stream_quality_audits_each_batch_once(spark, tmp_path):
+    """Per-batch constraint reports land in the audit table exactly once
+    (batch-id guard), and a planted bad drop is flagged at ITS batch."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.quality import in_range, not_null
+    from pic2vec_spark.streaming import stream_quality
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    clean = events.filter(F.col("value").between(0, 300))
+    good = clean.limit(300)
+    bad = clean.exceptAll(good).limit(100).withColumn(
+        "value", F.lit(-999.0)
+    )
+    good.coalesce(1).write.parquet(str(inp / "d1"))
+    bad.coalesce(1).write.parquet(str(inp / "d2"))
+
+    q = stream_quality(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_root=str(tmp_path / "audit"),
+        constraints=[not_null("event_id"), in_range("value", 0, 300)],
+        schema=events.schema,
+        files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    audit = SnapshotTable(str(tmp_path / "audit"), spark).scan().toPandas()
+    # 2 batches x 2 constraints, each batch audited exactly once
+    assert len(audit) == 4
+    assert sorted(audit.batch_id.unique()) == [0, 1]
+    rng = audit[audit.check_name == "in_range(value,0,300)"]
+    by_batch = {int(r.batch_id): (int(r.n_violations), bool(r["pass"])) for _, r in rng.iterrows()}
+    assert by_batch[0] == (0, True)
+    assert by_batch[1][0] == 100 and by_batch[1][1] is False
+    # manifest carries the replay guard
+    man = SnapshotTable(str(tmp_path / "audit"), spark).manifest()
+    assert man["properties"]["dq_last_batch"] == 1
