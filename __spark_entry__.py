@@ -1127,6 +1127,34 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(docs, max_doc_frac=0.05)
 
 
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature expansion (ops/encode.calendar_features):
+    hour / ISO day-of-week / day-of-month / month / weekend flag —
+    zero-shuffle narrow projection."""
+    from pic2vec_spark.ops.encode import calendar_features
+
+    out = calendar_features(_events(spark, sf_dir))
+    return out.select(
+        "event_id", "cal_hour", "cal_dow", "cal_dom", "cal_month",
+        "cal_is_weekend",
+    )
+
+
+RFM_AS_OF = "2024-02-01"
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral features (ops/encode.rfm_features): per-user
+    recency / frequency / exact-decimal monetary at a pinned as-of
+    instant, plus deterministic quintile scores (ntile, entity
+    tiebreak)."""
+    from pic2vec_spark.ops.encode import rfm_features
+
+    return rfm_features(
+        _events(spark, sf_dir), "user_id", "ts", "value", as_of=RFM_AS_OF
+    )
+
+
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing by per-source quota (ops/sampling.quota_sample):
     at most 15 docs per source, deterministic md5 order — the recipe
@@ -2291,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "source_quota_sample": q_source_quota_sample,
         "pii_scrub": q_pii_scrub,
+        "calendar_features": q_calendar_features,
+        "rfm_features": q_rfm_features,
         "boilerplate_strip": q_boilerplate_strip,
         "value_winsorized": q_value_winsorized,
         "doc_unigram_logprob": q_doc_unigram_logprob,
@@ -2918,6 +2948,36 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    d["calendar_features"] = """
+        SELECT event_id,
+               CAST(hour(ts) AS INT) AS cal_hour,
+               CAST(isodow(ts) AS INT) AS cal_dow,
+               CAST(day(ts) AS INT) AS cal_dom,
+               CAST(month(ts) AS INT) AS cal_month,
+               isodow(ts) >= 6 AS cal_is_weekend
+        FROM events
+    """
+    d["rfm_features"] = f"""
+        WITH a AS (
+          SELECT user_id,
+                 ROUND((epoch_us(TIMESTAMP '{RFM_AS_OF}')
+                        - MAX(epoch_us(ts))) / 1000000.0, 6) AS recency_s,
+                 COUNT(*) AS frequency,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS monetary
+          FROM events
+          WHERE ts IS NOT NULL AND ts <= TIMESTAMP '{RFM_AS_OF}'
+          GROUP BY 1
+        )
+        SELECT user_id, frequency, monetary, recency_s,
+               CAST(6 - ntile(5) OVER (ORDER BY recency_s, user_id)
+                    AS INT) AS r_score,
+               CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                    AS INT) AS f_score,
+               CAST(6 - ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                    AS INT) AS m_score
+        FROM a
     """
     # same injection schedule as _pii_text / q_boilerplate_strip
     _pii_t = (

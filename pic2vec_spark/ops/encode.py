@@ -388,3 +388,80 @@ def winsorize(
             F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6),
         ),
     ).drop("__lo", "__hi")
+
+
+def calendar_features(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Calendar feature expansion of a timestamp column: hour-of-day,
+    day-of-week (1=Monday..7=Sunday, ISO — engine-portable, unlike
+    Spark's Sunday-first ``dayofweek``), day-of-month, month, and an
+    is_weekend flag — the standard temporal covariates for any
+    time-conditioned model.  Pure narrow projection (zero shuffle,
+    whole-stage codegen); NULL timestamps yield NULL features."""
+    t = F.col(ts_col).cast("timestamp")
+    # weekday(ts) is 0=Monday in Spark 4; +1 gives ISO (DuckDB isodow)
+    iso_dow = F.weekday(t) + 1
+    return df.withColumns(
+        {
+            "cal_hour": F.hour(t).cast("int"),
+            "cal_dow": iso_dow.cast("int"),
+            "cal_dom": F.dayofmonth(t).cast("int"),
+            "cal_month": F.month(t).cast("int"),
+            "cal_is_weekend": (F.weekday(t) >= 5).cast("boolean"),
+        }
+    )
+
+
+def rfm_features(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    as_of: str | None = None,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM behavioral features per entity — Recency (seconds since the
+    entity's last event at the ``as_of`` instant), Frequency (event
+    count), Monetary (exact decimal sum of value) — plus 1..n_bins
+    scores from ntile over each axis (classic quintile scoring; ties
+    broken by entity id so the scores are deterministic and
+    oracle-checkable).  ``as_of`` defaults must be supplied explicitly
+    (a wall-clock default would break reproducibility).
+
+    Plan: one entity aggregate (map-side partials) + three window
+    ntiles over the entities-sized aggregate — the expensive pass is
+    the single groupBy of the fact table."""
+    from pyspark.sql import Window
+
+    if as_of is None:
+        raise ValueError("rfm_features requires an explicit as_of timestamp")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    t = F.col(ts_col).cast("timestamp")
+    agg = (
+        df.filter(t.isNotNull() & (t <= F.lit(as_of).cast("timestamp")))
+        .groupBy(entity_col)
+        .agg(
+            (
+                F.unix_micros(F.lit(as_of).cast("timestamp"))
+                - F.max(F.unix_micros(t))
+            ).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"), 6
+            ).alias("monetary"),
+        )
+        .withColumn("recency_s", F.round(F.col("recency_us") / 1e6, 6))
+        .drop("recency_us")
+    )
+    e = F.col(entity_col)
+    r_w = Window.orderBy(F.col("recency_s").asc(), e.asc())   # fresher = higher score later
+    f_w = Window.orderBy(F.col("frequency").desc(), e.asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), e.asc())
+    return (
+        agg.withColumn("r_score", (F.lit(n_bins + 1) - F.ntile(n_bins).over(r_w)).cast("int"))
+        .withColumn("f_score", (F.lit(n_bins + 1) - F.ntile(n_bins).over(f_w)).cast("int"))
+        .withColumn("m_score", (F.lit(n_bins + 1) - F.ntile(n_bins).over(m_w)).cast("int"))
+    )

@@ -175,3 +175,53 @@ class TestFeatureCross:
         (got,) = feature_cross(df, ["c", "h"], 97, salt="cross").collect()
         want = int(hashlib.md5("crossa\x1f1".encode()).hexdigest()[:8], 16) % 97
         assert got["cross_bucket"] == want
+
+
+def test_calendar_features_iso_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.encode import calendar_features
+
+    # 2024-01-01 was a Monday; 2024-01-06 a Saturday; 2024-01-07 a Sunday
+    df = spark.createDataFrame(
+        [("2024-01-01 13:45:00",), ("2024-01-06 00:00:00",),
+         ("2024-01-07 23:59:59",), (None,)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = calendar_features(df).collect()
+    rows = {r["cal_dom"]: r for r in got}
+    assert (rows[1]["cal_dow"], rows[1]["cal_hour"], rows[1]["cal_is_weekend"]) == (1, 13, False)
+    assert (rows[6]["cal_dow"], rows[6]["cal_is_weekend"]) == (6, True)
+    assert (rows[7]["cal_dow"], rows[7]["cal_is_weekend"]) == (7, True)
+    assert rows[None]["cal_month"] is None
+
+
+def test_rfm_features_hand_fixture(spark):
+    from pic2vec_spark.ops.encode import rfm_features
+
+    rows = [
+        # user 1: recent + frequent + big spender
+        (1, "2024-01-30 00:00:00", 100.0),
+        (1, "2024-01-31 00:00:00", 100.0),
+        (1, "2024-01-20 00:00:00", 100.0),
+        # user 2: one old small event
+        (2, "2024-01-01 00:00:00", 1.0),
+        # user 3: events after as_of are invisible
+        (3, "2024-01-15 00:00:00", 10.0),
+        (3, "2024-03-01 00:00:00", 999.0),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {r["user_id"]: r for r in rfm_features(df, as_of="2024-02-01", n_bins=2).collect()}
+    assert got[1]["frequency"] == 3 and got[1]["monetary"] == 300.0
+    assert got[1]["recency_s"] == 86400.0  # one day before as_of
+    assert got[3]["frequency"] == 1 and got[3]["monetary"] == 10.0  # post-as_of hidden
+    # scores: user 1 is top bin (2 bins -> score 2) on all axes
+    assert (got[1]["r_score"], got[1]["f_score"], got[1]["m_score"]) == (2, 2, 2)
+    assert got[2]["r_score"] == 1 and got[2]["m_score"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rfm_features(df, as_of=None)
