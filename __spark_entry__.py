@@ -1127,6 +1127,23 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(docs, max_doc_frac=0.05)
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling (ops/sampling.temperature_sample):
+    a deliberately skewed source column (docs < 300 collapse to one
+    'big' source) sampled at alpha=0.5 toward a 200-row budget — the
+    mT5-style dial that keeps small sources represented.  Budgets =
+    floor(round(total * n^alpha / Z, 6)), rows by md5 rank."""
+    from pic2vec_spark.ops.sampling import temperature_sample
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") < 300, F.lit("big"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    return temperature_sample(docs, "source", "doc_id", alpha=0.5, total=200)
+
+
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar feature expansion (ops/encode.calendar_features):
     hour / ISO day-of-week / day-of-month / month / weekend flag —
@@ -2320,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": q_source_quota_sample,
         "pii_scrub": q_pii_scrub,
         "calendar_features": q_calendar_features,
+        "temperature_sample": q_temperature_sample,
         "rfm_features": q_rfm_features,
         "boilerplate_strip": q_boilerplate_strip,
         "value_winsorized": q_value_winsorized,
@@ -2948,6 +2966,32 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    d["temperature_sample"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id < 300 THEN 'big' ELSE source END AS source
+          FROM documents
+        ),
+        c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+        z AS (SELECT SUM(POW(n, 0.5)) AS z FROM c),
+        caps AS (
+          SELECT source,
+                 LEAST(n, CAST(FLOOR(ROUND(200.0 * POW(n, 0.5)
+                                           / (SELECT z FROM z), 6))
+                               AS BIGINT)) AS cap
+          FROM c
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('temp' || doc_id::VARCHAR), doc_id
+                 ) AS rk
+          FROM d
+        )
+        SELECT r.doc_id, r.source
+        FROM r JOIN caps USING (source) WHERE rk <= cap
     """
     d["calendar_features"] = """
         SELECT event_id,

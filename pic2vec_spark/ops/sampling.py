@@ -246,3 +246,61 @@ def quota_sample(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float,
+    total: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R recipe): draw
+    ~``total`` rows with per-source budgets proportional to
+    ``n_source^alpha`` — alpha=1 keeps natural proportions, alpha→0
+    flattens toward uniform-over-sources, the standard dial for keeping
+    low-resource sources represented without letting the head dominate.
+    Within each source, rows are chosen by the deterministic md5 rank
+    (same contract as quota_sample); a budget never exceeds the
+    source's size, so tiny sources contribute everything they have.
+
+    Budgets use ``floor(round(total * n^alpha / sum(n^alpha), 6))`` —
+    rounded before floor so the one transcendental (pow) cannot flip a
+    budget across engines at an integer boundary.  Plan: one source
+    count aggregate (tiny) broadcast back, one source-keyed rank window
+    with WindowGroupLimit-style pruning via the max budget.  Output =
+    input rows that made their source's budget."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    caps = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            F.least(
+                F.col("__n"),
+                F.floor(
+                    F.round(
+                        F.lit(float(total))
+                        * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+                        / F.col("__z"),
+                        6,
+                    )
+                ).cast("bigint"),
+            ).alias("__cap"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(caps), source_col)
+        .filter(F.col("__rk") <= F.col("__cap"))
+        .drop("__rk", "__cap")
+    )

@@ -3,6 +3,8 @@ determinism/partition invariance, NULL and quantile semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 
 
 def test_quota_sample_caps_and_is_deterministic(spark):
@@ -23,8 +25,7 @@ def test_quota_sample_caps_and_is_deterministic(spark):
     assert a == b
     # append stability direction: a kept row stays kept unless displaced
     # by a new row hashing ahead — with no new rows, identical
-    import pytest as _pt
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         quota_sample(df, "source", "doc_id", cap=0)
 
 
@@ -42,6 +43,32 @@ def test_winsorize_clamps_and_preserves_nulls(spark):
     # global (ungrouped) variant
     g = winsorize(df, "v", p_lo=0.1, p_hi=0.9)
     assert {r["v_wins"] for r in g.collect()} == set(got.values())
-    import pytest as _pt
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         winsorize(df, "v", p_lo=0.5, p_hi=0.5)
+
+
+def test_temperature_sample_flattens_toward_uniform(spark):
+    import math
+
+    from pic2vec_spark.ops.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # alpha=1: natural proportions (90/10); alpha=0: uniform budgets
+    nat = temperature_sample(df, "source", "doc_id", alpha=1.0, total=50)
+    flat = temperature_sample(df, "source", "doc_id", alpha=0.0, total=50)
+    n_nat = {r["source"]: r["count"] for r in nat.groupBy("source").count().collect()}
+    n_flat = {r["source"]: r["count"] for r in flat.groupBy("source").count().collect()}
+    assert n_nat == {"big": 45, "small": 5}
+    # alpha=0: each source weighted 1 -> floor(50/2)=25, small capped at 10
+    assert n_flat == {"big": 25, "small": 10}
+    # alpha=0.5 sits between
+    mid = temperature_sample(df, "source", "doc_id", alpha=0.5, total=50)
+    n_mid = {r["source"]: r["count"] for r in mid.groupBy("source").count().collect()}
+    w_big = math.sqrt(90) / (math.sqrt(90) + math.sqrt(10))
+    assert n_mid["big"] == int(round(50 * w_big, 6) // 1)
+    assert 5 < n_mid["small"] <= 10
+    with pytest.raises(ValueError):
+        temperature_sample(df, "source", "doc_id", alpha=1.5, total=50)
+    with pytest.raises(ValueError):
+        temperature_sample(df, "source", "doc_id", alpha=0.5, total=0)
