@@ -1010,6 +1010,27 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split: every member of a near-dup
+    cluster is keyed by its cluster REPRESENTATIVE (component min;
+    singletons by their own id) before the md5 split — so near-
+    duplicates can never straddle train and test, the duplicate-leakage
+    hole a naive per-row split leaves open (Lee et al. 2021).  Output:
+    (doc_id, rep, split)."""
+    from pic2vec_spark.ops.sampling import hash_split
+
+    clusters = q_neardup_clusters(spark, sf_dir)
+    rep = (
+        _documents(spark, sf_dir)
+        .select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep")
+        )
+    )
+    return hash_split(rep, key_col="rep", test_pct=10, salt="split")
+
+
 def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level tf-idf top-3 terms per document (term extraction →
     tf agg → vocabulary-sized idf broadcast join → WindowGroupLimit
@@ -2321,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_consensus": q_neardup_consensus,
         "neardup_clusters": q_neardup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "cluster_safe_split": q_cluster_safe_split,
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
         "walk_forward_splits": q_walk_forward_splits,
@@ -2878,6 +2900,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (
           SELECT doc_id FROM ({cc}) WHERE doc_id <> cluster_id
         )
+    """
+    d["cluster_safe_split"] = f"""
+        WITH c AS ({cc}),
+        rep AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep
+          FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, rep,
+               CASE WHEN CAST('0x' || substr(md5('split' || rep::VARCHAR), 1, 8)
+                         AS BIGINT) % 100 < 10
+                    THEN 'test' ELSE 'train' END AS split
+        FROM rep
     """
     d["doc_tfidf"] = """
         WITH terms AS (

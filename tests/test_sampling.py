@@ -72,3 +72,25 @@ def test_temperature_sample_flattens_toward_uniform(spark):
         temperature_sample(df, "source", "doc_id", alpha=1.5, total=50)
     with pytest.raises(ValueError):
         temperature_sample(df, "source", "doc_id", alpha=0.5, total=0)
+
+
+def test_cluster_safe_split_property(spark):
+    """Members of the same cluster always share a split; singletons use
+    their own id (so the assignment matches hash_split exactly)."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.sampling import hash_split
+
+    rows = [(i, i % 10) for i in range(200)]  # 10 clusters of 20
+    rep = spark.createDataFrame(rows, "doc_id bigint, rep bigint")
+    out = hash_split(rep, key_col="rep", test_pct=30, salt="split")
+    pdf = out.toPandas()
+    assert (pdf.groupby("rep")["split"].nunique() == 1).all()
+    # and singleton semantics: rep == doc_id behaves like plain split
+    single = spark.createDataFrame([(7, 7)], "doc_id bigint, rep bigint")
+    s1 = hash_split(single, key_col="rep", test_pct=30, salt="split").collect()[0]["split"]
+    s2 = hash_split(
+        spark.createDataFrame([(7,)], "doc_id bigint"),
+        key_col="doc_id", test_pct=30, salt="split",
+    ).collect()[0]["split"]
+    assert s1 == s2
