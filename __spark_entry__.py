@@ -1712,6 +1712,29 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(embs, k=KNN_K, queries=queries)
 
 
+def _jl_project_sql() -> str:
+    """Oracle for embedding_jl_project: generated with the IDENTICAL
+    seeded plane literals as the engine query (ops/knn contract)."""
+    from pic2vec_spark.ops.knn import random_projection_sql
+
+    return random_projection_sql(
+        "embeddings", "vec_id", "embedding", out_dim=16, seed=7, dim=64
+    )
+
+
+def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (ops/knn.
+    random_projection): 64-dim embeddings compressed to 16 dims with a
+    seeded Gaussian plane set — long-form output; the oracle embeds the
+    identical plane literals."""
+    from pic2vec_spark.ops.knn import random_projection
+
+    return random_projection(
+        _embeddings(spark, sf_dir), "vec_id", "embedding",
+        out_dim=16, seed=7, dim=64,
+    )
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion (ops/rank.rrf_fuse):
     fuse an embedding ranking (cosine top-10) with a lexical ranking
@@ -2374,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_delete": q_features_delete,
         "hard_negatives": q_hard_negatives,
         "hybrid_rrf": q_hybrid_rrf,
+        "embedding_jl_project": q_embedding_jl_project,
         "lineage_reconcile": q_lineage_reconcile,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -3755,6 +3779,7 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
         """,
+        "embedding_jl_project": _jl_project_sql(),
         "hybrid_rrf": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

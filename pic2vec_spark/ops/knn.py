@@ -716,3 +716,85 @@ def hard_negatives(
             "cos", "rk",
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress embeddings to
+    ``out_dim`` dimensions via a seeded Gaussian plane set scaled by
+    1/sqrt(out_dim) (pairwise distances preserved within the JL bound)
+    — the cheap pre-pass that makes downstream ANN / dedup / clustering
+    state out_dim/dim smaller at 10^12-vector scale.
+
+    Output is LONG form — (id_col, dim_idx, value) — so the result is
+    engine-comparable without array-rendering ambiguity.  Planes come
+    from the same seeded RNG as the LSH operators and are embedded as
+    literals in the DuckDB oracle; the Arrow UDF accumulates
+    dimension-at-a-time for bit-parity with list_dot_product (the
+    _all_signatures contract).  NULL / short vectors are dropped (no
+    projection exists).  Narrow map — zero shuffle."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        if first is None or first[0] is None:
+            raise ValueError("cannot infer dim from an empty frame")
+        dim = int(first[0])
+    planes = _hyperplanes(dim, out_dim, 1, seed)[0] / np.sqrt(out_dim)
+    pmat = np.ascontiguousarray(planes, dtype=np.float64)  # (out_dim, dim)
+
+    @F.pandas_udf("array<double>")
+    def proj(v):
+        n = len(v)
+        res = [None] * n
+        ok = np.array([x is not None and len(x) >= dim for x in v], dtype=bool)
+        if ok.any():
+            e = np.zeros((int(ok.sum()), dim), dtype=np.float64)
+            for r, x in enumerate(v[ok]):
+                e[r, :] = x[:dim]
+            dots = np.zeros((e.shape[0], pmat.shape[0]), dtype=np.float64)
+            for i in range(dim):  # left-to-right per-row sums (parity)
+                dots += e[:, i][:, None] * pmat[None, :, i]
+            for r, idx in enumerate(np.nonzero(ok)[0]):
+                res[int(idx)] = dots[r]
+        return pd.Series(res)
+
+    return (
+        df.select(id_col, proj(F.col(vec_col)).alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .select(id_col, F.posexplode("__p").alias("dim_idx", "__v"))
+        # round JVM-side: F.round is HALF_UP like DuckDB's ROUND
+        # (np.round is half-even — a silent cross-engine divergence)
+        .select(id_col, "dim_idx", F.round("__v", 6).alias("value"))
+    )
+
+
+def random_projection_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for ``random_projection``: the SAME seeded planes
+    as literal arrays, list_dot_product per output dimension (identical
+    left-to-right double sums), unioned into long form."""
+    planes = _hyperplanes(dim, out_dim, 1, seed)[0] / np.sqrt(out_dim)
+    selects = []
+    for j in range(out_dim):
+        lits = ", ".join(repr(float(x)) for x in planes[j])
+        selects.append(
+            f"SELECT {id_col}, {j} AS dim_idx, "
+            f"ROUND(list_dot_product(list_transform({vec_col}, "
+            f"x -> CAST(x AS DOUBLE)), [{lits}]), 6) AS value "
+            f"FROM {table} WHERE {vec_col} IS NOT NULL "
+            f"AND len({vec_col}) >= {dim}"
+        )
+    return " UNION ALL ".join(selects)

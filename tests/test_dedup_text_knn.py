@@ -647,3 +647,36 @@ def test_rrf_fuse_hand_fixture(spark):
         rrf_fuse([a])
     with pytest.raises(ValueError):
         rrf_fuse([a, b], k=0)
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.knn import random_projection
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows.append((99, None))       # dropped
+    rows.append((98, [1.0, 2.0]))  # too short: dropped
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = random_projection(df, out_dim=24, seed=7, dim=64).toPandas()
+    assert set(out.vec_id) == set(range(40))
+    assert out.groupby("vec_id").size().eq(24).all()
+    proj = {
+        i: g.sort_values("dim_idx")["value"].to_numpy()
+        for i, g in out.groupby("vec_id")
+    }
+    # JL property: pairwise sq-distances preserved within a loose factor
+    pairs = [(0, 1), (2, 3), (10, 30), (5, 25)]
+    for i, j in pairs:
+        d_orig = float(((vecs[i] - vecs[j]) ** 2).sum())
+        d_proj = float(((proj[i] - proj[j]) ** 2).sum())
+        assert 0.4 * d_orig < d_proj < 1.8 * d_orig
+    # determinism across partitionings
+    again = random_projection(df.repartition(5), out_dim=24, seed=7, dim=64).toPandas()
+    merged = out.merge(again, on=["vec_id", "dim_idx"])
+    assert (merged.value_x == merged.value_y).all()
+    with pytest.raises(ValueError):
+        random_projection(df, out_dim=0, dim=64)
