@@ -1031,6 +1031,20 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(rep, key_col="rep", test_pct=10, salt="split")
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment C(A→B) = |A∩B| / |A| over shingle sets
+    (ops/dedup.containment_pairs): the asymmetric dedup criterion that
+    catches a document QUOTED or wholly included in a larger one, which
+    Jaccard misses when the container dwarfs the contained.  Directed
+    output (id_small → id_big)."""
+    from pic2vec_spark.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _documents(spark, sf_dir), "doc_id", "text",
+        n=JACCARD_N, threshold=0.5,
+    )
+
+
 def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level tf-idf top-3 terms per document (term extraction →
     tf agg → vocabulary-sized idf broadcast join → WindowGroupLimit
@@ -2366,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "cluster_safe_split": q_cluster_safe_split,
+        "dedup_containment": q_dedup_containment,
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
         "walk_forward_splits": q_walk_forward_splits,
@@ -3744,6 +3759,34 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE ROUND(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_containment": f"""
+            WITH {_SQL_SHINGLES},
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            paired AS (
+              SELECT id1, id2, inter, s1.sz AS sz1, s2.sz AS sz2
+              FROM inter
+              JOIN sizes s1 ON s1.doc_id = id1
+              JOIN sizes s2 ON s2.doc_id = id2
+            ),
+            directed AS (
+              SELECT CASE WHEN sz1 < sz2 OR (sz1 = sz2 AND id1 < id2)
+                          THEN id1 ELSE id2 END AS id_small,
+                     CASE WHEN sz1 < sz2 OR (sz1 = sz2 AND id1 < id2)
+                          THEN id2 ELSE id1 END AS id_big,
+                     inter,
+                     ROUND(inter / CAST(CASE WHEN sz1 < sz2
+                                              OR (sz1 = sz2 AND id1 < id2)
+                                             THEN sz1 ELSE sz2 END
+                                        AS DOUBLE), 4) AS containment
+              FROM paired
+            )
+            SELECT * FROM directed WHERE containment >= 0.5
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "doc_simhash": _simhash_sql(),

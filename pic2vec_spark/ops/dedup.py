@@ -130,6 +130,65 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT: ``C(A->B) = |A ∩ B| / |A|`` — the
+    asymmetric cousin of Jaccard that catches SUBSET duplication
+    (a document quoted or wholly included inside a larger one), which
+    Jaccard misses whenever the container is much bigger than the
+    contained (J = |∩|/|∪| shrinks with the union; C does not).
+    Broder's containment measure; the dedup criterion for quote-heavy
+    corpora and boilerplate-wrapped reposts.
+
+    Output: DIRECTED pairs (id_small, id_big, inter, containment) with
+    containment(small -> big) >= threshold; id_small is the contained
+    (smaller shingle set; ties by id).  Same plan shape and skew note
+    as jaccard_pairs — shingle self-join, one shuffle on the shingle
+    hash, sizes broadcast back."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id1"), "sh")
+    b = sh.select(F.col(id_col).alias("id2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    paired = (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("sz", "sz1"),
+            "id1",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("sz", "sz2"),
+            "id2",
+        )
+    )
+    small_first = F.col("sz1") < F.col("sz2")
+    tie = (F.col("sz1") == F.col("sz2")) & (F.col("id1") < F.col("id2"))
+    out = paired.select(
+        F.when(small_first | tie, F.col("id1")).otherwise(F.col("id2")).alias(
+            "id_small"
+        ),
+        F.when(small_first | tie, F.col("id2")).otherwise(F.col("id1")).alias(
+            "id_big"
+        ),
+        "inter",
+        F.round(
+            F.col("inter")
+            / F.when(small_first | tie, F.col("sz1")).otherwise(F.col("sz2")),
+            4,
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 # --------------------------------------------------------------- minhash
 
 def minhash_signatures(

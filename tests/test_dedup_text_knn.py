@@ -680,3 +680,28 @@ def test_random_projection_preserves_distances(spark):
     assert (merged.value_x == merged.value_y).all()
     with pytest.raises(ValueError):
         random_projection(df, out_dim=0, dim=64)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from pic2vec_spark.ops.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    container = quote + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, container), (3, "totally unrelated words here")],
+        "doc_id bigint, text string",
+    )
+    cont = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    # the small doc's 4 shingles all appear in the container: C = 1.0
+    assert (r["id_small"], r["id_big"], r["containment"]) == (1, 2, 1.0)
+    # Jaccard misses it at any near-dup threshold (union is huge)
+    jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []
+    # symmetric-size tie breaks by id and direction stays deterministic
+    tie = spark.createDataFrame(
+        [(10, "a b c d"), (11, "a b c d")], "doc_id bigint, text string"
+    )
+    t = containment_pairs(tie, "doc_id", "text", n=3, threshold=0.5).collect()[0]
+    assert (t["id_small"], t["id_big"]) == (10, 11)
