@@ -1179,6 +1179,25 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "source", "doc_id", alpha=0.5, total=200)
 
 
+def q_value_imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean imputation (ops/encode.impute): every 11th
+    event's value is NULLed (the synthetic column has no organic
+    missingness), then filled with its event_type's decimal-exact mean;
+    the was_null indicator is kept as a feature."""
+    from pic2vec_spark.ops.encode import impute
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = impute(ev, "value", strategy="mean", group_col="event_type")
+    return out.select(
+        "event_id", "event_type", "value", "value_was_null", "value_imputed"
+    )
+
+
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar feature expansion (ops/encode.calendar_features):
     hour / ISO day-of-week / day-of-month / month / weekend flag —
@@ -2398,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "calendar_features": q_calendar_features,
         "temperature_sample": q_temperature_sample,
+        "value_imputed": q_value_imputed,
         "rfm_features": q_rfm_features,
         "boilerplate_strip": q_boilerplate_strip,
         "value_winsorized": q_value_winsorized,
@@ -3039,6 +3059,23 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON e.user_id = c.c_custkey
                 WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL) = 0
+    """
+    d["value_imputed"] = """
+        WITH d AS (
+          SELECT event_id, event_type,
+                 CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+          FROM events
+        ),
+        f AS (
+          SELECT event_type,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(value), 6) AS fill
+          FROM d GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type, d.value,
+               d.value IS NULL AS value_was_null,
+               COALESCE(d.value, f.fill) AS value_imputed
+        FROM d LEFT JOIN f USING (event_type)
     """
     d["temperature_sample"] = """
         WITH d AS (

@@ -465,3 +465,73 @@ def rfm_features(
         .withColumn("f_score", (F.lit(n_bins + 1) - F.ntile(n_bins).over(f_w)).cast("int"))
         .withColumn("m_score", (F.lit(n_bins + 1) - F.ntile(n_bins).over(m_w)).cast("int"))
     )
+
+
+def impute(
+    df: DataFrame,
+    value_col: str,
+    strategy: str = "mean",
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """NULL imputation: fill missing values with the (optionally
+    per-group) mean / median / mode — the last transform before a model
+    sees a numeric column.  Adds ``{value_col}_imputed`` plus a
+    ``{value_col}_was_null`` indicator (the missingness signal is a
+    feature; silently erasing it loses information — same reasoning as
+    the featurizer's ``{col}_missing`` column).
+
+    Determinism: mean uses the order-proof decimal-sum pattern, median
+    the engine-shared exact percentile, mode breaks count ties by the
+    smallest value.  A group whose statistic is undefined (all NULL)
+    leaves its rows NULL (imputing across groups would leak).  Plan:
+    one grouped (or global) aggregate broadcast back + a narrow
+    projection; mode's rank window runs over the distinct-values count
+    table, never the rows."""
+    from pyspark.sql import Window
+
+    if strategy not in ("mean", "median", "mode"):
+        raise ValueError(f"unknown strategy {strategy!r}: mean|median|mode")
+    out_col = out_col or f"{value_col}_imputed"
+    v = F.col(value_col).cast("double")
+    groups = [group_col] if group_col else []
+    if strategy == "mean":
+        stat = F.round(
+            F.sum(v.cast("decimal(18,6)")).cast("double") / F.count(v), 6
+        ).alias("__fill")
+        fills = df.groupBy(*groups).agg(stat) if groups else df.agg(stat)
+    elif strategy == "median":
+        stat = F.round(F.percentile(v, F.lit(0.5)), 6).alias("__fill")
+        fills = df.groupBy(*groups).agg(stat) if groups else df.agg(stat)
+    else:  # mode: most frequent value, count ties -> smallest value
+        counts = (
+            df.filter(v.isNotNull())
+            .groupBy(*groups, v.alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        w = Window.partitionBy(*groups).orderBy(
+            F.desc("__cnt"), F.col("__val").asc()
+        )
+        fills = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(*groups, F.col("__val").alias("__fill"))
+        )
+    if group_col:
+        joined = df.join(F.broadcast(fills), group_col, "left")
+    else:
+        # constant-key LEFT join, not crossJoin: an EMPTY fills frame
+        # (global mode over all-NULL input) must keep the rows, not
+        # annihilate them
+        joined = (
+            df.withColumn("__j", F.lit(1))
+            .join(
+                F.broadcast(fills.withColumn("__j", F.lit(1))), "__j", "left"
+            )
+            .drop("__j")
+        )
+    return (
+        joined.withColumn(f"{value_col}_was_null", v.isNull())
+        .withColumn(out_col, F.coalesce(v, F.col("__fill")))
+        .drop("__fill")
+    )

@@ -225,3 +225,42 @@ def test_rfm_features_hand_fixture(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         rfm_features(df, as_of=None)
+
+
+def test_impute_strategies_hand_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.encode import impute
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", None),
+        ("b", 10.0), ("b", None),
+        ("c", None),  # all-NULL group: stays NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    mean = {(r["g"], r["v"]): r["v_imputed"]
+            for r in impute(df, "v", "mean", "g").collect()}
+    assert mean[("a", None)] == pytest.approx(round(5 / 3, 6), abs=1e-9)
+    assert mean[("b", None)] == 10.0
+    assert mean[("c", None)] is None
+    med = {(r["g"], r["v"]): r["v_imputed"]
+           for r in impute(df, "v", "median", "g").collect()}
+    assert med[("a", None)] == 2.0
+    mode = {(r["g"], r["v"]): r["v_imputed"]
+            for r in impute(df, "v", "mode", "g").collect()}
+    assert mode[("a", None)] == 2.0  # most frequent
+    assert mode[("c", None)] is None
+    # was_null indicator preserved, non-null rows untouched
+    out = impute(df, "v", "mean", "g").collect()
+    assert all((r["v"] is None) == r["v_was_null"] for r in out)
+    assert all(r["v_imputed"] == r["v"] for r in out if r["v"] is not None)
+    # global mode over all-NULL input keeps rows (left-join guard)
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    g = impute(allnull, "v", "mode").collect()
+    assert len(g) == 2 and all(r["v_imputed"] is None for r in g)
+    # mode ties break to the smallest value
+    tie = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+    t = {r["v"]: r["v_imputed"] for r in impute(tie, "v", "mode").collect()}
+    assert t[None] == 1.0
+    with pytest.raises(ValueError):
+        impute(df, "v", "nope")
