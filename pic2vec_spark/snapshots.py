@@ -143,11 +143,15 @@ class SnapshotTable:
                 return True
             parts = [p for p in parts if keep(p)]
         files = [str(self.data_dir / p["file"]) for p in parts if p["rows"] > 0]
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
         if not files:
-            return self.spark.createDataFrame(
-                [], schema=T.StructType.fromJson(json.loads(man["schema"]))
-            )
-        return self.spark.read.parquet(*files)
+            return self.spark.createDataFrame([], schema=schema)
+        # read under the MANIFEST schema, not footer inference: after a
+        # schema-evolving append (add-column), files written before the
+        # evolution lack the new column and must surface it as NULL —
+        # and a scan's schema must never depend on which footer the
+        # reader sampled first
+        return self.spark.read.schema(schema).parquet(*files)
 
     def lineage(self, snapshot_id: str | None = None) -> pd.DataFrame:
         man = self.manifest(snapshot_id)
@@ -191,14 +195,48 @@ class SnapshotTable:
         num_partitions: int | None = None,
         stats_cols: list[str] | None = None,
         properties: dict | None = None,
+        allow_evolution: bool = False,
     ) -> str:
         """Iceberg-style APPEND snapshot: new data files are written for
         ``df`` only; the manifest carries the parent's partitions forward
         untouched (their files are never rewritten).  This is the
         incremental-ingest path: commit cost is proportional to the NEW
         data, not the table.  ``properties`` default to the parent's
-        (carried forward across appends)."""
+        (carried forward across appends).
+
+        Schema contract: ``df`` must carry every parent column with the
+        same type (dropping or retyping a column raises — silent drift
+        is how feature stores rot).  EXTRA columns are the add-column
+        evolution path and require ``allow_evolution=True``: the
+        manifest schema advances to the union and ``scan`` (manifest-
+        schema read) surfaces the new column as NULL for pre-evolution
+        files — old data files are never rewritten."""
         parent_man = self.manifest()
+        if parent_man is not None:
+            old = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(
+                    json.loads(parent_man["schema"])
+                ).fields
+            }
+            new = {f.name: f.dataType for f in df.schema.fields}
+            missing = sorted(n for n in old if n not in new)
+            retyped = sorted(
+                n for n, t in old.items() if n in new and new[n] != t
+            )
+            if missing or retyped:
+                raise ValueError(
+                    f"append schema mismatch: missing columns {missing}, "
+                    f"retyped columns {retyped} — appends must carry every "
+                    "parent column with its type"
+                )
+            extra = sorted(n for n in new if n not in old)
+            if extra and not allow_evolution:
+                raise ValueError(
+                    f"append adds new columns {extra}; pass "
+                    "allow_evolution=True to evolve the table schema "
+                    "(older files will scan with NULLs in them)"
+                )
         carry = list(parent_man["partitions"]) if parent_man else []
         pid_offset = (max((p["pid"] for p in carry), default=-1)) + 1
         sid = time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]

@@ -332,3 +332,39 @@ def test_delete_without_stats_and_errors(spark, events, tmp_path):
     t.delete(doomed, key="event_id")
     assert t.scan().count() == n - 25
     assert t.manifest()["properties"]["delete_touched"] == 4
+
+
+def test_append_schema_evolution(spark, events, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    base = events.select("event_id", "user_id", "value")
+    t.write(base.limit(100), num_partitions=2)
+    extra = (
+        base.exceptAll(base.limit(100)).limit(50)
+        .withColumn("quality", F.lit(0.9))
+    )
+    # evolution is opt-in
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.append(extra, num_partitions=1)
+    t.append(extra, num_partitions=1, allow_evolution=True)
+    back = t.scan()
+    assert set(back.columns) == {"event_id", "user_id", "value", "quality"}
+    pdf = back.toPandas()
+    assert len(pdf) == 150
+    # pre-evolution rows surface NULL in the new column
+    assert pdf.quality.isna().sum() == 100
+    assert (pdf.quality.dropna() == 0.9).all()
+    # dropping or retyping a column is refused outright
+    with pytest.raises(ValueError, match="missing columns"):
+        t.append(extra.drop("value"), num_partitions=1, allow_evolution=True)
+    with pytest.raises(ValueError, match="retyped columns"):
+        t.append(
+            extra.withColumn("value", F.col("value").cast("string")),
+            num_partitions=1, allow_evolution=True,
+        )
+    # time travel: the pre-evolution snapshot still scans with ITS schema
+    first = t.manifest(t.manifest()["parent"])
+    assert first is not None
+    old = t.scan(first["snapshot_id"])
+    assert "quality" not in old.columns and old.count() == 100
