@@ -1694,6 +1694,51 @@ def q_features_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read between snapshots (snapshots.snapshot_diff):
+    replay the features_upsert recipe (BUILDING balances +100, 20 new
+    keys), then diff parent → current.  Copy-on-write means only
+    churned files are read (carried partitions are skipped by file
+    identity), and unchanged rows inside churned files drop out via
+    struct equality.  The oracle derives the exact expected changelog
+    from the same recipe."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.snapshots import SnapshotTable, snapshot_diff
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        (F.col("c_custkey") / 100).cast("long").alias("key_bucket"),
+    )
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    inserts = cust.filter(F.col("c_custkey") <= 20).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit(-1.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        ((F.col("c_custkey") + 1_000_000) / 100).cast("long").alias("key_bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="drv_cdc_")
+    try:
+        table = SnapshotTable(root, spark)
+        table.write(
+            cust, partition_by="key_bucket", num_partitions=16,
+            stats_cols=["c_custkey"],
+        )
+        table.merge(updates.unionByName(inserts), "c_custkey")
+        out = snapshot_diff(table, "c_custkey").select(
+            "change",
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        return spark.createDataFrame(out.toPandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_lineage_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage-vs-data consistency, oracle-checked: the sum of the
     manifest's per-partition lineage row counts and the actual scanned
@@ -2430,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_lineage": q_snapshot_lineage,
         "features_upsert": q_features_upsert,
         "features_delete": q_features_delete,
+        "snapshot_cdc_diff": q_snapshot_cdc_diff,
         "hard_negatives": q_hard_negatives,
         "hybrid_rrf": q_hybrid_rrf,
         "embedding_jl_project": q_embedding_jl_project,
@@ -4228,6 +4274,17 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT c_custkey AS custkey, c_acctbal AS acctbal,
                    c_mktsegment AS mktsegment
             FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        """,
+        "snapshot_cdc_diff": """
+            SELECT 'update_pre' AS change, c_custkey AS custkey,
+                   c_acctbal AS acctbal, c_mktsegment AS mktsegment
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT 'update_post', c_custkey, c_acctbal + 100.0, c_mktsegment
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT 'insert', c_custkey + 1000000, -1.0, 'NEW'
+            FROM customer WHERE c_custkey <= 20
         """,
         "lineage_reconcile": """
             SELECT COUNT(*) AS lineage_rows, COUNT(*) AS scanned_rows,

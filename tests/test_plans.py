@@ -36,6 +36,7 @@ EAGER = {
     # returned frames are driver-built report rows (no UDF surface)
     "snapshot_compaction",
     "features_delete",
+    "snapshot_cdc_diff",
 }
 
 

@@ -368,3 +368,51 @@ def test_append_schema_evolution(spark, events, tmp_path):
     assert first is not None
     old = t.scan(first["snapshot_id"])
     assert "quality" not in old.columns and old.count() == 100
+
+
+def test_snapshot_diff_reads_only_churn(spark, events, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.snapshots import snapshot_diff
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    ev = events.select("event_id", "user_id", "value").withColumn(
+        "key_bucket", (F.col("event_id") / 100).cast("long")
+    )
+    t.write(ev, partition_by="key_bucket", num_partitions=8,
+            stats_cols=["event_id"])
+    # updates: bump 3 known keys; insert 1; delete 2 (via merge+delete)
+    upd = ev.filter(F.col("event_id").isin(5, 6, 7)).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    ins = spark.createDataFrame(
+        [(10**9, 1, 42.0, 10**7)],
+        "event_id bigint, user_id bigint, value double, key_bucket bigint",
+    )
+    t.merge(upd.unionByName(ins), key="event_id", stats_cols=["event_id"])
+    mid = t.current_snapshot_id()
+    diff1 = snapshot_diff(t, "event_id").toPandas()
+    by = diff1.groupby("change").size().to_dict()
+    assert by.get("insert", 0) == 1
+    assert by.get("update_pre", 0) == 3 and by.get("update_post", 0) == 3
+    assert by.get("delete", 0) in (0, None) or "delete" not in by
+    pre = diff1[diff1.change == "update_pre"].set_index("event_id")["value"]
+    post = diff1[diff1.change == "update_post"].set_index("event_id")["value"]
+    import numpy as np
+
+    assert np.allclose((post - pre).values, 1000.0)
+
+    t.delete(spark.createDataFrame([(5,), (10**9,)], "event_id bigint"),
+             key="event_id")
+    diff2 = snapshot_diff(t, "event_id", old_sid=mid).toPandas()
+    assert (diff2.change == "delete").all() and len(diff2) == 2
+    assert set(diff2.event_id) == {5, 10**9}
+    # chained diff across two commits: old grandparent -> current
+    diff3 = snapshot_diff(
+        t, "event_id", old_sid=t.manifest(mid)["parent"]
+    ).toPandas()
+    b3 = diff3.groupby("change").size().to_dict()
+    # key 5: updated then deleted -> net delete; 10**9 inserted+deleted -> absent
+    assert b3 == {"delete": 1, "update_pre": 2, "update_post": 2}
+    with pytest.raises(ValueError):
+        snapshot_diff(t, "event_id", old_sid=None, new_sid=t.manifest(mid)["parent"])
