@@ -176,7 +176,10 @@ def main() -> None:
     # whoever else is on the box.  The best run is the least-interfered
     # estimate of the ENGINE's throughput; all samples are reported.
     flagship_runs = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))):
+    # best-of-3 by default: the host's tenant steal swings 5x within a
+    # single run (see cpu_probe fields); 3 samples materially improve
+    # the odds one lands in a calm stretch
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))):
         t0 = time.perf_counter()
         _force(flagship(spark, sf_dir, N_BENCH_IMAGES, images=images))
         flagship_runs.append(round(time.perf_counter() - t0, 3))
