@@ -1940,10 +1940,13 @@ def q_caption_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding per row, the input_hint's image+caption pair); over the
     binary image table the same composition runs with compute_phash +
     hamming_neardup_pairs as the image side.  Both member operators are
-    scale-safe (shingle buckets / guarded exact path with an LSH
-    counterpart); the conflict joins are pair-keyed anti-joins."""
+    scale-safe NEVER-all-pairs paths: shingle buckets on the text side,
+    hyperplane-LSH buckets + exact cosine re-rank on the embedding side
+    (cosine_neardup_pairs_lsh — the exact O(n^2) path would raise at
+    >100k embeddings and dominated the sf0.1 bench at 133 s); the
+    conflict joins are pair-keyed anti-joins."""
     from pic2vec_spark.ops.dedup import jaccard_pairs
-    from pic2vec_spark.ops.knn import cosine_neardup_pairs
+    from pic2vec_spark.ops.knn import cosine_neardup_pairs_lsh
 
     # both pair sets feed BOTH anti-join branches — materialize them
     # once (localCheckpoint, NOT cache: CacheManager entries outlive
@@ -1954,7 +1957,7 @@ def q_caption_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir), "doc_id", "text",
         n=JACCARD_N, threshold=JACCARD_THRESHOLD,
     ).select("id1", "id2").localCheckpoint(eager=True)
-    emb_pairs = cosine_neardup_pairs(
+    emb_pairs = cosine_neardup_pairs_lsh(
         _embeddings(spark, sf_dir), threshold=NEARDUP_COS
     ).select("id1", "id2").localCheckpoint(eager=True)
     text_only = text_pairs.join(emb_pairs, ["id1", "id2"], "left_anti").select(
@@ -2827,8 +2830,8 @@ def _doc_repetition_sql() -> str:
         SELECT doc_id, n_tokens, ttr, top_token_frac, top_bigram_frac,
                dup_trigram_frac,
                (ttr >= {REPETITION_MIN_TTR}
-                AND top_bigram_frac <= {REPETITION_MAX_TOP_BIGRAM}
-                AND dup_trigram_frac <= {REPETITION_MAX_DUP_TRIGRAM})
+                AND COALESCE(top_bigram_frac <= {REPETITION_MAX_TOP_BIGRAM}, TRUE)
+                AND COALESCE(dup_trigram_frac <= {REPETITION_MAX_DUP_TRIGRAM}, TRUE))
                  AS repetition_keep
         FROM m
     """
@@ -3993,11 +3996,11 @@ def _oracle_sql_base() -> dict[str, str]:
               WHERE ROUND(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4)
                     >= {JACCARD_THRESHOLD}
             ),
-            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
             ep AS (
-              SELECT a.vec_id AS id1, b.vec_id AS id2
-              FROM v a JOIN v b ON a.vec_id < b.vec_id
-              WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {NEARDUP_COS}
+              -- embedding side mirrors the Spark LSH composition:
+              -- same hyperplane literals, bucket candidates, exact
+              -- cosine re-rank (never all-pairs)
+              SELECT id1, id2 FROM ({_embedding_neardup_lsh_sql()})
             )
             SELECT id1, id2, 'text_near_embedding_far' AS conflict
             FROM tp WHERE NOT EXISTS (
@@ -4510,7 +4513,8 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT dev.event_type, COUNT(value) AS n, ROUND(FIRST(dev.m), 6) AS med,
                    ROUND(FIRST(mad.md), 6) AS mad,
-                   SUM(CASE WHEN dev.adev > 3.0 * mad.md THEN 1 ELSE 0 END) AS n_outliers
+                   CAST(SUM(CASE WHEN dev.adev > 3.0 * mad.md THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
             FROM dev JOIN mad ON dev.event_type = mad.event_type
             GROUP BY dev.event_type
         """,

@@ -71,6 +71,44 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def drop_hot_shingles(
+    sh: DataFrame,
+    id_col: str,
+    max_df: int | float,
+) -> DataFrame:
+    """Drop shingles whose DOCUMENT FREQUENCY exceeds ``max_df`` — the
+    skew mitigation for the shingle self-join in jaccard_pairs /
+    containment_pairs.  Stopword shingles ("of the and", boilerplate
+    headers) appear in a huge fraction of a real corpus: each such
+    shingle contributes O(df^2) candidate pairs and lands them all in
+    ONE shuffle partition, while carrying essentially no dedup signal.
+
+    ``max_df`` is an absolute document count (int) or a corpus fraction
+    (float in (0, 1], resolved against the distinct-doc count of ``sh``
+    — one cheap agg).  Scale shape: the hot set is by construction tiny
+    (only shingles with df > cap), so it broadcasts and the filter is a
+    broadcast LEFT ANTI join — the big (id, sh) relation is never
+    shuffled to apply the cap."""
+    if isinstance(max_df, float):
+        if not (0.0 < max_df <= 1.0):
+            raise ValueError(
+                f"fractional max_df must be in (0, 1], got {max_df}"
+            )
+        n_docs = sh.select(id_col).distinct().count()
+        cap = max(1, int(max_df * n_docs))
+    else:
+        if max_df < 1:
+            raise ValueError(f"absolute max_df must be >= 1, got {max_df}")
+        cap = int(max_df)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
 # ----------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -94,18 +132,27 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     plan: shingles -> self-join on shingle (id1 < id2) -> |∩| counts ->
     join per-doc sizes -> J = inter / (|A| + |B| - inter) >= threshold.
     The self-join shuffles on the shingle hash; hot shingles are the
-    skew risk — at scale, drop top-frequency shingles first (stopword
-    shingles carry no dedup signal)."""
+    skew risk — ``max_df`` (absolute count or corpus fraction) drops
+    top-frequency shingles before the self-join via a broadcast
+    anti-join (see drop_hot_shingles): stopword shingles carry no dedup
+    signal but each contributes O(df^2) pairs to one shuffle partition.
+    With ``max_df`` set, Jaccard is computed over the REDUCED shingle
+    space (sizes and intersections both exclude dropped shingles) — the
+    standard df-capped similarity.  ``max_df=None`` (default) keeps the
+    exact full-space semantics."""
     # no .cache(): a session-lifetime cache here leaks storage memory on
     # every call; shingle generation is cheap JVM work and Spark reuses
     # the shuffle outputs of the shared subtree anyway
     sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = drop_hot_shingles(sh, id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id1"), "sh")
     b = sh.select(F.col(id_col).alias("id2"), "sh")
@@ -136,6 +183,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT: ``C(A->B) = |A ∩ B| / |A|`` — the
     asymmetric cousin of Jaccard that catches SUBSET duplication
@@ -147,10 +195,12 @@ def containment_pairs(
 
     Output: DIRECTED pairs (id_small, id_big, inter, containment) with
     containment(small -> big) >= threshold; id_small is the contained
-    (smaller shingle set; ties by id).  Same plan shape and skew note
-    as jaccard_pairs — shingle self-join, one shuffle on the shingle
-    hash, sizes broadcast back."""
+    (smaller shingle set; ties by id).  Same plan shape, skew note, and
+    ``max_df`` hot-shingle mitigation as jaccard_pairs — shingle
+    self-join, one shuffle on the shingle hash, sizes broadcast back."""
     sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = drop_hot_shingles(sh, id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id1"), "sh")
     b = sh.select(F.col(id_col).alias("id2"), "sh")

@@ -383,10 +383,21 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             }
         )
         .withColumn(
+            # short docs (<2 tokens: no bigrams; <3: no trigrams) have
+            # NULL n-gram fractions; a missing check PASSES (such a doc
+            # cannot be n-gram-repetitive), so keep is always a defined
+            # boolean — filter(keep) / filter(~keep) never silently drop
+            # short docs to three-valued NULL logic
             "repetition_keep",
             (F.col("ttr") >= REPETITION_MIN_TTR)
-            & (F.col("top_bigram_frac") <= REPETITION_MAX_TOP_BIGRAM)
-            & (F.col("dup_trigram_frac") <= REPETITION_MAX_DUP_TRIGRAM),
+            & F.coalesce(
+                F.col("top_bigram_frac") <= REPETITION_MAX_TOP_BIGRAM,
+                F.lit(True),
+            )
+            & F.coalesce(
+                F.col("dup_trigram_frac") <= REPETITION_MAX_DUP_TRIGRAM,
+                F.lit(True),
+            ),
         )
         .drop("_toks", "_bi", "_tri")
     )

@@ -400,7 +400,11 @@ class SnapshotTable:
         carry = [p for p in parts if p["pid"] not in touched_pids]
         schema = T.StructType.fromJson(json.loads(man["schema"]))
         if touched:
-            old = self.spark.read.parquet(
+            # read under the MANIFEST schema, never footer inference:
+            # after a schema-evolving append, touched files written
+            # before the evolution lack the new column — footer sampling
+            # would either narrow the committed schema or fail unionByName
+            old = self.spark.read.schema(schema).parquet(
                 *[str(self.data_dir / p["file"]) for p in touched]
             )
         else:
@@ -489,7 +493,9 @@ class SnapshotTable:
         carry = [p for p in parts if p["pid"] not in touched_pids]
         schema = T.StructType.fromJson(json.loads(man["schema"]))
         if touched:
-            old = self.spark.read.parquet(
+            # manifest-schema read (see merge): pre-evolution files must
+            # surface evolved columns as NULL, not drop them
+            old = self.spark.read.schema(schema).parquet(
                 *[str(self.data_dir / p["file"]) for p in touched]
             )
         else:
@@ -555,7 +561,12 @@ class SnapshotTable:
             stats_cols = sorted(
                 {c for p in parts for c in (p.get("stats") or {})}
             )
-        df = self.spark.read.parquet(
+        # manifest-schema read: small files written before a schema
+        # evolution lack the evolved column; footer inference here would
+        # silently drop it from the compacted files AND from the manifest
+        # this commit stamps (df.schema flows into _write_partitions)
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        df = self.spark.read.schema(schema).parquet(
             *[str(self.data_dir / p["file"]) for p in small]
         )
         small_rows = sum(p["rows"] for p in small)

@@ -505,7 +505,14 @@ def stream_quality(
         report = check_constraints(batch_df, constraints).withColumn(
             "batch_id", F.lit(int(batch_id)).cast("bigint")
         )
-        props = {"dq_last_batch": int(batch_id)}
+        # merge with the parent's carried properties — passing a dict to
+        # append() replaces them wholesale (append only carries the parent
+        # properties when properties is None), which would wipe e.g. a
+        # plan_fingerprint on the first audited batch
+        props = {
+            **((man.get("properties") or {}) if man is not None else {}),
+            "dq_last_batch": int(batch_id),
+        }
         if man is None:
             table.write(report, num_partitions=1, properties=props)
         else:

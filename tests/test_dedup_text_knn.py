@@ -193,6 +193,75 @@ def test_multimodal_stubs_plumbing(spark):
         video_frame_sample(df, strict=True).collect()
 
 
+def test_jaccard_max_df_bounds_hot_shingle_skew(spark):
+    """drop_hot_shingles caps the shingle self-join's candidate volume
+    on a boilerplate-skewed corpus: 200 docs sharing one stopword
+    sentence would feed O(n^2) pairs through a handful of hot shingle
+    keys; with max_df the hot shingles are dropped BEFORE the self-join
+    (bounded candidates) while a genuine near-dup pair — similar in its
+    UNIQUE content — is still found.  max_df >= n_docs (cap never
+    binds) must be pair-identical to max_df=None."""
+    from pic2vec_spark.ops.dedup import (
+        containment_pairs,
+        drop_hot_shingles,
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    boiler = "all rights reserved terms of service apply to this site"
+    rows = [
+        (i, f"{boiler} unique document body number {i} alpha beta gamma "
+            f"delta {i * 17} epsilon {i * 31}")
+        for i in range(200)
+    ]
+    # planted near-dup: docs 500/501 share almost all unique content
+    rows += [
+        (500, f"{boiler} shared payload one two three four five six seven"),
+        (501, f"{boiler} shared payload one two three four five six eight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # candidate volume of the shingle self-join, with and without the cap
+    def cand_count(sh):
+        a = sh.select(F.col("doc_id").alias("id1"), "sh")
+        b = sh.select(F.col("doc_id").alias("id2"), "sh")
+        return a.join(b, "sh").filter(F.col("id1") < F.col("id2")).count()
+
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    raw = cand_count(sh)
+    capped = cand_count(drop_hot_shingles(sh, "doc_id", max_df=0.05))
+    assert raw > 200 * 199 / 2  # boilerplate shingles blow up all-pairs
+    assert capped < raw / 50  # hot shingles gone -> bounded candidates
+
+    out = jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df=0.05
+    ).toPandas()
+    assert (500, 501) in set(zip(out.id1, out.id2))  # true pair survives
+    assert len(out) < 50  # no boilerplate-only pair floods through
+
+    # cap that never binds == exact full-space semantics
+    base = jaccard_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    loose = jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df=10_000
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id1", "id2", "jaccard"]].values))
+    assert key(base) == key(loose)
+
+    # containment takes the same mitigation
+    cont = containment_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df=0.05
+    ).toPandas()
+    assert (500, 501) in set(zip(cont.id_small, cont.id_big)) or (
+        501, 500
+    ) in set(zip(cont.id_small, cont.id_big))
+
+    # guard rails
+    with pytest.raises(ValueError, match="max_df"):
+        jaccard_pairs(docs, "doc_id", "text", max_df=0.0).count()
+    with pytest.raises(ValueError, match="max_df"):
+        jaccard_pairs(docs, "doc_id", "text", max_df=0).count()
+
+
 def test_cosine_neardup_exact_guard(spark):
     """The exact all-pairs near-dup path refuses inputs above max_rows
     (pointing at the LSH scale path) instead of launching an unbounded

@@ -370,6 +370,71 @@ def test_append_schema_evolution(spark, events, tmp_path):
     assert "quality" not in old.columns and old.count() == 100
 
 
+def test_evolved_table_survives_compact_delete_merge(spark, events, tmp_path):
+    """Maintenance ops after a schema-evolving append must read touched
+    files under the MANIFEST schema, not footer inference: pre-evolution
+    files lack the new column, and footer sampling used to silently drop
+    it from the compacted/merged files AND from the committed manifest
+    (every later scan lost the column)."""
+    from pyspark.sql import functions as F
+
+    base = events.select("event_id", "user_id", "value").limit(100)
+    extra = (
+        events.select("event_id", "user_id", "value")
+        .exceptAll(base).limit(50)
+        .withColumn("quality", F.lit(0.9))
+    )
+    full_cols = {"event_id", "user_id", "value", "quality"}
+
+    def fresh(name):
+        t = SnapshotTable(str(tmp_path / name), spark)
+        t.write(base, partition_by="event_id", num_partitions=4,
+                stats_cols=["event_id"])
+        t.append(extra, partition_by="event_id", num_partitions=2,
+                 stats_cols=["event_id"], allow_evolution=True)
+        return t
+
+    # compact: every file is below target -> all are rewritten
+    t = fresh("compact")
+    t.compact(target_rows=1000)
+    back = t.scan()
+    assert set(back.columns) == full_cols
+    pdf = back.toPandas()
+    assert len(pdf) == 150 and pdf.quality.isna().sum() == 100
+    assert json.loads(t.manifest()["schema"])  # manifest carries quality
+    man_cols = {
+        f["name"] for f in json.loads(t.manifest()["schema"])["fields"]
+    }
+    assert man_cols == full_cols
+
+    # delete: touch pre-evolution partitions; evolved column must remain
+    t = fresh("delete")
+    victims = spark.createDataFrame(
+        base.select("event_id").limit(10).toPandas()
+    )
+    t.delete(victims, "event_id")
+    back = t.scan()
+    assert set(back.columns) == full_cols
+    assert back.count() == 140
+    man_cols = {
+        f["name"] for f in json.loads(t.manifest()["schema"])["fields"]
+    }
+    assert man_cols == full_cols
+
+    # merge: updates carry the full evolved schema, touch old partitions
+    t = fresh("merge")
+    upd = spark.createDataFrame(
+        base.limit(5).toPandas()
+    ).withColumn("value", F.lit(-1.0)).withColumn("quality", F.lit(0.5))
+    t.merge(upd, "event_id")
+    back = t.scan()
+    assert set(back.columns) == full_cols
+    pdf = back.toPandas()
+    assert len(pdf) == 150
+    assert (pdf.value == -1.0).sum() == 5
+    assert (pdf.quality == 0.5).sum() == 5
+
+
 def test_snapshot_diff_reads_only_churn(spark, events, tmp_path):
     from pyspark.sql import functions as F
 
