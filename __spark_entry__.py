@@ -877,6 +877,37 @@ def q_pit_featurize_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_asof_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion oracle for the flagship: the SAME images / timeline /
+    plan / point_in_time_features path as q_pit_featurize_asof, projected
+    to the SQL-expressible alignment columns (event_id, user_id, ts_us,
+    image_id_asof, missing_asof).  Only the CNN feature VALUES are
+    SQL-inexpressible — this row pins the flagship's dedup→join-back→
+    as-of alignment end-to-end against a DuckDB window oracle (same
+    (ts, side, event_id) tiebreak as the asof_join oracle), leaving
+    feature numerics to the pytest NumPy oracle."""
+    from pic2vec_spark.pipeline import point_in_time_features
+    from pic2vec_spark.plan import FeaturizerPlan
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    timeline = _timeline_from_events(spark, sf_dir, N_FLAGSHIP_IMAGES)
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+    out = point_in_time_features(images, timeline, plan)
+    return out.select(
+        F.col("row_id").alias("event_id"),
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        "image_id_asof",
+        # totalized: a query with NO as-of observation is missing too;
+        # matched refs carry featurize's decode-failure flag (the synth
+        # corpus plants ~5% corrupt/empty/gif — the oracle embeds that
+        # deterministic bad-id set as literals).  Keeps the column a
+        # defined boolean the driver canonicalization hashes stably.
+        F.coalesce(F.col("missing_asof"), F.lit(True)).alias("missing_asof"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline layer: dedup / text analysis / similarity search
 # --------------------------------------------------------------------------
@@ -2432,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigrams": q_corpus_bigrams,
         "inverted_index": q_inverted_index,
         "pit_featurize_asof": q_pit_featurize_asof,
+        "pit_asof_alignment": q_pit_asof_alignment,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
@@ -2690,6 +2722,58 @@ def _multi_column_widened_sql() -> str:
                (row_id % 5 = 0 OR row_id % 7 = 3
                 OR ((row_id * 7) % 32) IN ({bad_list})) AS img_b_missing
         FROM (SELECT unnest(generate_series(0, 63)) AS row_id)
+    """
+
+
+def _pit_alignment_sql() -> str:
+    """Oracle for pit_asof_alignment: the as-of window mirrors
+    _ASOF_ORACLE's (ts, side, event_id) tiebreak; the missing flag needs
+    the set of flagship synth images that fail decode (~5% corrupt/empty/
+    gif planted by synth_image_row), which is a pure function of
+    (seed=42, i, 256) — recomputed here driver-side with the same
+    decode_image the executors run and embedded as literals."""
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.synth import synth_image_row
+
+    bad = []
+    for i in range(N_FLAGSHIP_IMAGES):
+        r = synth_image_row(i, N_FLAGSHIP_IMAGES, 42)
+        ok = r["bytes"] is not None
+        if ok:
+            try:
+                decode_image(r["bytes"], r["fmt"] or "")
+            except Exception:
+                ok = False
+        if not ok:
+            bad.append(r["image_id"])
+    bad_list = ", ".join(f"'{b}'" for b in bad) or "''"
+    return f"""
+        WITH f AS (
+          SELECT user_id, ts, event_id,
+                 'img_' || lpad(CAST(event_id % {N_FLAGSHIP_IMAGES}
+                                     AS VARCHAR), 9, '0') AS img,
+                 0 AS side
+          FROM events WHERE event_type <> 'purchase'
+        ), q AS (
+          SELECT user_id, ts, event_id, CAST(NULL AS VARCHAR) AS img,
+                 1 AS side
+          FROM events WHERE event_type = 'purchase'
+        ), u AS (
+          SELECT * FROM f UNION ALL SELECT * FROM q
+        ), m AS (
+          SELECT u.*,
+            last_value(CASE WHEN side = 0 THEN img END IGNORE NULLS)
+              OVER w AS image_id_asof
+          FROM u
+          WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          )
+        )
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, image_id_asof,
+               (image_id_asof IS NULL
+                OR image_id_asof IN ({bad_list})) AS missing_asof
+        FROM m WHERE side = 1
     """
 
 
@@ -4010,6 +4094,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ep WHERE NOT EXISTS (
               SELECT 1 FROM tp WHERE tp.id1 = ep.id1 AND tp.id2 = ep.id2)
         """,
+        "pit_asof_alignment": _pit_alignment_sql(),
         "asof_join": _ASOF_ORACLE.format(val="value_asof", fts="epoch_us(fts)"),
         "asof_tolerance": _ASOF_ORACLE.format(
             val="CASE WHEN fts IS NOT NULL AND epoch_us(ts) - epoch_us(fts) <= 3600000000 THEN value_asof END",
