@@ -1076,6 +1076,29 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SPAN_W = 8
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. 2021 class): maximal
+    token spans whose 8-token windows repeat anywhere in the corpus —
+    the boilerplate-span stripper whole-doc/near-dup dedup misses
+    (ops/dedup.duplicate_substring_spans: window digests -> grouped
+    count -> per-doc island merge; never all-pairs)."""
+    from pic2vec_spark.ops.dedup import duplicate_substring_spans
+
+    out = duplicate_substring_spans(
+        _documents(spark, sf_dir), "doc_id", "text", w=DUP_SPAN_W
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_len").cast("bigint").alias("span_len"),
+        "n_dup_windows",
+    )
+
+
 def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level tf-idf top-3 terms per document (term extraction →
     tf agg → vocabulary-sized idf broadcast join → WindowGroupLimit
@@ -2416,7 +2439,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pit_featurize_asof(spark, "/root/testdata/sf0.001")
 
 
+# The round driver's correctness gate checks only the FIRST 50 entries
+# of queries() (dict order).  With 119 registered queries the window must
+# ROTATE so the union of per-round CORRECTNESS artifacts covers every
+# query.  Rounds 1-3 covered 72 distinct queries; this round's window is
+# exactly the 47 queries never driver-checked in any round plus three
+# anchors (the fixed value_mad_outliers, the flagship rows-only
+# pit_featurize_asof, and multi_column_widened) — see COVERAGE.md for
+# the per-query last-verified ledger.
+_R04_GATE_WINDOW = [
+    "pit_asof_alignment", "cluster_safe_split", "dedup_containment",
+    "doc_dup_spans", "walk_forward_splits", "data_quality",
+    "value_drift_psi", "event_type_drift", "heavy_hitters_cms",
+    "doc_hashed_features", "snapshot_compaction", "decontamination",
+    "embedding_outliers", "asof_staleness", "key_skew_profile",
+    "source_quota_sample", "pii_scrub", "calendar_features",
+    "temperature_sample", "value_imputed", "rfm_features",
+    "boilerplate_strip", "value_winsorized", "doc_unigram_logprob",
+    "part_name_matches", "weighted_sample", "doc_packing",
+    "features_upsert", "features_delete", "snapshot_cdc_diff",
+    "hard_negatives", "hybrid_rrf", "embedding_jl_project",
+    "lineage_reconcile", "knn_ivf_store", "caption_image_conflicts",
+    "audio_features", "image_stats", "image_augment",
+    "multimodal_corpus", "neardup_degree_hist", "event_type_target_enc",
+    "event_value_loo", "value_quantile_bins", "event_value_scaled",
+    "lineitem_corr", "event_cross_hash", "value_mad_outliers",
+    "pit_featurize_asof", "multi_column_widened",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    missing = [n for n in _R04_GATE_WINDOW if n not in q]
+    assert not missing, f"gate window names unregistered queries: {missing}"
+    ordered = {n: q[n] for n in _R04_GATE_WINDOW}
+    ordered.update({n: f for n, f in q.items() if n not in ordered})
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join": q_asof_join,
         "asof_tolerance": q_asof_tolerance,
@@ -2480,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "cluster_safe_split": q_cluster_safe_split,
         "dedup_containment": q_dedup_containment,
+        "doc_dup_spans": q_doc_dup_spans,
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
         "walk_forward_splits": q_walk_forward_splits,
@@ -3957,6 +4019,46 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM paired
             )
             SELECT * FROM directed WHERE containment >= 0.5
+        """,
+        "doc_dup_spans": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(trim(text))), '\\s+')
+                       AS toks
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, i - 1 AS pos,
+                     CAST('0x' || substr(md5(array_to_string(
+                       toks[i:i+{DUP_SPAN_W - 1}], ' ')), 1, 15) AS BIGINT)
+                       AS wh
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - {DUP_SPAN_W - 1}))
+                         AS i
+                FROM t WHERE len(toks) >= {DUP_SPAN_W}
+              )
+            ), dup AS (
+              SELECT wh FROM occ GROUP BY wh HAVING COUNT(*) >= 2
+            ), d AS (
+              SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (wh)
+            ), m AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > {DUP_SPAN_W}
+                          THEN 1 ELSE 0 END AS ni
+              FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+              FROM m
+            )
+            SELECT doc_id,
+                   MIN(pos) AS span_start,
+                   MAX(pos) + {DUP_SPAN_W - 1} AS span_end,
+                   MAX(pos) + {DUP_SPAN_W - 1} - MIN(pos) + 1 AS span_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+            FROM isl GROUP BY doc_id, island
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "doc_simhash": _simhash_sql(),

@@ -93,6 +93,35 @@ EXTENDED_R3C = [
     "snapshot_compaction",
 ]
 
+# round-4 additions — own total (`extended_r4_sec`): the flagship's
+# oracle-checked alignment companion, exact substring dedup, the
+# shingle-join family, and the retrieval compositions
+EXTENDED_R4 = [
+    "pit_asof_alignment",
+    "doc_dup_spans",
+    "dedup_jaccard",
+    "dedup_containment",
+    "pii_scrub",
+    "doc_packing",
+    "hard_negatives",
+    "hybrid_rrf",
+]
+
+EXTENDED_GROUPS = [
+    ("extended_sec", EXTENDED),
+    ("extended_r3_sec", EXTENDED_R3),
+    ("extended_r3b_sec", EXTENDED_R3B),
+    ("extended_r3c_sec", EXTENDED_R3C),
+    ("extended_r4_sec", EXTENDED_R4),
+]
+
+# probe agreement bound: before/after GFLOPS within 5x = the box stayed
+# comparable across the run; beyond it the wall-times are tenant-steal
+# noise (r3 measured 73.6 -> 0.6 GFLOPS, a 123x mid-run collapse) and
+# the suite re-runs once, then stamps steal_invalidated
+PROBE_AGREE_RATIO = 5.0
+MAX_ATTEMPTS = 2
+
 
 def _cpu_probe_gflops(procs: int = 8) -> float:
     """Aggregate dense-GEMM GFLOPS across ``procs`` processes — a
@@ -154,20 +183,9 @@ def flagship(spark, sf_dir: str, n_images: int, images=None):
     return point_in_time_features(images, timeline, plan, asof_strategy="shuffle")
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
-
-    probe_before = _cpu_probe_gflops()
-    spark = get_spark("pic2vec_spark_bench", parallelism=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm the JVM + python workers (tiny flagship) before timing, and
-    # materialize the input snapshot outside the timed window
-    _force(flagship(spark, "/root/testdata/sf0.001", 64))
-    images = _images_snapshot(spark, N_BENCH_IMAGES)
-
+def _run_suite(spark, sf_dir: str, images) -> dict:
+    """One full timed pass of the suite; returns the result payload
+    minus the probe/validity fields (added by main's retry loop)."""
     timings: dict[str, float] = {}
 
     # best-of-N for the headline number: this sandbox shares hardware
@@ -198,63 +216,74 @@ def main() -> None:
     # their unrolled expressions on first execution (~10-30 s, see
     # ops/knn.py docstring) — the second run is the steady state a long
     # job actually sees
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        extended[name] = min(runs)
-    timings.update(extended)
-    extended_r3: dict[str, float] = {}
-    for name in EXTENDED_R3:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        extended_r3[name] = min(runs)
-    timings.update(extended_r3)
-    extended_r3b: dict[str, float] = {}
-    for name in EXTENDED_R3B:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        extended_r3b[name] = min(runs)
-    timings.update(extended_r3b)
-    extended_r3c: dict[str, float] = {}
-    for name in EXTENDED_R3C:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        extended_r3c[name] = min(runs)
-    timings.update(extended_r3c)
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_featurize_asof_plus_windows_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "images": N_BENCH_IMAGES,
-                "images_per_sec": round(N_BENCH_IMAGES / flagship_sec, 1),
-                "flagship_runs_sec": flagship_runs,
-                "extended_sec": round(sum(extended.values()), 3),
-                "extended_r3_sec": round(sum(extended_r3.values()), 3),
-                "extended_r3b_sec": round(sum(extended_r3b.values()), 3),
-                "extended_r3c_sec": round(sum(extended_r3c.values()), 3),
-                "cpus": cpus,
-                "cpu_probe_gflops_before": probe_before,
-                "cpu_probe_gflops_after": _cpu_probe_gflops(),
-            }
+    group_totals: dict[str, float] = {}
+    for total_key, names in EXTENDED_GROUPS:
+        group: dict[str, float] = {}
+        for name in names:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(qs[name](spark, sf_dir))
+                runs.append(round(time.perf_counter() - t0, 3))
+            group[name] = min(runs)
+        timings.update(group)
+        group_totals[total_key] = round(sum(group.values()), 3)
+
+    return {
+        "metric": "end_to_end_featurize_asof_plus_windows_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "images": N_BENCH_IMAGES,
+        "images_per_sec": round(N_BENCH_IMAGES / flagship_sec, 1),
+        "flagship_runs_sec": flagship_runs,
+        **group_totals,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = get_spark("pic2vec_spark_bench", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + python workers (tiny flagship) before timing, and
+    # materialize the input snapshot outside the timed window
+    _force(flagship(spark, "/root/testdata/sf0.001", 64))
+    images = _images_snapshot(spark, N_BENCH_IMAGES)
+
+    # validity gate: a suite whose before/after CPU probes disagree
+    # beyond PROBE_AGREE_RATIO ran through a tenant-steal collapse (the
+    # r3 artifact measured 73.6 -> 0.6 GFLOPS and read as a fake 1.75x
+    # regression) — re-run once; if the box is still thrashing, stamp
+    # steal_invalidated so the artifact cannot be mistaken for an
+    # engine measurement
+    attempts = []
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        probe_before = _cpu_probe_gflops()
+        result = _run_suite(spark, sf_dir, images)
+        probe_after = _cpu_probe_gflops()
+        ratio = max(probe_before, probe_after) / max(
+            min(probe_before, probe_after), 1e-9
         )
+        attempts.append(
+            {"before": probe_before, "after": probe_after, "ratio": round(ratio, 1)}
+        )
+        if ratio <= PROBE_AGREE_RATIO:
+            break
+    result.update(
+        {
+            "sf": sf,
+            "cpus": cpus,
+            "cpu_probe_gflops_before": probe_before,
+            "cpu_probe_gflops_after": probe_after,
+            "probe_attempts": attempts,
+            "steal_invalidated": ratio > PROBE_AGREE_RATIO,
+        }
     )
+    print(json.dumps(result))
     spark.stop()
 
 

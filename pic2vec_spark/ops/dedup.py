@@ -239,6 +239,100 @@ def containment_pairs(
     return out.filter(F.col("containment") >= threshold)
 
 
+# ----------------------------------------------------- substring dedup
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-SUBSTRING detection (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" class):
+    find every maximal token span whose ``w``-token windows repeat
+    (``min_count`` total occurrences) anywhere in the corpus — within
+    the same document or across documents.  Whole-doc exact dedup and
+    n-gram/MinHash/SimHash near-dup all miss this case: a unique page
+    wrapping a boilerplate paragraph duplicated across millions of
+    pages, the span an LLM training pipeline strips rather than
+    dropping the document.
+
+    Plan (all built-in, one shuffle on the window digest + one on the
+    doc id):
+
+    1. tokenize -> positioned ``w``-token windows -> 60-bit md5 window
+       digest (``shingle_hash``; same portable hash as the Jaccard
+       shingles, so the DuckDB oracle replicates it exactly)
+    2. groupBy digest -> total occurrence count; digests with count >=
+       min_count are the duplicated windows (broadcast-friendly
+       semi-join back onto the positioned occurrences)
+    3. per doc, merge overlapping/adjacent duplicated windows into
+       MAXIMAL spans with one window pass: island starts where the gap
+       to the previous duplicated position exceeds ``w`` (windows
+       [p1, p1+w-1], [p2, p2+w-1] overlap or touch iff p2 - p1 <= w)
+
+    Output: (id, span_start, span_end, span_len, n_dup_windows) — token
+    offsets, 0-based inclusive.  Scale shape: windows are a narrow
+    per-row explode (|doc| rows each), the digest agg is a map-side-
+    combinable count, and span merging shuffles only the DUPLICATED
+    positions on the doc id — never all-pairs, never full text."""
+    if w < 1:
+        raise ValueError(f"window w must be >= 1, got {w}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = F.split(F.trim(_norm_text(text_col)), r"\s+")
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                shingle_hash(
+                    F.array_join(F.slice(toks, i + 1, w), " ")
+                ).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
+    occ = df.select(
+        F.col(id_col), F.explode(wins).alias("g")
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.wh").alias("wh"))
+    dup_wh = (
+        occ.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("wh")
+    )
+    dup_occ = occ.join(dup_wh, "wh", "left_semi")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup_occ.withColumn("gap", F.col("pos") - F.lag("pos").over(win))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") > w), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + 1
+        )
+        .drop("island")
+    )
+    return spans
+
+
 # --------------------------------------------------------------- minhash
 
 def minhash_signatures(

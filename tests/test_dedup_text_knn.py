@@ -262,6 +262,63 @@ def test_jaccard_max_df_bounds_hot_shingle_skew(spark):
         jaccard_pairs(docs, "doc_id", "text", max_df=0).count()
 
 
+def test_duplicate_substring_spans_hand_fixture(spark):
+    """Exact repeated-substring spans (Lee et al. class) on a corpus
+    with hand-computable offsets: a 10-token boilerplate block shared
+    by two docs at different positions, a within-doc repeat, and a
+    unique doc that must produce no spans."""
+    from pic2vec_spark.ops.dedup import duplicate_substring_spans
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 0: boilerplate at tokens 0..9, unique tail
+            (0, f"{boiler} u0 u1 u2 u3 u4 u5"),
+            # doc 1: 3 unique tokens then boilerplate at tokens 3..12
+            (1, f"v0 v1 v2 {boiler} v3 v4"),
+            # doc 2: within-doc repeat of an 8-token run at 0..7 and 10..17
+            (2, "r0 r1 r2 r3 r4 r5 r6 r7 x0 x1 r0 r1 r2 r3 r4 r5 r6 r7"),
+            # doc 3: all unique
+            (3, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+        ],
+        "doc_id int, text string",
+    )
+    out = duplicate_substring_spans(docs, "doc_id", "text", w=8).toPandas()
+    spans = {
+        int(r.doc_id): (int(r.span_start), int(r.span_end), int(r.n_dup_windows))
+        for r in out.itertuples()
+    }
+    # 10-token boilerplate with w=8 -> 3 windows starting at offsets
+    # 0,1,2 within the block; merged span covers the whole block
+    assert spans[0] == (0, 9, 3)
+    assert spans[1] == (3, 12, 3)
+    # within-doc repeat: windows at pos 0 and 10, gap 10 > w=8 -> TWO
+    # separate maximal spans, each exactly the 8-token run
+    d2 = sorted(
+        (int(r.span_start), int(r.span_end))
+        for r in out[out.doc_id == 2].itertuples()
+    )
+    assert d2 == [(0, 7), (10, 17)]
+    assert 3 not in spans  # unique doc yields nothing
+
+    # adjacent/overlapping windows merge: docs sharing a 16-token block
+    big = " ".join(f"c{i}" for i in range(16))
+    docs2 = spark.createDataFrame(
+        [(0, big + " z0"), (1, "y0 " + big)], "doc_id int, text string"
+    )
+    out2 = duplicate_substring_spans(docs2, "doc_id", "text", w=8).toPandas()
+    got = {
+        int(r.doc_id): (int(r.span_start), int(r.span_end), int(r.span_len))
+        for r in out2.itertuples()
+    }
+    assert got[0] == (0, 15, 16)
+    assert got[1] == (1, 16, 16)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_count"):
+        duplicate_substring_spans(docs, "doc_id", "text", min_count=1)
+
+
 def test_cosine_neardup_exact_guard(spark):
     """The exact all-pairs near-dup path refuses inputs above max_rows
     (pointing at the LSH scale path) instead of launching an unbounded
