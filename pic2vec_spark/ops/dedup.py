@@ -264,9 +264,11 @@ def duplicate_substring_spans(
     1. tokenize -> positioned ``w``-token windows -> 60-bit md5 window
        digest (``shingle_hash``; same portable hash as the Jaccard
        shingles, so the DuckDB oracle replicates it exactly)
-    2. groupBy digest -> total occurrence count; digests with count >=
-       min_count are the duplicated windows (broadcast-friendly
-       semi-join back onto the positioned occurrences)
+    2. count occurrences per digest with a WINDOW over the digest
+       partition (NOT an aggregate + self-semi-join: that shape scans
+       and re-tokenizes the corpus twice and shuffles it twice; the
+       window tokenizes once and pays one digest-hash exchange) and
+       keep positions whose digest count >= min_count
     3. per doc, merge overlapping/adjacent duplicated windows into
        MAXIMAL spans with one window pass: island starts where the gap
        to the previous duplicated position exceeds ``w`` (windows
@@ -297,13 +299,13 @@ def duplicate_substring_spans(
     occ = df.select(
         F.col(id_col), F.explode(wins).alias("g")
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.wh").alias("wh"))
-    dup_wh = (
-        occ.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_occ = (
+        occ.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+        )
         .filter(F.col("n_occ") >= min_count)
-        .select("wh")
+        .drop("n_occ")
     )
-    dup_occ = occ.join(dup_wh, "wh", "left_semi")
     win = Window.partitionBy(id_col).orderBy("pos")
     spans = (
         dup_occ.withColumn("gap", F.col("pos") - F.lag("pos").over(win))
