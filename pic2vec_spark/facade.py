@@ -18,9 +18,12 @@ Differences from the reference, by design:
   ``load_data`` builds the decoded image-table plan (the reference's
   "vectorized data", image_featurizer.py:182-258) and the original
   frame; nothing materializes until an action.
-- URL-mode CSVs (S6, feature_preprocessing.py:311-317) are out of scope:
-  bytes live in the table (the input-hint design); a CSV without an
-  image directory raises with that explanation.
+- URL-mode CSVs (S6, feature_preprocessing.py:311-317) fetch
+  executor-side: csv-only entries are treated as URLs (as the reference
+  does), distinct URLs fetched once via an Arrow-batched mapInPandas
+  stage (``sources.fetch_url_images``); fetch failures become
+  missing=True zero vectors (the reference's IOError path, :318-323).
+  Tests exercise ``file://`` URLs — no network exists in this sandbox.
 - ``featurize``'s ``batch_processing``/``batch_size`` knobs are accepted
   and ignored: Spark's Arrow batching IS the batch loop (O3/O4), and the
   result is batch-invariant by construction (tests/test_two_step.py).
@@ -105,14 +108,6 @@ class ImageFeaturizer:
             raise ValueError(
                 "Must specify either image_path or csv_path as input."
             )
-        if csv_path and not image_path:
-            raise NotImplementedError(
-                "CSV-only mode is URL fetch in the reference "
-                "(feature_preprocessing.py:311-317); this engine keeps "
-                "image bytes in the table by design — pass image_path, "
-                "or build an images DataFrame and use "
-                "featurize_images/featurize_multi_column directly."
-            )
         if not csv_path and len(image_columns) > 1:
             raise ValueError(
                 "If building the dataframe from an image directory, the "
@@ -121,7 +116,43 @@ class ImageFeaturizer:
             )
 
         from pic2vec_spark.featurize import decode_images
-        from pic2vec_spark.sources import scan_csv, scan_image_directory
+        from pic2vec_spark.sources import (
+            fetch_url_images,
+            scan_csv,
+            scan_image_directory,
+        )
+
+        if csv_path and not image_path:
+            # S6 URL mode (feature_preprocessing.py:311-317): csv-only
+            # entries are URLs; distinct URLs fetched once, executor-
+            # side, failures -> missing=True zero vectors (the
+            # reference's IOError -> zeros path, :318-323)
+            original = scan_csv(self.spark, csv_path, image_columns[0])
+            for col in image_columns[1:]:
+                if col not in original.columns:
+                    raise ValueError(
+                        f"image column {col!r} missing from CSV header "
+                        f"{original.columns}"
+                    )
+            refs = None
+            for col in image_columns:
+                one = original.select(F.col(col).alias("image_id"))
+                refs = one if refs is None else refs.unionByName(one)
+            images = fetch_url_images(self.spark, refs, "image_id")
+            decoded = decode_images(
+                images,
+                size=self.plan.target_size,
+                grayscale=grayscale,
+                preprocess_mode=None if grayscale else self.plan.preprocess_mode,
+            )
+            if save_data:
+                self.data = decoded
+            self._grayscale = grayscale
+            self.df_original = original
+            self.image_columns = image_columns
+            self.csv_path = csv_path
+            self.image_path = image_path
+            return decoded
 
         images = scan_image_directory(self.spark, image_path)
         if csv_path:

@@ -89,6 +89,74 @@ def scan_csv(
     return df.withColumn("row_id", F.monotonically_increasing_id())
 
 
+def fetch_url_images(
+    spark: SparkSession,
+    refs: DataFrame,
+    image_column: str,
+    timeout_s: float = 30.0,
+) -> DataFrame:
+    """S6: URL-mode ingestion — the reference's csv-only path fetches
+    every entry as a URL (feature_preprocessing.py:311-317, urlretrieve
+    per image on the driver).  Spark-first shape: DISTINCT URLs only
+    (the reference's dedup memo — a URL listed in many rows downloads
+    once), fetched executor-side in an Arrow-batched ``mapInPandas``
+    stage (urllib supports the same schemes urlretrieve does, incl.
+    ``file://`` — which is what the tests exercise; no network exists
+    in this sandbox).  A failed fetch yields NULL bytes, which decode
+    as missing=True + the zero vector downstream — the same failure
+    semantics as an unmatched directory ref.
+
+    Output: (image_id=url, bytes, fmt) — fmt from the URL path's
+    extension (query strings stripped), invalid/absent extensions kept
+    with fmt='' so they surface as missing rather than silently
+    dropping CSV rows (csv-only row identity is the CSV itself).
+
+    Scale: one narrow distinct on the URL key, then an embarrassingly
+    parallel fetch stage (round-robin repartition so a few huge
+    partitions cannot serialize the I/O); bytes never shuffle again —
+    downstream featurize joins back on the url key."""
+    import pandas as pd
+
+    urls = (
+        refs.select(F.col(image_column).alias("image_id"))
+        .filter(F.col("image_id").isNotNull() & (F.col("image_id") != ""))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def fetch(batches):
+        import urllib.request
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            datas = []
+            for u in pdf["image_id"]:
+                try:
+                    with urllib.request.urlopen(u, timeout=timeout_s) as r:
+                        datas.append(r.read())
+                except Exception:
+                    datas.append(None)
+            yield pd.DataFrame({"image_id": pdf["image_id"], "bytes": datas})
+
+    fetched = urls.mapInPandas(fetch, "image_id string, bytes binary")
+    ext = F.lower(
+        F.element_at(
+            F.split(
+                F.element_at(
+                    F.split(F.split("image_id", r"\?").getItem(0), "/"), -1
+                ),
+                r"\.",
+            ),
+            -1,
+        )
+    )
+    fmt = F.when(ext == "jpeg", "jpg").otherwise(ext)
+    return fetched.withColumn(
+        "fmt", F.when(fmt.isin(*VALID_FORMATS), fmt).otherwise(F.lit(""))
+    )
+
+
 def combined_csv_directory(
     spark: SparkSession, csv_path: str, image_column: str, directory: str
 ) -> DataFrame:

@@ -117,6 +117,59 @@ def test_csv_combined_missing_semantics_and_save(
     assert disk["images_missing"].tolist() == [False, True, False, True]
 
 
+def test_csv_only_url_mode(spark, featurizer, img_dir, tmp_path):
+    """S6 URL-mode ingestion (reference feature_preprocessing.py:311-317):
+    csv-only entries are URLs, fetched executor-side; failures (blank,
+    nonexistent, non-URL string) -> missing=True zero vectors, matched
+    URLs featurize identically to the bytes-in-table path."""
+    import pandas as _pd
+
+    from pic2vec_spark.featurize import featurize_images
+    from pic2vec_spark.sources import fetch_url_images, scan_image_directory
+
+    good_png = f"file://{img_dir}/img10.png"
+    good_jpg = f"file://{img_dir}/borges.jpg"
+    p = tmp_path / "urls.csv"
+    _pd.DataFrame(
+        {
+            "images": [good_png, "", good_jpg, f"file://{img_dir}/ghost.png",
+                       good_png],
+            "label": ["a", "b", "c", "d", "e"],
+        }
+    ).to_csv(p, index=False)
+
+    full = (
+        featurizer.featurize("images", csv_path=str(p))
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    assert full["images_missing"].tolist() == [False, True, False, True, False]
+    assert full["label"].tolist() == ["a", "b", "c", "d", "e"]
+    # duplicate URL rows carry identical features (one fetch, one CNN run)
+    f0 = full.loc[0, [f"images_feat_{i}" for i in range(N_FEATURES)]]
+    f4 = full.loc[4, [f"images_feat_{i}" for i in range(N_FEATURES)]]
+    assert np.allclose(f0.to_numpy(float), f4.to_numpy(float))
+    # matched URL features == the bytes-in-table engine path
+    ref = (
+        featurize_images(scan_image_directory(spark, img_dir), featurizer.plan)
+        .select("image_id", "features").toPandas().set_index("image_id")
+    )
+    want = np.asarray(ref.loc["img10.png", "features"], dtype=np.float32)
+    assert np.allclose(f0.to_numpy(dtype=np.float32), want, atol=1e-5)
+
+    # unit shape: distinct URLs fetched once, fmt parsed, failures NULL
+    refs = spark.createDataFrame(
+        [(good_png,), (good_png,), ("file://nope/x.jpg",), ("not a url",)],
+        "images string",
+    )
+    got = fetch_url_images(spark, refs, "images").toPandas()
+    assert len(got) == 3  # distinct
+    row = got.set_index("image_id")
+    assert row.loc[good_png, "fmt"] == "png"
+    assert row.loc[good_png, "bytes"] is not None
+    assert row.loc["file://nope/x.jpg", "bytes"] is None
+    assert row.loc["not a url", "bytes"] is None
+
+
 def test_two_step_equals_one_step(spark, featurizer, img_dir):
     """load_data -> featurize_preloaded_data == featurize (EP2 == EP3)."""
     featurizer.load_data("images", image_path=img_dir)
@@ -149,8 +202,6 @@ def test_named_path_switches():
 def test_error_paths(spark, featurizer, csv_path):
     with pytest.raises(ValueError, match="either image_path or csv_path"):
         featurizer.load_data("images")
-    with pytest.raises(NotImplementedError, match="URL fetch"):
-        featurizer.load_data("images", csv_path=csv_path)
     with pytest.raises(ValueError, match="single image column"):
         featurizer.load_data(["a", "b"], image_path="/tmp")
     fresh = ImageFeaturizer(spark=spark)
