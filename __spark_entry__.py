@@ -1099,6 +1099,18 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token fraction (the threshold metric for
+    span-level dedup: trim/drop docs > X% corpus-duplicated) — sums the
+    disjoint maximal spans of doc_dup_spans over per-doc token counts
+    (ops/dedup.duplicate_token_fraction)."""
+    from pic2vec_spark.ops.dedup import duplicate_token_fraction
+
+    return duplicate_token_fraction(
+        _documents(spark, sf_dir), "doc_id", "text", w=DUP_SPAN_W
+    )
+
+
 def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level tf-idf top-3 terms per document (term extraction →
     tf agg → vocabulary-sized idf broadcast join → WindowGroupLimit
@@ -1444,6 +1456,51 @@ def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(files_before, files_after, rows_before, rows_after, data_equal)],
             "files_before bigint, files_after bigint, rows_before bigint, "
             "rows_after bigint, data_equal boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention (snapshots.SnapshotTable.expire_snapshots):
+    a 3-snapshot overwrite chain (4/2/3 files) + one planted orphan
+    file from a 'crashed write'; expiring to keep_last=2 must drop
+    exactly the oldest manifest, its 4 now-unreferenced data files plus
+    the orphan, keep time travel to the middle snapshot working, and
+    leave the current scan byte-identical.  Every report column is a
+    constant of the fixture, so the DuckDB oracle pins the full
+    behavior arithmetically (same pattern as snapshot_compaction)."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    ev = _events(spark, sf_dir).orderBy("event_id").limit(100)
+    root = tempfile.mkdtemp(prefix="drv_expire_")
+    try:
+        t = SnapshotTable(root, spark)
+        t.write(ev, num_partitions=4)
+        s2 = t.write(ev, num_partitions=2)
+        t.write(ev, num_partitions=3)
+        (t.data_dir / "part-deadbeef-00000.parquet").write_bytes(b"junk")
+        before = t.scan()
+        rep = t.expire_snapshots(keep_last=2)
+        data_equal = (
+            t.scan().exceptAll(before).count() == 0
+            and before.exceptAll(t.scan()).count() == 0
+        )
+        return spark.createDataFrame(
+            [(
+                len(rep["expired_manifests"]),
+                len(rep["deleted_files"]),
+                len(rep["retained"]),
+                int(t.scan().count()),
+                int(t.scan(s2).count()),
+                bool(data_equal),
+            )],
+            "manifests_expired bigint, files_deleted bigint, "
+            "retained bigint, rows_current bigint, rows_prev bigint, "
+            "data_equal boolean",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2542,6 +2599,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "dedup_containment": q_dedup_containment,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_dup_frac": q_doc_dup_frac,
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
         "walk_forward_splits": q_walk_forward_splits,
@@ -2551,6 +2609,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "doc_hashed_features": q_doc_hashed_features,
         "snapshot_compaction": q_snapshot_compaction,
+        "snapshot_expiry": q_snapshot_expiry,
         "decontamination": q_decontamination,
         "embedding_outliers": q_embedding_outliers,
         "asof_staleness": q_asof_staleness,
@@ -2784,6 +2843,52 @@ def _multi_column_widened_sql() -> str:
                (row_id % 5 = 0 OR row_id % 7 = 3
                 OR ((row_id * 7) % 32) IN ({bad_list})) AS img_b_missing
         FROM (SELECT unnest(generate_series(0, 63)) AS row_id)
+    """
+
+
+def _dup_spans_sql() -> str:
+    """Oracle for doc_dup_spans (and reused as a CTE by doc_dup_frac):
+    same window digests, dup-count filter, and island merge as
+    ops/dedup.duplicate_substring_spans."""
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(trim(text))), '\\s+')
+                       AS toks
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, i - 1 AS pos,
+                     CAST('0x' || substr(md5(array_to_string(
+                       toks[i:i+{DUP_SPAN_W - 1}], ' ')), 1, 15) AS BIGINT)
+                       AS wh
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - {DUP_SPAN_W - 1}))
+                         AS i
+                FROM t WHERE len(toks) >= {DUP_SPAN_W}
+              )
+            ), dup AS (
+              SELECT wh FROM occ GROUP BY wh HAVING COUNT(*) >= 2
+            ), d AS (
+              SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (wh)
+            ), m AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > {DUP_SPAN_W}
+                          THEN 1 ELSE 0 END AS ni
+              FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+              FROM m
+            )
+            SELECT doc_id,
+                   MIN(pos) AS span_start,
+                   MAX(pos) + {DUP_SPAN_W - 1} AS span_end,
+                   MAX(pos) + {DUP_SPAN_W - 1} - MIN(pos) + 1 AS span_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+            FROM isl GROUP BY doc_id, island
     """
 
 
@@ -3539,6 +3644,14 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS data_equal
         FROM t
     """
+    d["snapshot_expiry"] = """
+        SELECT CAST(1 AS BIGINT) AS manifests_expired,
+               CAST(5 AS BIGINT) AS files_deleted,  -- 4 + 1 orphan
+               CAST(2 AS BIGINT) AS retained,
+               CAST(100 AS BIGINT) AS rows_current,
+               CAST(100 AS BIGINT) AS rows_prev,
+               TRUE AS data_equal
+    """
     d["doc_hashed_features"] = r"""
         WITH toks AS (
           SELECT doc_id,
@@ -4020,45 +4133,25 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT * FROM directed WHERE containment >= 0.5
         """,
-        "doc_dup_spans": f"""
-            WITH t AS (
+        "doc_dup_spans": _dup_spans_sql(),
+        "doc_dup_frac": f"""
+            WITH spans AS ({_dup_spans_sql()}),
+            per_doc AS (
+              SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            ),
+            toks AS (
               SELECT doc_id,
-                     regexp_split_to_array(trim(lower(trim(text))), '\\s+')
-                       AS toks
+                     CAST(len(regexp_split_to_array(
+                       trim(lower(trim(text))), '\\s+')) AS BIGINT)
+                       AS n_tokens
               FROM documents
-            ), occ AS (
-              SELECT doc_id, i - 1 AS pos,
-                     CAST('0x' || substr(md5(array_to_string(
-                       toks[i:i+{DUP_SPAN_W - 1}], ' ')), 1, 15) AS BIGINT)
-                       AS wh
-              FROM (
-                SELECT doc_id, toks,
-                       unnest(generate_series(1, len(toks) - {DUP_SPAN_W - 1}))
-                         AS i
-                FROM t WHERE len(toks) >= {DUP_SPAN_W}
-              )
-            ), dup AS (
-              SELECT wh FROM occ GROUP BY wh HAVING COUNT(*) >= 2
-            ), d AS (
-              SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (wh)
-            ), m AS (
-              SELECT doc_id, pos,
-                     CASE WHEN lag(pos) OVER w IS NULL
-                            OR pos - lag(pos) OVER w > {DUP_SPAN_W}
-                          THEN 1 ELSE 0 END AS ni
-              FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            ), isl AS (
-              SELECT doc_id, pos,
-                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS island
-              FROM m
             )
-            SELECT doc_id,
-                   MIN(pos) AS span_start,
-                   MAX(pos) + {DUP_SPAN_W - 1} AS span_end,
-                   MAX(pos) + {DUP_SPAN_W - 1} - MIN(pos) + 1 AS span_len,
-                   CAST(COUNT(*) AS BIGINT) AS n_dup_windows
-            FROM isl GROUP BY doc_id, island
+            SELECT t.doc_id, t.n_tokens,
+                   COALESCE(p.dup_tokens, 0) AS dup_tokens,
+                   ROUND(COALESCE(p.dup_tokens, 0)
+                         / CAST(t.n_tokens AS DOUBLE), 6) AS dup_frac
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "doc_simhash": _simhash_sql(),

@@ -335,6 +335,39 @@ def duplicate_substring_spans(
     return spans
 
 
+def duplicate_token_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token fraction — the filter metric a Lee
+    et al.-style pipeline thresholds on ('drop/trim docs that are >X%
+    corpus-duplicated substrings'): tokens covered by maximal duplicated
+    spans (``duplicate_substring_spans``) over the doc's total tokens.
+    Islands are disjoint by construction, so span lengths sum exactly.
+    Output: (id, n_tokens, dup_tokens, dup_frac); docs with no
+    duplicated span report 0/0.0."""
+    spans = duplicate_substring_spans(df, id_col, text_col, w, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("dup_tokens")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(_norm_text(text_col)), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)))
+        .withColumn(
+            "dup_frac", F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
+        )
+    )
+
+
 # --------------------------------------------------------------- minhash
 
 def minhash_signatures(

@@ -588,6 +588,82 @@ class SnapshotTable:
             pid_offset=pid_offset, properties=properties,
         )
 
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        dry_run: bool = False,
+    ) -> dict:
+        """Retention maintenance (Iceberg ``expire_snapshots``): drop all
+        but the ``keep_last`` most recent snapshots on the CURRENT
+        lineage chain and delete every data file no retained snapshot
+        references.  This is the PHYSICAL-erasure step that ``delete``
+        deliberately defers (a keyed DELETE keeps the parent snapshot's
+        files so time travel works; right-to-erasure completes only
+        when the snapshots still holding the rows expire).
+
+        Also removes ORPHAN data files: files referenced by NO manifest
+        at all (left behind by writes that crashed before their
+        manifest committed) and stale ``.partials`` sidecar dirs of
+        non-current, non-resumable snapshots.
+
+        Driver-only metadata work — no Spark job: the manifest set is
+        driver-sized by design, and deletion is file unlinks.  Safe
+        ordering: manifests of expired snapshots are deleted BEFORE
+        their now-unreferenced data files, so a crash mid-expiry never
+        leaves a manifest pointing at missing files; CURRENT is never
+        touched.  Returns a report dict; ``dry_run=True`` reports
+        without deleting."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        cur = self.current_snapshot_id()
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        # walk the current lineage chain, newest first
+        chain = []
+        sid = cur
+        while sid is not None:
+            man = self.manifest(sid)
+            if man is None:
+                break
+            chain.append(sid)
+            sid = man.get("parent")
+        retained = set(chain[:keep_last])
+        # every manifest on disk (incl. dead side-branches) not retained
+        all_manifests = {p.stem: p for p in self.snap_dir.glob("*.json")}
+        expired = sorted(set(all_manifests) - retained)
+        keep_files = set()
+        for sid in retained:
+            man = self.manifest(sid)
+            keep_files |= {p["file"] for p in man["partitions"]}
+        # a retained snapshot must never lose files referenced through
+        # an expired ancestor: carried partitions repeat the SAME file
+        # name in the child manifest, so keep_files already covers them
+        on_disk = {p.name for p in self.data_dir.glob("part-*.parquet")}
+        doomed_files = sorted(on_disk - keep_files)
+        stale_partials = sorted(
+            d.name
+            for d in self.snap_dir.glob("*.partials")
+            if d.name.removesuffix(".partials") not in retained
+        )
+        report = {
+            "retained": sorted(retained),
+            "expired_manifests": expired,
+            "deleted_files": doomed_files,
+            "deleted_partials": stale_partials,
+            "dry_run": dry_run,
+        }
+        if dry_run:
+            return report
+        for sid in expired:  # manifests first (crash-safe ordering)
+            all_manifests[sid].unlink(missing_ok=True)
+        import shutil
+
+        for name in stale_partials:
+            shutil.rmtree(self.snap_dir / name, ignore_errors=True)
+        for fname in doomed_files:
+            (self.data_dir / fname).unlink(missing_ok=True)
+        return report
+
     def _orphan_lineage(self, sid: str) -> list[dict]:
         """Lineage sidecars written by tasks of an uncommitted snapshot."""
         side = self.snap_dir / f"{sid}.partials"

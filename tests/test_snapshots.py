@@ -435,6 +435,63 @@ def test_evolved_table_survives_compact_delete_merge(spark, events, tmp_path):
     assert (pdf.quality == 0.5).sum() == 5
 
 
+def test_expire_snapshots_retention_and_orphans(spark, events, tmp_path):
+    """expire_snapshots drops old manifests + unreferenced data files
+    (the physical-erasure step delete() defers), keeps every file any
+    retained snapshot references (incl. carried copy-on-write files),
+    removes orphan files from crashed writes, and never touches
+    CURRENT.  Time travel inside retention keeps working; beyond it the
+    manifest is gone."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tbl"), spark)
+    base = events.select("event_id", "user_id", "value").limit(100)
+    s1 = t.write(base, partition_by="event_id", num_partitions=4,
+                 stats_cols=["event_id"])
+    # merge rewrites SOME partitions; untouched files are carried into s2
+    upd = spark.createDataFrame(
+        base.limit(5).toPandas()
+    ).withColumn("value", F.lit(-2.0))
+    s2 = t.merge(upd, "event_id")
+    victims = spark.createDataFrame(base.select("event_id").limit(3).toPandas())
+    s3 = t.delete(victims, "event_id")
+    # plant an orphan data file (a write that crashed pre-manifest)
+    orphan = t.data_dir / "part-deadbeef-00000.parquet"
+    orphan.write_bytes(b"not really parquet")
+
+    before = t.scan().toPandas().sort_values("event_id").reset_index(drop=True)
+
+    # dry run deletes nothing
+    rep = t.expire_snapshots(keep_last=2, dry_run=True)
+    assert s1 in rep["expired_manifests"] and orphan.name in rep["deleted_files"]
+    assert (t.snap_dir / f"{s1}.json").exists() and orphan.exists()
+
+    rep = t.expire_snapshots(keep_last=2)
+    assert rep["retained"] == sorted([s2, s3])
+    assert not (t.snap_dir / f"{s1}.json").exists()
+    assert not orphan.exists()
+    assert t.current_snapshot_id() == s3
+
+    # current + previous snapshots still scan IDENTICALLY (carried
+    # copy-on-write files survived expiry)
+    after = t.scan().toPandas().sort_values("event_id").reset_index(drop=True)
+    assert after.equals(before)
+    assert t.scan(s2).count() == 100
+    # beyond retention: gone
+    assert t.manifest(s1) is None
+    with pytest.raises(FileNotFoundError):
+        t.scan(s1)
+    # every file the retained manifests reference exists on disk
+    for sid in (s2, s3):
+        for p in t.manifest(sid)["partitions"]:
+            assert (t.data_dir / p["file"]).exists()
+    # idempotent + guard
+    rep2 = t.expire_snapshots(keep_last=2)
+    assert rep2["expired_manifests"] == [] and rep2["deleted_files"] == []
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+
+
 def test_snapshot_diff_reads_only_churn(spark, events, tmp_path):
     from pyspark.sql import functions as F
 
