@@ -1999,6 +1999,43 @@ def _ivf_centroids(sf_dir: str):
     return kmeans_centroids(x, IVF_CENTROIDS, iters=IVF_ITERS)
 
 
+PQ_M = 4
+PQ_CODES = 16
+PQ_SAMPLE = 256
+PQ_ITERS = 4
+
+
+def _pq_codebooks(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pic2vec_spark.ops.knn import pq_train
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    x = np.array(t.column("embedding").to_pylist()[:PQ_SAMPLE], dtype=np.float64)
+    return pq_train(x, m=PQ_M, n_codes=PQ_CODES, iters=PQ_ITERS)
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jegou et al. 2011): corpus rows
+    are m=4 subspace codes (at scale a PRECOMPUTED stored column — the
+    scan reads 4 small ints per row instead of the 64-float vector),
+    queries broadcast per-subspace lookup tables, score = LUT sums via
+    zip_with/aggregate (whole-stage codegen).  The memory half of the
+    10^12-row ANN recipe, complementing IVF's file pruning.  Codebooks
+    are the pretrained artifact (ORACLE_SF_DIR), embedded in the oracle
+    as literals."""
+    from pic2vec_spark.ops.knn import pq_adc_topk
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return pq_adc_topk(
+        embs, queries, _pq_codebooks(ORACLE_SF_DIR), k=KNN_K
+    )
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: corpus assigned to argmax-cosine centroid cell, queries
     probe their nprobe nearest cells, exact re-rank inside the probed
@@ -2088,12 +2125,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH bucket
-    candidates + exact cosine re-rank (never all-pairs).  Note the demo
-    threshold (0.4 ~ 66deg, chosen so the synthetic gaussian embeddings
-    yield any pairs at all) is LSH-hostile — recall at the boundary is
-    ~0.75 with the 4x8 defaults and rises steeply with cos; at real
-    near-dup thresholds (>=0.9) the same defaults give >0.999 recall.
-    Oracle replicates the same plane literals, so parity is exact."""
+    candidates + exact re-rank via the Arrow pair kernel (never
+    all-pairs, never interpreted expression eval).  The plane count is
+    corpus-sized (auto_lsh_planes: log2(n/64)) so candidate volume per
+    table stays ~n*64 at any scale.  Note the demo threshold (0.4 ~
+    66deg, chosen so the synthetic gaussian embeddings yield any pairs
+    at all) is LSH-hostile — recall at the boundary is partial and
+    rises steeply with cos; at real near-dup thresholds (>=0.9) recall
+    is >0.99.  Oracle replicates the same plane literals (the auto rule
+    evaluated on the gate corpus), so parity is exact."""
     from pic2vec_spark.ops.knn import cosine_neardup_pairs_lsh
 
     return cosine_neardup_pairs_lsh(
@@ -2639,6 +2679,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "knn_ivf_store": q_knn_ivf_store,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2947,10 +2988,19 @@ def _pit_alignment_sql() -> str:
 def _embedding_neardup_lsh_sql() -> str:
     """Oracle for embedding_neardup_lsh: the same hyperplane constants
     as the Spark plan, candidate pairs sharing any (table, bucket),
-    exact round-6 double cosine + threshold."""
-    from pic2vec_spark.ops.knn import _hyperplanes
+    exact round-6 double cosine + threshold.  The plane COUNT is the
+    corpus-sized auto rule evaluated on the gate corpus (ORACLE_SF_DIR
+    row count) — identical to what the Spark query computes from the
+    same input, so parity holds; at bench/scale SFs the query re-sizes
+    itself and no oracle runs there."""
+    import pyarrow.parquet as _pq
 
-    planes = _hyperplanes(64, 4, 8, 13)  # (tables, planes, dim)
+    from pic2vec_spark.ops.knn import _hyperplanes, auto_lsh_planes
+
+    n_rows = _pq.read_metadata(
+        f"{ORACLE_SF_DIR}/embeddings.parquet"
+    ).num_rows
+    planes = _hyperplanes(64, auto_lsh_planes(n_rows), 8, 13)
 
     def sig_expr(vec: str, t: int) -> str:
         terms = []
@@ -2978,6 +3028,56 @@ def _embedding_neardup_lsh_sql() -> str:
     SELECT id1, id2, cos FROM (
       SELECT id1, id2, {_SQL_COS.format(a='v1', b='v2')} AS cos FROM cand
     ) WHERE cos >= {NEARDUP_COS}
+    """
+
+
+def _knn_pq_sql() -> str:
+    """Oracle for knn_pq: the same codebooks as literals; per-subspace
+    squared-L2 lists rounded to 9 decimals BEFORE argmin/lookup (the
+    Spark UDF rounds identically, so encode ties and ADC sums agree
+    exactly); 1-based list_indexof == the UDF's 1-based codes."""
+    cb = _pq_codebooks(ORACLE_SF_DIR)
+    m, n_codes, dsub = cb.shape
+
+    def cb_lit(j: int) -> str:
+        rows = ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in cb[j, c]) + "]"
+            for c in range(n_codes)
+        )
+        return f"[{rows}]::DOUBLE[][]"
+
+    def dists(j: int) -> str:
+        off = j * dsub
+        return (
+            f"list_transform({cb_lit(j)}, c -> ROUND(list_sum("
+            f"list_transform(range(1, {dsub + 1}), "
+            f"i -> (e[{off} + i] - c[i]) * (e[{off} + i] - c[i]))), 9))"
+        )
+
+    codes = ", ".join(
+        f"list_indexof({dists(j)}, list_aggregate({dists(j)}, 'min'))"
+        for j in range(m)
+    )
+    luts = ", ".join(dists(j) for j in range(m))
+    adc = " + ".join(f"lut[{j + 1}][code[{j + 1}]]" for j in range(m))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), corp AS (
+      SELECT vec_id AS neighbor_id, [{codes}] AS code FROM v
+    ), q AS (
+      SELECT vec_id AS query_id, [{luts}] AS lut FROM v
+      WHERE vec_id < {KNN_QUERIES}
+    ), s AS (
+      SELECT query_id, neighbor_id, ROUND({adc}, 6) AS adc
+      FROM corp, q WHERE neighbor_id <> query_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, adc, rk FROM r WHERE rk <= {KNN_K}
     """
 
 
@@ -4169,6 +4269,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "knn_lsh": _knn_lsh_sql(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "knn_pq": _knn_pq_sql(),
         "knn_ivf_store": _knn_ivf_sql(),
         "knn_cosine": f"""
             WITH q AS (

@@ -102,6 +102,58 @@ def _cosine_unrolled(a: str, b: str, dim: int) -> Column:
     )
 
 
+def _round_half_up(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """HALF_UP (away from zero) rounding — what Spark's F.round and
+    DuckDB's ROUND do; np.round is half-even, a silent cross-engine
+    divergence on exact .5 boundaries."""
+    p = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
+
+
+def pair_cosine_arrow(a, b, dim: int):
+    """Arrow-batched numpy cosine of two vector COLUMNS, rounded
+    HALF_UP to 6 decimals — the BULK-pair scoring kernel for the
+    near-dup re-ranks.
+
+    Why not `_cosine_unrolled` here: a 64-dim unrolled cosine is ~600
+    expression nodes; inside the re-rank operators janino's 64 KB
+    method limit trips, Spark falls back to INTERPRETED expression
+    eval, and the re-rank crawls at ~15k pairs/s (measured: 463k LSH
+    candidates took 41 s — 25 s of it this one expression).  The Arrow
+    path moves each candidate batch to numpy once and scores it with
+    vectorized einsum (~10M pairs/s), the same batch-kernel pattern as
+    the CNN stage.  Rows that are NULL or not ``dim`` long yield NULL
+    (the unrolled form's CASE guard semantics)."""
+    @F.pandas_udf("double")
+    def pair_cos(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        n = len(xa)
+        if not n:
+            return pd.Series([], dtype=float)
+        ok = np.fromiter(
+            (
+                u is not None and v is not None
+                and len(u) == dim and len(v) == dim
+                for u, v in zip(xa, xb)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        out = np.full(n, np.nan)
+        if ok.any():
+            va = np.stack([np.asarray(u, dtype=np.float64) for u in xa[ok]])
+            vb = np.stack([np.asarray(v, dtype=np.float64) for v in xb[ok]])
+            num = np.einsum("ij,ij->i", va, vb)
+            den = np.sqrt(np.einsum("ij,ij->i", va, va)) * np.sqrt(
+                np.einsum("ij,ij->i", vb, vb)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[ok] = _round_half_up(num / den)
+        res = pd.Series(out)
+        return res.where(np.isfinite(out), None)
+
+    return pair_cos(a, b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -510,31 +562,37 @@ def cosine_neardup_pairs(
             )
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
-    # probe the dimension once (cheap driver action) to emit the
-    # UNROLLED codegen cosine — identical arithmetic to the HOF form
-    # (see _cosine_unrolled) but far cheaper per pair, which is what
-    # dominates an O(n^2) join; fall back to the HOF form only when no
-    # probe row exists (empty input stays lazy and correctly typed)
+    # probe the dimension once (cheap driver action) to pick the
+    # Arrow-batched numpy pair kernel (pair_cosine_arrow — the giant
+    # unrolled expression trips janino's 64 KB method limit inside the
+    # re-rank and drops the whole pair scoring to interpreted eval,
+    # ~15k pairs/s); fall back to the HOF form only when no probe row
+    # exists (empty input stays lazy and correctly typed).  A Python
+    # UDF predicate is also never pushed into the
+    # BroadcastNestedLoopJoin condition, so the join runs on the cheap
+    # id1 < id2 and the cosine lands in one ArrowEvalPython above it.
     head = df.select(vec_col).first()
     if head is not None and head[0] is not None:
-        cos_expr = _cosine_unrolled("v1", "v2", len(head[0]))
+        cos_expr = pair_cosine_arrow("v1", "v2", len(head[0]))
     else:
-        cos_expr = cosine(F.col("v1"), F.col("v2"))
-    # the `+ rand(7)*0.0` term adds exactly 0.0 (rand is in [0,1), never
-    # NaN/inf; NULL cos stays NULL and is dropped, same as before) — its
-    # ONLY purpose is to mark the predicate nondeterministic so Catalyst
-    # cannot push the threshold filter (and the whole cosine with it)
-    # into the BroadcastNestedLoopJoin condition, where it is evaluated
-    # per candidate pair outside whole-stage codegen (measured 3.5x
-    # slower at sf0.1: 36s -> 10.6s).  With the barrier the join runs
-    # on the cheap id1 < id2 condition and the cosine lands in a
-    # codegen Project above it.
+        cos_expr = F.round(cosine(F.col("v1"), F.col("v2")), 6)
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(cos_expr, 6))
-        .filter(F.col("cos") + F.rand(7) * F.lit(0.0) >= threshold)
+        .withColumn("cos", cos_expr)
+        .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
+
+
+def auto_lsh_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Corpus-sized plane count for hyperplane LSH: enough planes that
+    the expected bucket holds ~``target_bucket`` rows (candidate volume
+    per table ~ n * bucket_size), clamped to [4, 16].  A FIXED plane
+    count cannot be right at both 2k and 20M rows: per-table candidates
+    grow as n^2 / 2^planes, so planes must track log2(n)."""
+    import math
+
+    return max(4, min(16, math.ceil(math.log2(max(n_rows / target_bucket, 2)))))
 
 
 def cosine_neardup_pairs_lsh(
@@ -542,7 +600,7 @@ def cosine_neardup_pairs_lsh(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 13,
 ) -> DataFrame:
@@ -556,9 +614,13 @@ def cosine_neardup_pairs_lsh(
     (1 - angle/pi)^n_planes and missing all tables is exponentially
     unlikely — at t=0.95 (<=18.2deg), 4 planes x 8 tables gives
     P(candidate) > 0.999.  Candidate volume ~= sum of squared bucket
-    sizes per table: with 2^4 buckets over random directions that is
-    ~n^2/16 per table worst-case on unclustered data, but real near-dup
-    corpora cluster, concentrating true pairs and spreading non-pairs.
+    sizes per table (~n^2 / 2^planes on unclustered data), so
+    ``n_planes=None`` (default) SIZES THE TABLE TO THE CORPUS via
+    ``auto_lsh_planes`` — log2(n/64) planes keep expected buckets ~64
+    rows at any n (a fixed plane count that is right at 2k rows melts
+    at 20M); recall per table drops with added planes, traded against
+    the extra tables staying affordable.  Real near-dup corpora
+    cluster, concentrating true pairs and spreading non-pairs.
     Output: (id1, id2, cos), id1 < id2."""
     head = df.select(vec_col).first()
     if head is None:
@@ -566,6 +628,10 @@ def cosine_neardup_pairs_lsh(
         # typed empty pairs frame (no dim probe row exists to plan LSH)
         return cosine_neardup_pairs(df, threshold, id_col, vec_col)
     dim = len(head[0])
+    if n_planes is None:
+        # narrow count (ids only) — the same cheap pre-scan the exact
+        # path's guard and the broadcast-asof auto-switch already use
+        n_planes = auto_lsh_planes(df.select(id_col).count())
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     b = _bucketize(
         df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
@@ -584,9 +650,7 @@ def cosine_neardup_pairs_lsh(
         .distinct()
     )
     return (
-        cand.withColumn(
-            "cos", F.round(_cosine_unrolled("v1", "v2", dim), 6)
-        )
+        cand.withColumn("cos", pair_cosine_arrow("v1", "v2", dim))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
@@ -798,3 +862,139 @@ def random_projection_sql(
             f"AND len({vec_col}) >= {dim}"
         )
     return " UNION ALL ".join(selects)
+
+
+# ------------------------------------------------------------------- PQ
+
+def pq_train(
+    x: np.ndarray, m: int = 4, n_codes: int = 16, iters: int = 5
+) -> np.ndarray:
+    """Product-quantization codebooks: split the dimension into ``m``
+    equal subspaces and run the same deterministic Lloyd k-means as the
+    IVF coarse quantizer (``kmeans_centroids``) in each.  Returns
+    (m, n_codes, dim/m).  PQ is the memory half of the 10^12-row ANN
+    recipe (IVF prunes FILES, PQ shrinks what's scanned: a 64-dim float
+    vector -> m=4 byte codes, 64x smaller), after Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"."""
+    x = np.asarray(x, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    return np.stack(
+        [
+            kmeans_centroids(x[:, j * dsub : (j + 1) * dsub], n_codes, iters)
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_subdists(sub: np.ndarray, cb_j: np.ndarray) -> np.ndarray:
+    """Rounded squared-L2 distances (rows x n_codes) of subvectors to
+    one subspace codebook.  Rounded to 9 decimals BEFORE any argmin /
+    lookup so the DuckDB oracle (sequential left-to-right sums) and
+    numpy (pairwise sums) agree bit-for-bit at the precision that
+    matters; evaluation uses the plain expanded sum, no BLAS tricks."""
+    d = ((sub[:, None, :] - cb_j[None, :, :]) ** 2).sum(axis=2)
+    return np.round(d, 9)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code): per-subspace index (1-BASED, matching SQL
+    list_indexof) of the nearest codebook centroid — argmin of the
+    rounded squared L2, first index on ties.  Arrow-batched vectorized
+    UDF (never per-row Python); the codebooks ride the serialized
+    closure (a few KB) — at real scale wrap them in a broadcast."""
+    m, n_codes, dsub = codebooks.shape
+    cb = codebooks
+
+    @F.pandas_udf("array<int>")
+    def enc(s: pd.Series) -> pd.Series:
+        xs = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        if not len(xs):
+            return pd.Series([], dtype=object)
+        codes = np.empty((len(xs), m), dtype=np.int32)
+        for j in range(m):
+            d = _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
+            codes[:, j] = d.argmin(axis=1) + 1  # 1-based
+        return pd.Series(list(codes))
+
+    return df.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes:
+
+    1. corpus -> per-subspace codes (``pq_encode``; at scale this is a
+       PRECOMPUTED stored column — the whole point of PQ is that the
+       scan reads m small ints per row, not the float vector);
+    2. each query builds its lookup table lut[j][c] = squared L2 from
+       its j-th subvector to centroid c (m x n_codes doubles — tiny);
+    3. score(q, row) = sum_j lut[j][code_j]: a zip_with + aggregate over
+       broadcast query LUTs — whole-stage codegen, corpus scanned once
+       for ALL queries, no distance recomputation;
+    4. per-query top-k by (adc asc, neighbor_id) — WindowGroupLimit
+       prunes map-side.
+
+    Output: (query_id, neighbor_id, adc, rk); adc is the rounded
+    approximate squared L2 (smaller = nearer)."""
+    m, n_codes, dsub = codebooks.shape
+    cb = codebooks
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    @F.pandas_udf("array<array<double>>")
+    def lut_udf(s: pd.Series) -> pd.Series:
+        xs = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        if not len(xs):
+            return pd.Series([], dtype=object)
+        out = []
+        luts = np.stack(
+            [
+                _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
+                for j in range(m)
+            ],
+            axis=1,
+        )  # (rows, m, n_codes)
+        for row in luts:
+            out.append([list(map(float, r)) for r in row])
+        return pd.Series(out)
+
+    ql = queries.select(
+        F.col(id_col).alias("query_id"), lut_udf(F.col(vec_col)).alias("lut")
+    )
+    cand = codes.crossJoin(F.broadcast(ql)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with("lut", "code", lambda l, c: F.element_at(l, c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("adc", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc", "rk")
+    )

@@ -378,6 +378,59 @@ def test_cosine_neardup_lsh_subset_and_recall(spark):
         assert len(l2) / len(e2) >= 0.5
 
 
+def test_pq_adc_topk_recall_and_determinism(spark):
+    """Product-quantization ADC: codes are 1-based argmin of rounded
+    subspace distances (numpy oracle), encoding is partition-invariant,
+    and ADC top-1 recovers the exact-L2 nearest neighbor for clustered
+    data (planted near-identical pairs, where quantization error cannot
+    flip the ranking)."""
+    import numpy as np
+
+    from pic2vec_spark.ops.knn import (
+        _pq_subdists,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(48, 16))
+    pert = base[:8] + rng.normal(scale=1e-3, size=(8, 16))  # planted NNs
+    vecs = np.vstack([base, pert])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    cb = pq_train(vecs, m=4, n_codes=8, iters=4)
+    assert cb.shape == (4, 8, 4)
+
+    codes = pq_encode(df, cb).toPandas().set_index("vec_id").sort_index()
+    # numpy oracle for the codes
+    for j in range(4):
+        d = _pq_subdists(vecs[:, j * 4 : (j + 1) * 4], cb[j])
+        want = d.argmin(axis=1) + 1
+        got = np.array([c[j] for c in codes.code])
+        assert (got == want).all()
+    # partition invariance
+    codes2 = (
+        pq_encode(df.repartition(7), cb).toPandas()
+        .set_index("vec_id").sort_index()
+    )
+    assert [list(c) for c in codes.code] == [list(c) for c in codes2.code]
+
+    # planted pair recovered as ADC top-1 for each perturbed query
+    queries = df.filter(F.col("vec_id") >= 48)
+    top = pq_adc_topk(df, queries, cb, k=1).toPandas()
+    got_nn = dict(zip(top.query_id, top.neighbor_id))
+    hits = sum(got_nn[48 + i] == i for i in range(8))
+    assert hits >= 7  # quantization may flip at most a rare boundary
+    # adc of the planted pair is (near) the smallest possible: both
+    # vectors quantize to the same codes -> adc ~ lut self-distance
+    assert (top.adc >= 0).all()
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(vecs, m=5)
+
+
 def test_neardup_clusters_hand_graph(spark):
     """Chained pairs collapse into one component labeled by its min id;
     disjoint pairs stay separate; a path graph (diameter > 1) needs and
