@@ -388,6 +388,51 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per (region, nation) —
+    lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    Q5 constraint c_nationkey = s_nationkey.  The two fact tables join
+    on their keys; all four dimensions broadcast (Catalyst reorders and
+    AQE confirms from runtime sizes), so the only big exchange is
+    lineitem⋈orders.  Decimal-exact revenue sums (order-proof), a
+    pushed-down date-range filter on the orders scan."""
+    _ensure_utc(spark)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .withColumn("revenue", F.round("revenue", 2))
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by order revenue per nation: broadcast dimension
     joins (customer, nation) onto the orders fact, decimal-exact revenue,
@@ -2603,6 +2648,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q_pricing_rollup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "regional_revenue": q_regional_revenue,
         "multi_column_widened": q_multi_column_widened,
         "forward_fill": q_forward_fill,
         "backward_fill": q_backward_fill,
@@ -4674,6 +4720,22 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT COUNT(*) AS lineage_rows, COUNT(*) AS scanned_rows,
                    TRUE AS lineage_consistent
             FROM events
+        """,
+        "regional_revenue": """
+            SELECT r_name, n_name,
+                   ROUND(SUM((l_extendedprice * (1 - l_discount))
+                             ::DECIMAL(18,4))::DOUBLE, 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= DATE '1994-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY r_name, n_name
         """,
         "top_customers": """
             WITH rev AS (

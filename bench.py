@@ -99,12 +99,16 @@ EXTENDED_R3C = [
 EXTENDED_R4 = [
     "pit_asof_alignment",
     "doc_dup_spans",
+    "doc_dup_frac",
     "dedup_jaccard",
     "dedup_containment",
     "pii_scrub",
     "doc_packing",
     "hard_negatives",
     "hybrid_rrf",
+    "knn_pq",
+    "regional_revenue",
+    "snapshot_expiry",
 ]
 
 EXTENDED_GROUPS = [

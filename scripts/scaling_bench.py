@@ -82,23 +82,46 @@ def main() -> None:
         t.write(synth_images_df(spark, N_IMAGES, seed=42), num_partitions=64)
         spark.stop()
 
+    # per-run CPU probe (the bench.py validity gate, applied per level):
+    # a run whose before/after GFLOPS disagree beyond 5x crossed a
+    # tenant-steal collapse and is re-sampled (bounded retries) — the r4
+    # first sweep measured local[32] SLOWER than local[8] purely from
+    # steal, which no best-of-N inside the storm can fix
+    from bench import _cpu_probe_gflops
+
+    max_extra = int(os.environ.get("SCALING_MAX_EXTRA", "2"))
     results = {}
     for n in LEVELS:
         # this sandbox shares hardware with external load (load avg 5-7
         # with zero local processes observed); repeat and keep the BEST
-        # run per level as the least-interference estimate, recording all
-        secs = []
-        for _ in range(REPEATS):
-            secs.append(run_job(n, images_root))
+        # CLEAN run per level as the least-interference estimate
+        secs, probes, clean = [], [], []
+        budget = REPEATS + max_extra
+        while len(secs) < REPEATS and budget > 0:
+            budget -= 1
+            before = _cpu_probe_gflops()
+            sec = run_job(n, images_root)
+            after = _cpu_probe_gflops()
+            ratio = max(before, after) / max(min(before, after), 1e-9)
+            ok = ratio <= 5.0
+            secs.append(sec) if ok else None
+            (clean if ok else probes).append(
+                {"sec": round(sec, 2), "before": before, "after": after,
+                 "ratio": round(ratio, 1), "clean": ok}
+            )
             print(
-                f"local[{n}]: {secs[-1]:.1f}s  {N_IMAGES / secs[-1]:.1f} img/s",
+                f"local[{n}]: {sec:.1f}s  {N_IMAGES / sec:.1f} img/s  "
+                f"probe {before}->{after} ({'clean' if ok else 'STEAL'})",
                 file=sys.stderr,
             )
-        best = min(secs)
+        runs = clean + probes
+        best = min(secs) if secs else min(r["sec"] for r in runs)
         results[n] = {
             "sec": round(best, 2),
             "images_per_sec": round(N_IMAGES / best, 1),
-            "all_secs": [round(s, 2) for s in secs],
+            "all_secs": [r["sec"] for r in runs],
+            "probes": runs,
+            "steal_invalidated": not secs,
         }
 
     pairs = []
