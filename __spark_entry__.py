@@ -689,6 +689,25 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-5-ROWS stats per user timeline (ops/windows.
+    rolling_rows_agg): the 'mean/std of the last n observations'
+    feature family — ROWS frame (event-count), complementing the
+    RANGE (time) frame of sliding_1h."""
+    from pic2vec_spark.ops.windows import rolling_rows_agg
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("user_id").alias("entity_id"), "ts", "value"
+    )
+    out = rolling_rows_agg(ev, n=5, col="value", tiebreak="event_id")
+    return out.select(
+        "event_id",
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        "roll_n", "roll_mean", "roll_min", "roll_max", "roll_std",
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.windows import lag_lead
 
@@ -2632,6 +2651,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_state_mid": q_scd2_state_mid,
         "events_zorder": q_events_zorder,
         "lag_lead": q_lag_lead,
+        "rolling_5_events": q_rolling_5,
         "sliding_1h": q_sliding_1h,
         "user_activity": q_user_activity,
         "purchase_attribution": q_purchase_attribution,
@@ -4755,6 +4775,19 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT n_name, c_custkey, c_name, revenue, n_orders, rk
             FROM r WHERE rk <= 3
+        """,
+        "rolling_5_events": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   COUNT(value) OVER w AS roll_n,
+                   ROUND(AVG(value) OVER w, 6) AS roll_mean,
+                   MIN(value) OVER w AS roll_min,
+                   MAX(value) OVER w AS roll_max,
+                   ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+            )
         """,
         "lag_lead": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,

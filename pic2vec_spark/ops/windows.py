@@ -42,6 +42,40 @@ def lag_lead(
     )
 
 
+def rolling_rows_agg(
+    df: DataFrame,
+    n: int,
+    col: str = "value",
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Trailing-N-ROWS statistics per entity timeline — the
+    "mean/std/min/max of the last n observations" feature family
+    (complements ``sliding_range_agg``, which is time-based: a RANGE
+    frame answers "last hour", a ROWS frame answers "last 5 events"
+    regardless of event spacing).  Frame = ROWS BETWEEN n-1 PRECEDING
+    AND CURRENT ROW ordered by (ts, tiebreak): deterministic frames,
+    zero leakage (only rows at or before the current one), one
+    entity-hash exchange, whole-stage window aggregation.
+
+    Adds ``roll_n / roll_mean / roll_min / roll_max / roll_std``
+    (sample stddev; NULL for single-row frames — both engines agree).
+    NULL values are skipped by every aggregate, matching SQL."""
+    if n < 1:
+        raise ValueError(f"rolling window n must be >= 1, got {n}")
+    w = entity_window(on, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    return df.withColumns(
+        {
+            "roll_n": F.count(col).over(w),
+            "roll_mean": F.round(F.avg(col).over(w), 6),
+            "roll_min": F.min(col).over(w),
+            "roll_max": F.max(col).over(w),
+            "roll_std": F.round(F.stddev_samp(col).over(w), 6),
+        }
+    )
+
+
 def forward_fill(
     df: DataFrame,
     cols: list[str],
