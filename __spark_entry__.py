@@ -2100,6 +2100,23 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (ops/knn.ivf_pq_topk): the coarse quantizer
+    prunes to nprobe cells, PQ codes + broadcast query LUTs score the
+    probed candidates (ADC) — the FAISS-style 10^12-row recipe, corpus
+    never shuffled.  Same pretrained centroid/codebook artifacts as
+    knn_ivf/knn_pq, both embedded in the composed oracle."""
+    from pic2vec_spark.ops.knn import ivf_pq_topk
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return ivf_pq_topk(
+        embs, queries,
+        _ivf_centroids(ORACLE_SF_DIR), _pq_codebooks(ORACLE_SF_DIR),
+        k=KNN_K, nprobe=IVF_NPROBE,
+    )
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: corpus assigned to argmax-cosine centroid cell, queries
     probe their nprobe nearest cells, exact re-rank inside the probed
@@ -2746,6 +2763,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "knn_ivf_store": q_knn_ivf_store,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -3097,11 +3115,13 @@ def _embedding_neardup_lsh_sql() -> str:
     """
 
 
-def _knn_pq_sql() -> str:
-    """Oracle for knn_pq: the same codebooks as literals; per-subspace
-    squared-L2 lists rounded to 9 decimals BEFORE argmin/lookup (the
-    Spark UDF rounds identically, so encode ties and ADC sums agree
-    exactly); 1-based list_indexof == the UDF's 1-based codes."""
+def _pq_sql_parts() -> tuple[str, str, str]:
+    """Shared SQL fragments for the PQ oracles (knn_pq / knn_ivf_pq):
+    codebooks as literals; per-subspace squared-L2 lists rounded to 9
+    decimals BEFORE argmin/lookup (the Spark UDF rounds identically, so
+    encode ties and ADC sums agree exactly); 1-based list_indexof ==
+    the UDF's 1-based codes.  Returns (codes, luts, adc) expression
+    text over a double-list column ``e``."""
     cb = _pq_codebooks(ORACLE_SF_DIR)
     m, n_codes, dsub = cb.shape
 
@@ -3126,6 +3146,11 @@ def _knn_pq_sql() -> str:
     )
     luts = ", ".join(dists(j) for j in range(m))
     adc = " + ".join(f"lut[{j + 1}][code[{j + 1}]]" for j in range(m))
+    return codes, luts, adc
+
+
+def _knn_pq_sql() -> str:
+    codes, luts, adc = _pq_sql_parts()
     return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3138,6 +3163,57 @@ def _knn_pq_sql() -> str:
     ), s AS (
       SELECT query_id, neighbor_id, ROUND({adc}, 6) AS adc
       FROM corp, q WHERE neighbor_id <> query_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, adc, rk FROM r WHERE rk <= {KNN_K}
+    """
+
+
+def _knn_ivf_pq_sql() -> str:
+    """Oracle for knn_ivf_pq: the knn_ivf cell-assignment/probe SQL
+    composed with the knn_pq code/LUT fragments — same centroid and
+    codebook literals as the Spark plan."""
+    centroids = _ivf_centroids(ORACLE_SF_DIR)
+    codes, luts, adc = _pq_sql_parts()
+
+    def cos_lit(vec: str, c) -> str:
+        arr = "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+        return (
+            f"ROUND(list_dot_product({vec}, {arr}) / "
+            f"(sqrt(list_dot_product({vec}, {vec})) * "
+            f"sqrt(list_dot_product({arr}, {arr}))), 6)"
+        )
+
+    cl = "[" + ", ".join(cos_lit("e", c) for c in centroids) + "]"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), ca AS (
+      SELECT vec_id, e, {cl} AS cl FROM v
+    ), corp AS (
+      SELECT vec_id AS neighbor_id,
+             list_indexof(cl, list_aggregate(cl, 'max')) AS cell,
+             [{codes}] AS code
+      FROM ca
+    ), qp0 AS (
+      SELECT vec_id AS query_id, cl, [{luts}] AS lut,
+             unnest(generate_series(1, {IVF_CENTROIDS})) AS cell
+      FROM ca WHERE vec_id < {KNN_QUERIES}
+    ), qp1 AS (
+      SELECT query_id, lut, cell,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cl[cell] DESC, cell ASC
+             ) AS prk
+      FROM qp0
+    ), cand AS (
+      SELECT p.query_id, p.lut, c.neighbor_id, c.code
+      FROM qp1 p JOIN corp c USING (cell)
+      WHERE p.prk <= {IVF_NPROBE} AND c.neighbor_id <> p.query_id
+    ), s AS (
+      SELECT query_id, neighbor_id, ROUND({adc}, 6) AS adc FROM cand
     ), r AS (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rk
@@ -4336,6 +4412,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
         "knn_pq": _knn_pq_sql(),
+        "knn_ivf_pq": _knn_ivf_pq_sql(),
         "knn_ivf_store": _knn_ivf_sql(),
         "knn_cosine": f"""
             WITH q AS (

@@ -899,17 +899,11 @@ def _pq_subdists(sub: np.ndarray, cb_j: np.ndarray) -> np.ndarray:
     return np.round(d, 9)
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, code): per-subspace index (1-BASED, matching SQL
-    list_indexof) of the nearest codebook centroid — argmin of the
-    rounded squared L2, first index on ties.  Arrow-batched vectorized
-    UDF (never per-row Python); the codebooks ride the serialized
-    closure (a few KB) — at real scale wrap them in a broadcast."""
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched encode kernel: per-subspace 1-BASED argmin (first
+    index on ties) of the rounded squared L2 — shared by ``pq_encode``
+    and ``ivf_pq_topk``.  The codebooks ride the serialized closure
+    (a few KB) — at real scale wrap them in a broadcast."""
     m, n_codes, dsub = codebooks.shape
     cb = codebooks
 
@@ -924,6 +918,60 @@ def pq_encode(
             codes[:, j] = d.argmin(axis=1) + 1  # 1-based
         return pd.Series(list(codes))
 
+    return enc
+
+
+def _pq_lut_udf(codebooks: np.ndarray):
+    """Arrow-batched query-LUT kernel: lut[j][c] = rounded squared L2
+    from the query's j-th subvector to centroid c — shared by
+    ``pq_adc_topk`` and ``ivf_pq_topk``."""
+    m, n_codes, dsub = codebooks.shape
+    cb = codebooks
+
+    @F.pandas_udf("array<array<double>>")
+    def lut_udf(s: pd.Series) -> pd.Series:
+        xs = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        if not len(xs):
+            return pd.Series([], dtype=object)
+        luts = np.stack(
+            [
+                _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
+                for j in range(m)
+            ],
+            axis=1,
+        )  # (rows, m, n_codes)
+        return pd.Series(
+            [[list(map(float, r)) for r in row] for row in luts]
+        )
+
+    return lut_udf
+
+
+def _pq_adc_expr(m: int) -> Column:
+    """ADC score: sum_j lut[j][code_j] via zip_with + aggregate —
+    whole-stage codegen, sequential left-to-right double sum (matches
+    the DuckDB oracle's + chain)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with("lut", "code", lambda l, c: F.element_at(l, c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code): per-subspace index (1-BASED, matching SQL
+    list_indexof) of the nearest codebook centroid — argmin of the
+    rounded squared L2, first index on ties.  Arrow-batched vectorized
+    UDF (never per-row Python)."""
+    enc = _pq_encode_udf(codebooks)
     return df.select(
         F.col(id_col), enc(F.col(vec_col)).alias("code")
     )
@@ -953,42 +1001,82 @@ def pq_adc_topk(
     Output: (query_id, neighbor_id, adc, rk); adc is the rounded
     approximate squared L2 (smaller = nearer)."""
     m, n_codes, dsub = codebooks.shape
-    cb = codebooks
     codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-
-    @F.pandas_udf("array<array<double>>")
-    def lut_udf(s: pd.Series) -> pd.Series:
-        xs = np.array([np.asarray(v, dtype=np.float64) for v in s])
-        if not len(xs):
-            return pd.Series([], dtype=object)
-        out = []
-        luts = np.stack(
-            [
-                _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
-                for j in range(m)
-            ],
-            axis=1,
-        )  # (rows, m, n_codes)
-        for row in luts:
-            out.append([list(map(float, r)) for r in row])
-        return pd.Series(out)
-
+    lut_udf = _pq_lut_udf(codebooks)
     ql = queries.select(
         F.col(id_col).alias("query_id"), lut_udf(F.col(vec_col)).alias("lut")
     )
     cand = codes.crossJoin(F.broadcast(ql)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    adc = F.round(
-        F.aggregate(
-            F.zip_with("lut", "code", lambda l, c: F.element_at(l, c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    adc = _pq_adc_expr(m)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
     )
+    return (
+        cand.withColumn("adc", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc", "rk")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composed 10^12-row ANN recipe (FAISS IVFPQ /
+    Jegou 2011 §V): the coarse quantizer PRUNES (queries touch only
+    ``nprobe`` of the cells — at scale, cells are the snapshot
+    partition key and pruning happens at the FILE level, see
+    ops/ivf_store), PQ SHRINKS what the probe scans (m small-int codes
+    per row instead of the float vector) and scores it with
+    ADC lookup-table sums.
+
+    Plan: cell assignment + code encoding are narrow maps over the
+    corpus; probes broadcast (query LUTs ride along); the candidate
+    join is a broadcast hash join on cell; scoring is zip_with +
+    aggregate in codegen; per-query top-k via WindowGroupLimit.  The
+    corpus is never shuffled.
+
+    Output: (query_id, neighbor_id, adc, rk) — adc ascending (smaller
+    = nearer), deterministic (adc, neighbor_id) tiebreak."""
+    m, n_codes, dsub = codebooks.shape
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    enc = _pq_encode_udf(codebooks)
+    coded = cells.select(
+        "neighbor_id", "cell", enc(F.col("cvec")).alias("code")
+    )
+    lut_udf = _pq_lut_udf(codebooks)
+    qc = _with_centroid_cos(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec",
+        centroids,
+    ).withColumn("lut", lut_udf(F.col("qvec"))).select(
+        "query_id", "lut", F.posexplode(F.col("__cos")).alias("cell0", "ccos")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell0").asc()
+    )
+    probes = (
+        qc.withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "lut", (F.col("cell0") + 1).alias("cell"))
+    )
+    cand = coded.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = _pq_adc_expr(m)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )

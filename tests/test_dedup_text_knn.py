@@ -430,6 +430,21 @@ def test_pq_adc_topk_recall_and_determinism(spark):
     with pytest.raises(ValueError, match="divisible"):
         pq_train(vecs, m=5)
 
+    # IVF-PQ with nprobe = n_cells (probe everything) must equal the
+    # flat PQ ADC ranking exactly — the composition changes WHAT is
+    # scanned, never the scores
+    from pic2vec_spark.ops.knn import ivf_pq_topk, kmeans_centroids
+
+    cents = kmeans_centroids(vecs, 4, iters=3)
+    flat = pq_adc_topk(df, queries, cb, k=3).toPandas()
+    comp = ivf_pq_topk(
+        df, queries, cents, cb, k=3, nprobe=len(cents)
+    ).toPandas()
+    key = lambda p: sorted(
+        map(tuple, p[["query_id", "neighbor_id", "adc", "rk"]].values)
+    )
+    assert key(flat) == key(comp)
+
 
 def test_neardup_clusters_hand_graph(spark):
     """Chained pairs collapse into one component labeled by its min id;
