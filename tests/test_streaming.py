@@ -561,5 +561,31 @@ def test_stream_quality_audits_each_batch_once(spark, tmp_path):
     assert by_batch[0] == (0, True)
     assert by_batch[1][0] == 100 and by_batch[1][1] is False
     # manifest carries the replay guard
-    man = SnapshotTable(str(tmp_path / "audit"), spark).manifest()
+    t = SnapshotTable(str(tmp_path / "audit"), spark)
+    man = t.manifest()
     assert man["properties"]["dq_last_batch"] == 1
+
+    # properties carried: a foreign table property set between batches
+    # must SURVIVE the next audited batch — the sink merges its
+    # dq_last_batch into the parent's properties instead of replacing
+    # them wholesale (regression for the first-batch wipe)
+    t.append(
+        t.scan().limit(0), num_partitions=1,
+        properties={**man["properties"], "owner": "dq-team"},
+    )
+    clean.exceptAll(good).limit(50).coalesce(1).write.parquet(str(inp / "d3"))
+    q = stream_quality(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_root=str(tmp_path / "audit"),
+        constraints=[not_null("event_id"), in_range("value", 0, 300)],
+        schema=events.schema,
+        files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    man2 = t.manifest()
+    assert man2["properties"]["owner"] == "dq-team"
+    assert man2["properties"]["dq_last_batch"] == 2
