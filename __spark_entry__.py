@@ -2222,6 +2222,26 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_COS = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells over the embedding
+    corpus, within-cell cosine, drop rows within SEMDEDUP_COS of a
+    higher-ranked cell-mate (rank = centroid cosine DESC, id ASC).
+    Cells reuse the pretrained IVF coarse centroids (same artifact,
+    same broadcast-literal assignment kernel); the demo threshold
+    matches NEARDUP_COS's rationale — synthetic gaussian embeddings
+    need a loose cosine to produce any duplicates at all."""
+    from pic2vec_spark.ops.knn import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings(spark, sf_dir),
+        _ivf_centroids(ORACLE_SF_DIR),
+        threshold=SEMDEDUP_COS,
+    )
+
+
 def q_multi_column_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's multi-image-column flow (O2/O5) + CSV-compat
     widening (S8/P6) through the driver: a table with two image-ref
@@ -2767,6 +2787,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_store": q_knn_ivf_store,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "caption_image_conflicts": q_caption_image_conflicts,
         "audio_features": q_audio_features,
         "image_phash": q_image_phash,
@@ -3271,6 +3292,45 @@ def _knn_ivf_sql() -> str:
       FROM s
     )
     SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    """Oracle for semantic_dedup: same IVF centroid literals, same
+    round-6 cosine folds, same (centroid_cos DESC, id ASC) rank rule —
+    dropped = any higher-ranked cell-mate within SEMDEDUP_COS."""
+    centroids = _ivf_centroids(ORACLE_SF_DIR)
+
+    def cos_lit(vec: str, c) -> str:
+        arr = "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+        return (
+            f"ROUND(list_dot_product({vec}, {arr}) / "
+            f"(sqrt(list_dot_product({vec}, {vec})) * "
+            f"sqrt(list_dot_product({arr}, {arr}))), 6)"
+        )
+
+    cl = "[" + ", ".join(cos_lit("e", c) for c in centroids) + "]"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), ca AS (
+      SELECT vec_id, e, {cl} AS cl FROM v
+    ), a AS (
+      SELECT vec_id, e,
+             list_indexof(cl, list_aggregate(cl, 'max')) AS cell,
+             list_aggregate(cl, 'max') AS ccos
+      FROM ca
+    ), p AS (
+      SELECT h.vec_id AS hid, l.vec_id AS lid,
+             {_SQL_COS.format(a='h.e', b='l.e')} AS pcos
+      FROM a h JOIN a l ON h.cell = l.cell
+       AND (h.ccos > l.ccos OR (h.ccos = l.ccos AND h.vec_id < l.vec_id))
+    ), d AS (
+      SELECT DISTINCT lid FROM p WHERE pcos >= {SEMDEDUP_COS}
+    )
+    SELECT a.vec_id, a.cell, a.ccos AS centroid_cos,
+           (d.lid IS NULL) AS keep
+    FROM a LEFT JOIN d ON a.vec_id = d.lid
     """
 
 
@@ -4414,6 +4474,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "knn_pq": _knn_pq_sql(),
         "knn_ivf_pq": _knn_ivf_pq_sql(),
         "knn_ivf_store": _knn_ivf_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "knn_cosine": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -656,6 +656,85 @@ def cosine_neardup_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into k-means cells, score
+    cosine only WITHIN each cell, and drop every row that sits within
+    ``threshold`` cosine of a higher-ranked cell-mate.  The standard
+    LLM-curation step between exact dedup (catches byte-identical) and
+    MinHash (catches near-verbatim): embedding cosine catches
+    *paraphrase* duplicates that share no n-grams.
+
+    Rank inside a cell = (centroid cosine DESC, id ASC) — rounded-6
+    cosine on both engines, so the rank (and therefore the keep set) is
+    deterministic and oracle-replicable.  A row is dropped iff ANY
+    higher-ranked row in its cell is ``>= threshold`` similar; the rule
+    is single-pass (no iterative greedy), which makes it expressible as
+    one self-join + anti-join in both Spark and SQL.
+
+    Scale shape: cell assignment is a narrow map over broadcast
+    centroid literals (no shuffle, same kernel as IVF); the self-join
+    shuffles once on ``cell`` and is quadratic only WITHIN a cell — the
+    SemDeDup contract is that k grows with n so expected cell size
+    stays bounded (the paper runs k=50k on 200M docs).  Pair scoring
+    uses the Arrow batch kernel (``pair_cosine_arrow``), never the
+    unrolled SQL cosine (janino 64 KB limit -> interpreted fallback).
+
+    Output: (id_col, cell, centroid_cos, keep) — one row per input row,
+    ``keep`` a total boolean (never NULL)."""
+    head = df.select(vec_col).first()
+    dim = int(centroids.shape[1]) if head is None else len(head[0])
+    a = (
+        _with_centroid_cos(
+            df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+            "v",
+            centroids,
+        )
+        .select(
+            "vid",
+            "v",
+            F.array_position(F.col("__cos"), F.array_max(F.col("__cos")))
+            .cast("int")
+            .alias("cell"),
+            F.array_max(F.col("__cos")).alias("ccos"),
+        )
+    )
+    hi = a.select(
+        F.col("cell"), F.col("vid").alias("hid"),
+        F.col("v").alias("hv"), F.col("ccos").alias("hccos"),
+    )
+    lo = a.select(
+        F.col("cell"), F.col("vid").alias("lid"),
+        F.col("v").alias("lv"), F.col("ccos").alias("lccos"),
+    )
+    # higher-ranked partner: strictly greater centroid cosine, ties by id
+    pairs = hi.join(lo, "cell").filter(
+        (F.col("hccos") > F.col("lccos"))
+        | ((F.col("hccos") == F.col("lccos")) & (F.col("hid") < F.col("lid")))
+    )
+    dropped = (
+        pairs.withColumn("pcos", pair_cosine_arrow("hv", "lv", dim))
+        .filter(F.col("pcos") >= threshold)
+        .select(F.col("lid").alias("vid"))
+        .distinct()
+    )
+    return (
+        a.join(dropped.withColumn("_drop", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("ccos").alias("centroid_cos"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def group_centroids(
     df: DataFrame,
     group_col: str,

@@ -899,3 +899,49 @@ def test_containment_catches_subset_jaccard_misses(spark):
     )
     t = containment_pairs(tie, "doc_id", "text", n=3, threshold=0.5).collect()[0]
     assert (t["id_small"], t["id_big"]) == (10, 11)
+
+
+def test_semantic_dedup_hand_fixture(spark):
+    """SemDeDup keep rule on a planned two-cell corpus: within a cell,
+    a row within threshold of a HIGHER-ranked row (centroid cos DESC,
+    id ASC) is dropped; cross-cell near-identity is never compared."""
+    import numpy as np
+
+    from pic2vec_spark.ops.knn import semantic_dedup
+
+    centroids = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    rows = [
+        # cell 1 (x-axis): 1 and 2 nearly parallel -> drop the lower
+        # ranked; 3 off-angle (cos<thr to both) survives
+        (1, [1.0, 0.01, 0.0]),
+        (2, [1.0, 0.012, 0.0]),
+        (3, [1.0, 1.0, -0.9]),    # x-dominant but far from 1/2
+        # cell 2 (y-axis): alone -> kept
+        (4, [0.0, 1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = (
+        semantic_dedup(df, centroids, threshold=0.99)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out.keep.notna().all()  # total boolean, never NULL
+    by_id = dict(zip(out.vec_id, out.keep))
+    # id 2 has the higher centroid cosine? both ~1; rank decides:
+    # ccos(1) vs ccos(2): cos to [1,0,0] is 1/|v| -> id 1 (smaller
+    # second comp) ranks higher; id 2 is its near-dup -> dropped
+    assert by_id[1] and not by_id[2]
+    assert by_id[3] and by_id[4]
+    cells = dict(zip(out.vec_id, out.cell))
+    assert cells[1] == cells[2] == cells[3] == 1 and cells[4] == 2
+
+    # partition invariance: same keep set under a different layout
+    out2 = (
+        semantic_dedup(df.repartition(7), centroids, threshold=0.99)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (out2.keep.values == out.keep.values).all()
