@@ -1002,6 +1002,22 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021): seven per-rule
+    total booleans + their conjunction, every metric a closed-form
+    round-4 Catalyst expression (zero shuffle, scan-speed — see
+    ops/text.gopher_quality_flags)."""
+    from pic2vec_spark.ops.text import gopher_quality_flags
+
+    return gopher_quality_flags(_documents(spark, sf_dir)).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stopwords",
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet", "rule_ellipsis", "rule_alpha", "rule_stopwords",
+        "gopher_keep",
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition filter: TTR,
     top-token/bigram mass, duplicate-trigram fraction, keep flag —
@@ -2727,6 +2743,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_asof_alignment": q_pit_asof_alignment,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
+        "doc_gopher_rules": q_doc_gopher_rules,
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition": q_doc_repetition,
         "doc_shared_ngrams": q_doc_shared_ngrams,
@@ -3331,6 +3348,72 @@ def _semantic_dedup_sql() -> str:
     SELECT a.vec_id, a.cell, a.ccos AS centroid_cos,
            (d.lid IS NULL) AS keep
     FROM a LEFT JOIN d ON a.vec_id = d.lid
+    """
+
+
+def _doc_gopher_sql() -> str:
+    """Mirrors ops/text.gopher_quality_flags: same whitespace
+    tokenization, newline line-split, round-4 fractions, and the exact
+    thresholds (imported, so they cannot drift)."""
+    from pic2vec_spark.ops.text import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return rf"""
+        WITH x AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 ROUND(CAST(list_sum(list_transform(toks, t -> len(t)))
+                            AS DOUBLE) / len(toks), 4) AS mean_word_len,
+                 ROUND(len(regexp_extract_all(text, '(#|\.\.\.)', 1))
+                       / CAST(len(toks) AS DOUBLE), 4) AS symbol_ratio,
+                 ROUND(len(list_filter(lines,
+                         l -> regexp_matches(l, '^\s*[-*•]')))
+                       / CAST(len(lines) AS DOUBLE), 4) AS bullet_frac,
+                 ROUND(len(list_filter(lines,
+                         l -> regexp_matches(l, '\.\.\.\s*$')))
+                       / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_frac,
+                 ROUND(len(list_filter(toks,
+                         t -> regexp_matches(t, '[A-Za-z]')))
+                       / CAST(len(toks) AS DOUBLE), 4) AS alpha_frac,
+                 len(list_intersect(
+                       list_distinct(list_transform(toks, t -> lower(t))),
+                       [{stops}])) AS n_stopwords
+          FROM x
+        )
+        SELECT *,
+               (rule_word_count AND rule_mean_word_len AND
+                rule_symbol_ratio AND rule_bullet AND rule_ellipsis AND
+                rule_alpha AND rule_stopwords) AS gopher_keep
+        FROM (
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                 bullet_frac, ellipsis_frac, alpha_frac, n_stopwords,
+                 (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                   AS rule_word_count,
+                 (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                   AND {GOPHER_MAX_MEAN_WORD_LEN}) AS rule_mean_word_len,
+                 (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS rule_symbol_ratio,
+                 (bullet_frac <= {GOPHER_MAX_BULLET_FRAC}) AS rule_bullet,
+                 (ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}) AS rule_ellipsis,
+                 (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
+                 (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS rule_stopwords
+          FROM m
+        )
     """
 
 
@@ -4366,6 +4449,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM y
         """,
         "doc_repetition": _doc_repetition_sql(),
+        "doc_gopher_rules": _doc_gopher_sql(),
         "doc_shared_ngrams": _doc_shared_ngrams_sql(),
         "doc_lang_id": r"""
             WITH x AS (

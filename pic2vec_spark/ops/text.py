@@ -718,3 +718,93 @@ def strip_boilerplate(
             id_col,
         )
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446, App. A1.1)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+# Gopher's own stop list ("the, be, to, of, and, that, have, with")
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-rules document filter (Rae et al. 2021): the standard
+    heuristic pre-filter of LLM training pipelines, one defined boolean
+    per rule plus the conjunction ``gopher_keep``.
+
+    Rules (thresholds above): word count in [50, 100k]; mean word
+    length in [3, 10]; symbol-to-word ratio (# and ...) <= 0.1;
+    bullet-started lines <= 90%; ellipsis-ended lines <= 30%; >= 80% of
+    words contain an alphabetic char; >= 2 distinct Gopher stopwords.
+
+    Shape: a single narrow projection — every metric is a Catalyst
+    expression over the row's own text (whole-stage codegen, no UDF, no
+    shuffle), so the filter runs at scan speed and pushes through to
+    any downstream sample/dedup stage.  All fractions are ROUND(,4)
+    closed forms so the DuckDB oracle reproduces them bit-for-bit;
+    every flag is a TOTAL boolean (single-token and single-line docs
+    divide by n >= 1 — whitespace-split of a trimmed string never
+    yields an empty array)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n,
+        4,
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"(#|\.\.\.)"), 1)
+    )
+    n_bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis_end = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+        )
+    )
+    out = df.withColumns(
+        {
+            "n_words": n.cast("bigint"),
+            "mean_word_len": mean_wl,
+            "symbol_ratio": F.round(n_symbols / n, 4),
+            "bullet_frac": F.round(n_bullets / n_lines, 4),
+            "ellipsis_frac": F.round(n_ellipsis_end / n_lines, 4),
+            "alpha_frac": F.round(n_alpha / n, 4),
+            "n_stopwords": n_stops.cast("bigint"),
+        }
+    )
+    flags = {
+        "rule_word_count": F.col("n_words").between(
+            GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+        ),
+        "rule_mean_word_len": F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        ),
+        "rule_symbol_ratio": F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO,
+        "rule_bullet": F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC,
+        "rule_ellipsis": F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC,
+        "rule_alpha": F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC,
+        "rule_stopwords": F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS,
+    }
+    out = out.withColumns(flags)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)

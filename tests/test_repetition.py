@@ -188,3 +188,48 @@ def test_strip_boilerplate_hand_fixture(spark):
     assert out[99]["n_stripped"] == 0
     with pytest.raises(ValueError):
         strip_boilerplate(df, max_doc_frac=0.0)
+
+
+def test_gopher_rules_hand_fixture(spark):
+    """Each Gopher rule trips on a purpose-built doc; a clean 60-word
+    English-ish doc passes all seven."""
+    from pic2vec_spark.ops.text import gopher_quality_flags
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"]
+        + [f"word{i}" for i in range(52)]
+    )  # 60 words, all alpha, 8 stopwords
+    bullets = "\n".join(["- item one", "* item two", "• item three"])
+    symbols = " ".join(["#tag"] * 10)  # 10 words, 10 '#' -> ratio 1.0
+    numeric = " ".join(str(i) for i in range(60))  # no alpha words
+    ellipsis = "so it goes...\nand on...\nmore...\nplain line"
+    rows = [
+        (1, good),
+        (2, "too short"),
+        (3, bullets),
+        (4, symbols),
+        (5, numeric),
+        (6, ellipsis),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    g = out[1]
+    assert g["n_words"] == 60 and g["gopher_keep"]
+    assert all(
+        g[f] for f in (
+            "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+            "rule_bullet", "rule_ellipsis", "rule_alpha", "rule_stopwords",
+        )
+    )
+    assert not out[2]["rule_word_count"]
+    assert out[3]["bullet_frac"] == 1.0 and not out[3]["rule_bullet"]
+    assert out[4]["symbol_ratio"] == 1.0 and not out[4]["rule_symbol_ratio"]
+    assert out[5]["alpha_frac"] == 0.0 and not out[5]["rule_alpha"]
+    assert out[6]["ellipsis_frac"] == 0.75 and not out[6]["rule_ellipsis"]
+    # every flag is a defined boolean on every row (no NULL three-value traps)
+    for r in out.values():
+        assert r["gopher_keep"] in (True, False)
