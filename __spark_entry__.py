@@ -1210,6 +1210,30 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment over documents (md5-bucket %
+    k — no RNG, stable under repartition/append/rerun)."""
+    from pic2vec_spark.ops.sampling import kfold_assign
+
+    return kfold_assign(
+        _documents(spark, sf_dir).select("doc_id"), "doc_id", k=5
+    )
+
+
+def q_kfold_group_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP 5-fold over events: the fold is hashed from user_id, so
+    every event of a user lands in one fold — the leakage guard for
+    entity-grouped data."""
+    from pic2vec_spark.ops.sampling import kfold_assign
+
+    return kfold_assign(
+        _events(spark, sf_dir).select("event_id", "user_id"),
+        "event_id",
+        k=5,
+        group_col="user_id",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% per-source document sample with EXACT
     per-stratum proportions (hash-ranked, not Bernoulli)."""
@@ -2762,6 +2786,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_frac": q_doc_dup_frac,
         "doc_tfidf": q_doc_tfidf,
         "train_test_split": q_train_test_split,
+        "kfold_splits": q_kfold_splits,
+        "kfold_group_user": q_kfold_group_user,
         "walk_forward_splits": q_walk_forward_splits,
         "data_quality": q_data_quality,
         "value_drift_psi": q_value_drift_psi,
@@ -4182,6 +4208,18 @@ def oracle_sql() -> dict[str, str]:
                          AS BIGINT) % 100 < 10
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    d["kfold_splits"] = """
+        SELECT doc_id,
+               CAST('0x' || substr(md5('fold' || doc_id::VARCHAR), 1, 8)
+                    AS BIGINT) % 5 AS fold
+        FROM documents
+    """
+    d["kfold_group_user"] = """
+        SELECT event_id, user_id,
+               CAST('0x' || substr(md5('fold' || user_id::VARCHAR), 1, 8)
+                    AS BIGINT) % 5 AS fold
+        FROM events
     """
     d["stratified_sample"] = """
         WITH r AS (

@@ -69,6 +69,33 @@ def hash_split(
     )
 
 
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "fold",
+    group_col: str | None = None,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5-bucket(key) % k``.
+
+    Same no-RNG/no-shuffle contract as hash_split — a narrow projection
+    stable under repartition, incremental append, and re-run, so every
+    worker (and every engine: DuckDB computes the identical bucket) maps
+    a row to the same fold forever.  ``group_col`` gives GROUP k-fold:
+    the bucket is taken over the group key instead of the row key, so an
+    entire group (user, session, near-dup cluster) lands in ONE fold —
+    the leakage guard for grouped data (train/test contamination via
+    rows of the same entity), cf. cluster_safe_split for the near-dup
+    variant of the same idea."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key = F.col(group_col if group_col is not None else key_col)
+    return df.withColumn(
+        out_col, _hash_bucket(key, salt, buckets=k).cast("int")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

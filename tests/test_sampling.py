@@ -94,3 +94,28 @@ def test_cluster_safe_split_property(spark):
         key_col="doc_id", test_pct=30, salt="split",
     ).collect()[0]["split"]
     assert s1 == s2
+
+
+def test_kfold_assign_deterministic_and_grouped(spark):
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.sampling import kfold_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "key").withColumn(
+        "grp", (F.col("key") % 37)
+    )
+    out = kfold_assign(df, "key", k=5).toPandas()
+    # total partition into 0..4, deterministic under repartition
+    assert set(out.fold.unique()) <= {0, 1, 2, 3, 4}
+    again = kfold_assign(df.repartition(11), "key", k=5).toPandas()
+    m = out.merge(again, on="key")
+    assert (m.fold_x == m.fold_y).all()
+    # roughly balanced (binomial: each fold ~200 of 1000)
+    counts = out.fold.value_counts()
+    assert counts.min() > 120 and counts.max() < 280
+    # group mode: one fold per group, and the fold equals hashing the group
+    g = kfold_assign(df, "key", k=5, group_col="grp").toPandas()
+    assert (g.groupby("grp").fold.nunique() == 1).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kfold_assign(df, "key", k=1)
