@@ -433,6 +433,54 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one
+    market segment.  customer (segment-filtered) broadcasts into
+    orders, the date filters push into both fact scans, the one big
+    exchange is lineitem⋈orders on the order key, and the top-10 is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    rows — never a global sort at scale).  Decimal-exact revenue,
+    deterministic tiebreak (revenue DESC, date, orderkey)."""
+    _ensure_utc(spark)
+    cutoff = "1997-06-01"
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .withColumn("revenue", F.round("revenue", 2))
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(
+            F.col("revenue").desc(), "o_orderdate_us", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by order revenue per nation: broadcast dimension
     joins (customer, nation) onto the orders fact, decimal-exact revenue,
@@ -2746,6 +2794,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
+        "shipping_priority": q_shipping_priority,
         "multi_column_widened": q_multi_column_widened,
         "forward_fill": q_forward_fill,
         "backward_fill": q_backward_fill,
@@ -5016,6 +5065,22 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE o_orderdate >= DATE '1994-01-01'
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY r_name, n_name
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority,
+                   ROUND(SUM((l_extendedprice * (1 - l_discount))
+                             ::DECIMAL(18,4))::DOUBLE, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+            LIMIT 10
         """,
         "top_customers": """
             WITH rev AS (
