@@ -111,12 +111,22 @@ EXTENDED_R4 = [
     "snapshot_expiry",
 ]
 
+# round-4b additions — semantic dedup over embedding cells, the
+# Gopher-rules filter, k-fold assignment, and the TPC-H Q3 shape
+EXTENDED_R4B = [
+    "semantic_dedup",
+    "doc_gopher_rules",
+    "kfold_splits",
+    "shipping_priority",
+]
+
 EXTENDED_GROUPS = [
     ("extended_sec", EXTENDED),
     ("extended_r3_sec", EXTENDED_R3),
     ("extended_r3b_sec", EXTENDED_R3B),
     ("extended_r3c_sec", EXTENDED_R3C),
     ("extended_r4_sec", EXTENDED_R4),
+    ("extended_r4b_sec", EXTENDED_R4B),
 ]
 
 # probe agreement bound: before/after GFLOPS within 5x = the box stayed
