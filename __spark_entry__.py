@@ -2247,6 +2247,40 @@ def q_knn_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: build the index on HALF the
+    corpus, append the other half (new cell-partitioned files only —
+    the original files are carried forward untouched, digest-verified
+    quantizer), probe old+new.  Results must equal knn_ivf over the
+    FULL corpus — the same oracle pins build+append == rebuild."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.ivf_store import (
+        append_to_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    embs = _embeddings(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    centroids = _ivf_centroids(ORACLE_SF_DIR)
+    root = tempfile.mkdtemp(prefix="drv_ivf_app_")
+    try:
+        build_ivf_index(
+            embs.filter(F.col("vec_id") % 2 == 0), centroids, root, spark
+        )
+        append_to_ivf_index(
+            embs.filter(F.col("vec_id") % 2 == 1), centroids, root, spark
+        )
+        out = probe_ivf_index(
+            root, spark, queries, centroids, k=KNN_K, nprobe=IVF_NPROBE
+        )
+        return spark.createDataFrame(out.toPandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_caption_image_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup conflicts — the two modalities of a multimodal
     row disagreeing about duplication: pairs that are near-dups by TEXT
@@ -2877,6 +2911,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "knn_ivf_pq": q_knn_ivf_pq,
         "knn_ivf_store": q_knn_ivf_store,
+        "knn_ivf_append": q_knn_ivf_append,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,
@@ -4645,6 +4680,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "knn_pq": _knn_pq_sql(),
         "knn_ivf_pq": _knn_ivf_pq_sql(),
         "knn_ivf_store": _knn_ivf_sql(),
+        "knn_ivf_append": _knn_ivf_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "knn_cosine": f"""
             WITH q AS (

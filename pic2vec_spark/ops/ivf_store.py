@@ -84,6 +84,49 @@ def _centroid_digest(centroids: np.ndarray) -> str:
     ).hexdigest()
 
 
+def append_to_ivf_index(
+    new_corpus: DataFrame,
+    centroids: np.ndarray,
+    table_root: str,
+    spark: SparkSession,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Incremental index maintenance: assign ONLY the new vectors to
+    their cells (same quantizer — digest-verified, a mismatched append
+    would scatter rows into cells probes won't look in) and APPEND them
+    as new cell-partitioned data files.  The existing corpus files are
+    carried forward untouched, so ingest cost is proportional to the
+    NEW data — the standard IVF freshness recipe (FAISS add(); rebuild
+    only when the quantizer drifts from the data distribution).
+
+    Probes see old + new immediately: ``probe_ivf_index`` prunes by the
+    per-file cell stats, and the appended files carry their own stats
+    rows.  Returns the new snapshot id (the parent snapshot remains
+    readable — time travel across index versions)."""
+    table = SnapshotTable(table_root, spark)
+    man = table.manifest()
+    if man is None:
+        raise FileNotFoundError(
+            f"no IVF index at {table_root} — build_ivf_index first"
+        )
+    recorded = (man.get("properties") or {}).get("centroid_digest")
+    if recorded is not None and recorded != _centroid_digest(centroids):
+        raise ValueError(
+            "append centroids do not match the quantizer this index was "
+            "built with (centroid_digest mismatch) — appended rows would "
+            "land in cells probes never scan; rebuild the index to "
+            "re-quantize"
+        )
+    assigned = assign_cells(new_corpus, centroids, id_col, vec_col)
+    return table.append(
+        assigned,
+        partition_by="cell",
+        num_partitions=2 * int(centroids.shape[0]),
+        stats_cols=["cell"],
+    )
+
+
 def probe_ivf_index(
     table_root: str,
     spark: SparkSession,

@@ -124,3 +124,54 @@ def test_probe_empty_queries_returns_typed_empty(spark, embs, tmp_path):
     assert out.columns == ["query_id", "neighbor_id", "cos", "rk"]
     assert out.count() == 0
     assert out.schema["query_id"].dataType == embs.schema["vec_id"].dataType
+
+
+def test_append_then_probe_equals_full_rebuild(spark, embs, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the
+    other half -> probe results equal ivf_topk over the FULL corpus,
+    old files untouched, digest-mismatched appends refused."""
+    from pic2vec_spark.ops.ivf_store import (
+        append_to_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from pic2vec_spark.ops.knn import ivf_topk, kmeans_centroids, sample_vectors
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    queries = embs.filter(F.col("vec_id") < 8)
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+
+    root = str(tmp_path / "ivf_inc")
+    build_ivf_index(half_a, centroids, root, spark)
+    man_before = SnapshotTable(root, spark).manifest()
+    files_before = {p["file"] for p in man_before["partitions"]}
+    append_to_ivf_index(half_b, centroids, root, spark)
+    man_after = SnapshotTable(root, spark).manifest()
+    # old data files are carried forward byte-identical (paths reused)
+    paths_after = {p["file"] for p in man_after["partitions"]}
+    assert files_before <= paths_after
+    # properties (quantizer digest) carried across the append
+    assert (man_after.get("properties") or {}).get("centroid_digest") == (
+        man_before.get("properties") or {}
+    ).get("centroid_digest")
+
+    direct = (
+        ivf_topk(embs, queries, centroids, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    stored = (
+        probe_ivf_index(root, spark, queries, centroids, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    assert direct[["query_id", "neighbor_id", "rk"]].equals(
+        stored[["query_id", "neighbor_id", "rk"]]
+    )
+    assert (direct["cos"] - stored["cos"]).abs().max() == 0.0
+
+    # a drifted quantizer is refused (silent wrong-cell appends banned)
+    with pytest.raises(ValueError, match="centroid_digest"):
+        append_to_ivf_index(half_b, centroids + 0.5, root, spark)
+    with pytest.raises(FileNotFoundError):
+        append_to_ivf_index(half_b, centroids, str(tmp_path / "nope"), spark)

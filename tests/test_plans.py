@@ -25,6 +25,7 @@ EAGER = {
     "lineage_reconcile",
     "caption_image_conflicts",
     "knn_ivf_store",
+    "knn_ivf_append",
     "neardup_clusters",
     "dedup_survivors",
     "multimodal_corpus",
