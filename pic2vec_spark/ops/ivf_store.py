@@ -49,6 +49,7 @@ def build_ivf_index(
     spark: SparkSession,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_properties: dict | None = None,
 ) -> str:
     """Commit the cell-assigned corpus as a cell-partitioned snapshot;
     returns the snapshot id.  ``partition_by='cell'`` gives one data
@@ -65,6 +66,7 @@ def build_ivf_index(
         num_partitions=2 * int(centroids.shape[0]),
         stats_cols=["cell"],
         properties={
+            **(extra_properties or {}),
             "index": "ivf",
             "n_cells": int(centroids.shape[0]),
             # the quantizer IS part of the index: a probe under different
@@ -91,6 +93,7 @@ def append_to_ivf_index(
     spark: SparkSession,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    properties: dict | None = None,
 ) -> str:
     """Incremental index maintenance: assign ONLY the new vectors to
     their cells (same quantizer — digest-verified, a mismatched append
@@ -124,6 +127,7 @@ def append_to_ivf_index(
         partition_by="cell",
         num_partitions=2 * int(centroids.shape[0]),
         stats_cols=["cell"],
+        properties=properties,
     )
 
 

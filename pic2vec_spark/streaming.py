@@ -526,3 +526,78 @@ def stream_quality(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------------ ANN index
+
+EMBEDDINGS_SCHEMA = (
+    "vec_id bigint, embedding array<float>"
+)
+
+
+def ivf_index_sink(batch_df: DataFrame, batch_id: int, table_root: str,
+                   centroids) -> None:
+    """foreachBatch body for ``stream_index_vectors`` — module-level so
+    replay idempotence is directly testable.  Exactly-once: foreachBatch
+    replays a batch after failure, and a replayed append would insert
+    every vector twice (duplicate neighbors in every probe), so the
+    committed manifest carries ``ivf_last_batch`` and a batch id <= it
+    is a no-op (same batch-stamp guard as stream_quality/stream_merge).
+    The quantizer digest is preserved across appends (properties are
+    merged, not replaced)."""
+    from pic2vec_spark.ops.ivf_store import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    table = SnapshotTable(table_root, spark)
+    man = table.manifest()
+    if man is None:
+        build_ivf_index(
+            batch_df, centroids, table_root, spark,
+            extra_properties={"ivf_last_batch": int(batch_id)},
+        )
+        return
+    last = (man.get("properties") or {}).get("ivf_last_batch")
+    if last is not None and int(batch_id) <= int(last):
+        return  # replayed batch: already ingested
+    props = {**(man.get("properties") or {}),
+             "ivf_last_batch": int(batch_id)}
+    append_to_ivf_index(
+        batch_df, centroids, table_root, spark, properties=props
+    )
+
+
+def stream_index_vectors(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    centroids,
+    available_now: bool = True,
+):
+    """Continuously maintained ANN index: stream embedding parquet files
+    into the persisted IVF index — first batch builds, later batches
+    append new cell-partitioned files only (ingest cost ∝ new data; see
+    append_to_ivf_index).  ``probe_ivf_index`` against ``table_root``
+    serves freshness-inclusive top-k between micro-batches."""
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_sink(batch_df, batch_id, table_root, centroids)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

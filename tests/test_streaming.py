@@ -589,3 +589,64 @@ def test_stream_quality_audits_each_batch_once(spark, tmp_path):
     man2 = t.manifest()
     assert man2["properties"]["owner"] == "dq-team"
     assert man2["properties"]["dq_last_batch"] == 2
+
+
+def test_stream_index_vectors_builds_appends_and_dedups_replays(spark, tmp_path):
+    """Streamed IVF ingest: first batch builds, later batches append;
+    probe == ivf_topk over everything ingested; a replayed batch id is
+    a no-op (no duplicate neighbors)."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.ivf_store import probe_ivf_index
+    from pic2vec_spark.ops.knn import ivf_topk, kmeans_centroids, sample_vectors
+    from pic2vec_spark.streaming import ivf_index_sink, stream_index_vectors
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = kmeans_centroids(sample_vectors(embs, 128), 8, iters=5)
+    inp = tmp_path / "vecs"
+    inp.mkdir()
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(str(inp / "b1"))
+    half_b.coalesce(1).write.parquet(str(inp / "b2"))
+
+    root = str(tmp_path / "ivf_stream")
+    q = stream_index_vectors(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_root=root,
+        centroids=centroids,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    table = SnapshotTable(root, spark)
+    man = table.manifest()
+    props = man.get("properties") or {}
+    assert props.get("ivf_last_batch") == 1
+    assert props.get("centroid_digest")  # quantizer digest survives appends
+    n_ingested = table.scan().count()
+    assert n_ingested == embs.count()
+
+    queries = embs.filter(F.col("vec_id") < 8)
+    direct = (
+        ivf_topk(embs, queries, centroids, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    stored = (
+        probe_ivf_index(root, spark, queries, centroids, k=5, nprobe=3)
+        .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    )
+    assert direct[["query_id", "neighbor_id", "rk"]].equals(
+        stored[["query_id", "neighbor_id", "rk"]]
+    )
+
+    # replayed batch (id <= ivf_last_batch) must be a no-op
+    ivf_index_sink(half_b, 1, root, centroids)
+    assert SnapshotTable(root, spark).scan().count() == n_ingested
+    # a genuinely new batch still appends
+    extra = embs.limit(7).withColumn("vec_id", F.col("vec_id") + 100000)
+    ivf_index_sink(extra, 2, root, centroids)
+    assert SnapshotTable(root, spark).scan().count() == n_ingested + 7
