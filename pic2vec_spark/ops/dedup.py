@@ -147,12 +147,16 @@ def jaccard_pairs(
     space (sizes and intersections both exclude dropped shingles) — the
     standard df-capped similarity.  ``max_df=None`` (default) keeps the
     exact full-space semantics."""
-    # no .cache(): a session-lifetime cache here leaks storage memory on
-    # every call; shingle generation is cheap JVM work and Spark reuses
-    # the shuffle outputs of the shared subtree anyway
+    # lazy localCheckpoint, not .cache(): the (id, shingle) relation
+    # feeds FOUR branches (self-join a/b + both size joins) whose
+    # aliasing defeats Catalyst's ReuseExchange (verified: the
+    # explode+distinct subtree planned 4x) — checkpointing computes the
+    # distinct once and truncates the lineage for all consumers, spilling
+    # to executor disk rather than pinning session-lifetime cache memory
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
         sh = drop_hot_shingles(sh, id_col, max_df)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id1"), "sh")
     b = sh.select(F.col(id_col).alias("id2"), "sh")
@@ -201,6 +205,8 @@ def containment_pairs(
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
         sh = drop_hot_shingles(sh, id_col, max_df)
+    # same 4-branch reuse rationale as jaccard_pairs (lazy checkpoint)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id1"), "sh")
     b = sh.select(F.col(id_col).alias("id2"), "sh")
