@@ -1821,6 +1821,61 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(kept.select("doc_id"), "doc_id", test_pct=10)
 
 
+def q_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation recipe end-to-end: exact dedup → near-dup
+    survivors (simhash CC) → SemDeDup keep (embedding cells — catches
+    paraphrase dups the n-gram stages miss; doc_id ≡ vec_id on the
+    id-aligned multimodal row, as caption_image_conflicts establishes)
+    → Gopher structural rules → Gopher repetition keep → deterministic
+    split.  Five semi-joins over member queries; the oracle composes
+    the member oracles, so this can never drift from the per-stage
+    checks.  The Gopher stage uses the four STRUCTURAL rules (word
+    count, mean word length, symbol ratio, alpha fraction) — the
+    stopword-floor rule is vocabulary-dependent and the synthetic
+    corpus carries only one of Gopher's eight stopwords, so the full
+    conjunction would empty the corpus (pipelines configure rule
+    subsets per corpus for exactly this reason; the full conjunction
+    is checked per-rule by the doc_gopher_rules row itself).
+    Output: (doc_id, split)."""
+    from pic2vec_spark.ops.dedup import exact_dedup
+    from pic2vec_spark.ops.sampling import hash_split
+
+    docs = _documents(spark, sf_dir)
+    keep_exact = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = q_dedup_survivors(spark, sf_dir)
+    sem = (
+        q_semantic_dedup(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    goph = (
+        q_doc_gopher_rules(spark, sf_dir)
+        .filter(
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_symbol_ratio")
+            & F.col("rule_alpha")
+        )
+        .select("doc_id")
+    )
+    rep = (
+        q_doc_repetition(spark, sf_dir)
+        .filter(F.col("repetition_keep"))
+        .select("doc_id")
+    )
+    base = (
+        docs.select("doc_id")
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(survivors, "doc_id", "left_semi")
+        .join(sem, "doc_id", "left_semi")
+        .join(goph, "doc_id", "left_semi")
+        .join(rep, "doc_id", "left_semi")
+    )
+    return hash_split(base, "doc_id", test_pct=10)
+
+
 def q_neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator composition: near-duplicate document pairs flagged by at
     least 2 of {n-gram Jaccard, MinHash-LSH candidates, SimHash Hamming}
@@ -2915,6 +2970,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,
+        "training_corpus_v2": q_training_corpus_v2,
         "caption_image_conflicts": q_caption_image_conflicts,
         "audio_features": q_audio_features,
         "image_phash": q_image_phash,
@@ -4362,6 +4418,23 @@ def oracle_sql() -> dict[str, str]:
           AND doc_id IN (
                 SELECT doc_id FROM ({d['doc_lang_id']})
                 WHERE lang_pred = 'en'
+              )
+    """
+    d["training_corpus_v2"] = f"""
+        SELECT doc_id, split FROM ({d['train_test_split']})
+        WHERE doc_id IN (SELECT keep_id FROM ({d['dedup_exact']}))
+          AND doc_id IN (SELECT doc_id FROM ({d['dedup_survivors']}))
+          AND doc_id IN (
+                SELECT vec_id FROM ({d['semantic_dedup']}) WHERE keep
+              )
+          AND doc_id IN (
+                SELECT doc_id FROM ({d['doc_gopher_rules']})
+                WHERE rule_word_count AND rule_mean_word_len
+                  AND rule_symbol_ratio AND rule_alpha
+              )
+          AND doc_id IN (
+                SELECT doc_id FROM ({d['doc_repetition']})
+                WHERE repetition_keep
               )
     """
     d["neardup_consensus"] = f"""
