@@ -945,3 +945,18 @@ def test_semantic_dedup_hand_fixture(spark):
         .reset_index(drop=True)
     )
     assert (out2.keep.values == out.keep.values).all()
+
+    # cosine is scale-invariant: scaling every vector by c>0 must not
+    # change cells or the keep set
+    scaled = spark.createDataFrame(
+        [(i, [3.7 * x for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    out3 = (
+        semantic_dedup(scaled, centroids, threshold=0.99)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (out3.keep.values == out.keep.values).all()
+    assert (out3.cell.values == out.cell.values).all()
