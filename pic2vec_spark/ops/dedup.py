@@ -147,12 +147,16 @@ def jaccard_pairs(
     space (sizes and intersections both exclude dropped shingles) — the
     standard df-capped similarity.  ``max_df=None`` (default) keeps the
     exact full-space semantics."""
-    # lazy localCheckpoint, not .cache(): the (id, shingle) relation
-    # feeds FOUR branches (self-join a/b + both size joins) whose
-    # aliasing defeats Catalyst's ReuseExchange (verified: the
-    # explode+distinct subtree planned 4x) — checkpointing computes the
-    # distinct once and truncates the lineage for all consumers, spilling
-    # to executor disk rather than pinning session-lifetime cache memory
+    # lazy localCheckpoint: the (id, shingle) relation feeds FOUR
+    # branches (self-join a/b + both size joins) whose aliasing defeats
+    # Catalyst's ReuseExchange (verified: the explode+distinct subtree
+    # planned 4x) — checkpointing computes the distinct once for all
+    # consumers.  Tradeoff, stated: blocks live MEMORY_AND_DISK on
+    # executors (non-reliable storage, lineage truncated), so losing an
+    # executor mid-job fails the JOB (Spark retries it) instead of
+    # recomputing the partition — for a batch dedup pass that rare
+    # retry costs far less than three extra full shuffles of the widest
+    # relation; blocks are GC'd with the DataFrame (ContextCleaner)
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
         sh = drop_hot_shingles(sh, id_col, max_df)

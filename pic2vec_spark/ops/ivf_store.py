@@ -122,6 +122,18 @@ def append_to_ivf_index(
             "re-quantize"
         )
     assigned = assign_cells(new_corpus, centroids, id_col, vec_col)
+    # a caller-supplied dict REPLACES the manifest properties wholesale
+    # (append only carries the parent's when properties is None) — merge
+    # the index-identity keys back on top, or the quantizer guard above
+    # would silently disappear from the committed manifest and the next
+    # mismatched probe/append would go unchecked
+    if properties is not None:
+        properties = {
+            **properties,
+            "index": "ivf",
+            "n_cells": int(centroids.shape[0]),
+            "centroid_digest": _centroid_digest(centroids),
+        }
     return table.append(
         assigned,
         partition_by="cell",

@@ -688,8 +688,10 @@ def semantic_dedup(
 
     Output: (id_col, cell, centroid_cos, keep) — one row per input row,
     ``keep`` a total boolean (never NULL)."""
-    head = df.select(vec_col).first()
-    dim = int(centroids.shape[1]) if head is None else len(head[0])
+    # pair scoring must use the CENTROID dim (rows of any other length
+    # yield NULL cosines in both engines anyway) — no .first() sniff:
+    # it cost an eager job and crashed on a NULL-embedding head row
+    dim = int(centroids.shape[1])
     a = (
         _with_centroid_cos(
             df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
@@ -704,6 +706,11 @@ def semantic_dedup(
             .alias("cell"),
             F.array_max(F.col("__cos")).alias("ccos"),
         )
+        # the assignment feeds THREE aliased branches (hi/lo self-join +
+        # the final outer join) — same ReuseExchange-defeating shape as
+        # the shingle relation in ops/dedup; checkpoint so the Arrow
+        # centroid-cos UDF runs once per row, not 3x
+        .localCheckpoint(eager=False)
     )
     hi = a.select(
         F.col("cell"), F.col("vid").alias("hid"),

@@ -562,8 +562,20 @@ def ivf_index_sink(batch_df: DataFrame, batch_id: int, table_root: str,
         )
         return
     last = (man.get("properties") or {}).get("ivf_last_batch")
-    if last is not None and int(batch_id) <= int(last):
-        return  # replayed batch: already ingested
+    if last is not None and int(batch_id) == int(last):
+        return  # replayed batch (failed mid-commit last run): ingested
+    if last is not None and int(batch_id) < int(last):
+        # ids far behind the stamp are NOT a replay — foreachBatch only
+        # replays the most recent batch.  This is a stream restarted
+        # with a FRESH checkpoint dir against an existing index (ids
+        # restart at 0): silently treating every batch as a replay
+        # would stop ingest forever while probes serve stale neighbors.
+        raise ValueError(
+            f"batch id {int(batch_id)} is behind the index's "
+            f"ivf_last_batch {int(last)} — this stream's checkpoint "
+            "does not belong to this index table; reuse the original "
+            "checkpoint dir, or point the stream at a fresh table_root"
+        )
     props = {**(man.get("properties") or {}),
              "ivf_last_batch": int(batch_id)}
     append_to_ivf_index(

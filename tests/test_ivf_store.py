@@ -170,6 +170,19 @@ def test_append_then_probe_equals_full_rebuild(spark, embs, tmp_path):
     )
     assert (direct["cos"] - stored["cos"]).abs().max() == 0.0
 
+    # a caller-supplied properties dict must not wipe the index-identity
+    # keys (append replaces the manifest properties wholesale otherwise)
+    from pic2vec_spark.ops.ivf_store import append_to_ivf_index as _app
+
+    more = embs.limit(3).withColumn("vec_id", F.col("vec_id") + 500000)
+    _app(more, centroids, root, spark, properties={"owner": "etl"})
+    props2 = SnapshotTable(root, spark).manifest()["properties"]
+    assert props2.get("owner") == "etl"
+    assert props2.get("centroid_digest") == (
+        man_before.get("properties") or {}
+    ).get("centroid_digest")
+    assert props2.get("index") == "ivf"
+
     # a drifted quantizer is refused (silent wrong-cell appends banned)
     with pytest.raises(ValueError, match="centroid_digest"):
         append_to_ivf_index(half_b, centroids + 0.5, root, spark)

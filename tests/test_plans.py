@@ -26,6 +26,8 @@ EAGER = {
     "caption_image_conflicts",
     "knn_ivf_store",
     "knn_ivf_append",
+    "semantic_dedup",       # constructor trains the coarse quantizer
+    "training_corpus_v2",   # composes survivors (eager CC) + semantic_dedup
     "neardup_clusters",
     "dedup_survivors",
     "multimodal_corpus",

@@ -643,9 +643,16 @@ def test_stream_index_vectors_builds_appends_and_dedups_replays(spark, tmp_path)
         stored[["query_id", "neighbor_id", "rk"]]
     )
 
-    # replayed batch (id <= ivf_last_batch) must be a no-op
+    # replayed batch (id == ivf_last_batch: the one foreachBatch can
+    # actually replay after a mid-commit failure) must be a no-op
     ivf_index_sink(half_b, 1, root, centroids)
     assert SnapshotTable(root, spark).scan().count() == n_ingested
+    # an id BEHIND the stamp is a fresh-checkpoint restart, not a
+    # replay — silently dropping it would stop ingest forever
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="checkpoint"):
+        ivf_index_sink(half_a, 0, root, centroids)
     # a genuinely new batch still appends
     extra = embs.limit(7).withColumn("vec_id", F.col("vec_id") + 100000)
     ivf_index_sink(extra, 2, root, centroids)
