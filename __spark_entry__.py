@@ -481,6 +481,53 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in a one-year window.  The return-flag and date filters push
+    into the lineitem/orders scans, nation broadcasts, customer
+    broadcasts into the post-agg join (grouped rows ≤ customers), and
+    the top-20 is TakeOrderedAndProject.  Decimal-exact revenue."""
+    _ensure_utc(spark)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .withColumn("revenue", F.round("revenue", 2))
+    )
+    return (
+        rev.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by order revenue per nation: broadcast dimension
     joins (customer, nation) onto the orders fact, decimal-exact revenue,
@@ -2884,6 +2931,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
+        "returned_items": q_returned_items,
         "multi_column_widened": q_multi_column_widened,
         "forward_fill": q_forward_fill,
         "backward_fill": q_backward_fill,
@@ -5190,6 +5238,27 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate_us, l_orderkey
             LIMIT 10
+        """,
+        "returned_items": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     ROUND(SUM((l_extendedprice * (1 - l_discount))
+                               ::DECIMAL(18,4))::DOUBLE, 2) AS revenue,
+                     COUNT(*) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY o_custkey
+            )
+            SELECT c_custkey AS custkey, c_name, n_name,
+                   ROUND(c_acctbal, 2) AS acctbal, revenue, n_items
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, custkey
+            LIMIT 20
         """,
         "top_customers": """
             WITH rev AS (
