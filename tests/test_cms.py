@@ -59,6 +59,21 @@ def test_estimate_zero_for_unseen_key(spark, keyed):
     assert got["never-seen"] == 0  # width 512: no collision for this key
 
 
+def test_fact_table_scanned_exactly_twice(spark, keyed, tmp_path):
+    # Regression for the r04 triple-scan: `truth` feeds both the join
+    # left side and the candidate frame, and without the localCheckpoint
+    # Catalyst re-expands the subtree → 3 parquet scans of the fact
+    # table.  The fixed plan reads it exactly twice (truth + sketch).
+    path = str(tmp_path / "facts.parquet")
+    keyed.write.parquet(path)
+    facts = spark.read.parquet(path)
+    hh = heavy_hitters(facts, "k", k=8, width=512)
+    rows = hh.collect()
+    assert len(rows) == 8
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+
+
 def test_validation_and_plan(spark, keyed):
     with pytest.raises(ValueError):
         cms_build(keyed, "k", depth=0)
