@@ -592,6 +592,7 @@ class SnapshotTable:
         self,
         keep_last: int = 1,
         dry_run: bool = False,
+        force: bool = False,
     ) -> dict:
         """Retention maintenance (Iceberg ``expire_snapshots``): drop all
         but the ``keep_last`` most recent snapshots on the CURRENT
@@ -612,7 +613,16 @@ class SnapshotTable:
         their now-unreferenced data files, so a crash mid-expiry never
         leaves a manifest pointing at missing files; CURRENT is never
         touched.  Returns a report dict; ``dry_run=True`` reports
-        without deleting."""
+        without deleting.
+
+        Resumable in-flight writes are PROTECTED by default: a
+        ``.partials`` dir carrying ``_mode.json`` marks an uncommitted
+        write awaiting ``resume()``, so that sidecar AND its already
+        written ``part-<sid>-*.parquet`` data files are excluded from
+        the orphan set unless ``force=True`` (which declares the write
+        abandoned and reclaims both).  Expiry assumes a single
+        maintenance writer: run it from the same coordinator that owns
+        writes, not concurrently with one."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_snapshot_id()
@@ -638,18 +648,38 @@ class SnapshotTable:
         # a retained snapshot must never lose files referenced through
         # an expired ancestor: carried partitions repeat the SAME file
         # name in the child manifest, so keep_files already covers them
+        # a .partials dir with _mode.json but NO manifest on disk is an
+        # UNCOMMITTED RESUMABLE write: unless force'd, keep its sidecar
+        # and its part-<sid>-*.parquet files, or routine retention would
+        # destroy a crashed write awaiting resume() / unlink files a
+        # concurrent write has already produced (whose later-committed
+        # manifest would then point at nothing).  Committed snapshots
+        # keep their .partials dirs as lineage sidecars — those are
+        # ordinary retention targets once their snapshot expires.
+        resumable_sids = set()
+        stale_partials = []
+        for d in self.snap_dir.glob("*.partials"):
+            sid_p = d.name.removesuffix(".partials")
+            if sid_p in retained:
+                continue
+            uncommitted = sid_p not in all_manifests
+            if uncommitted and (d / "_mode.json").exists() and not force:
+                resumable_sids.add(sid_p)
+            else:
+                stale_partials.append(d.name)
+        stale_partials.sort()
         on_disk = {p.name for p in self.data_dir.glob("part-*.parquet")}
-        doomed_files = sorted(on_disk - keep_files)
-        stale_partials = sorted(
-            d.name
-            for d in self.snap_dir.glob("*.partials")
-            if d.name.removesuffix(".partials") not in retained
+        doomed_files = sorted(
+            f
+            for f in on_disk - keep_files
+            if not any(f.startswith(f"part-{sid_p}-") for sid_p in resumable_sids)
         )
         report = {
             "retained": sorted(retained),
             "expired_manifests": expired,
             "deleted_files": doomed_files,
             "deleted_partials": stale_partials,
+            "protected_resumable": sorted(resumable_sids),
             "dry_run": dry_run,
         }
         if dry_run:

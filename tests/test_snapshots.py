@@ -492,6 +492,65 @@ def test_expire_snapshots_retention_and_orphans(spark, events, tmp_path):
         t.expire_snapshots(keep_last=0)
 
 
+def test_expire_protects_resumable_write(spark, events, tmp_path):
+    """Routine retention must NOT destroy an uncommitted resumable
+    write: its .partials sidecar carries _mode.json and its
+    part-<sid>-*.parquet files are excluded from the orphan set, so
+    resume() still works after expire_snapshots().  force=True declares
+    the write abandoned and reclaims both."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root, spark)
+    s1 = t.write(events.limit(20), num_partitions=2)
+    s2 = t.write(events.limit(40), num_partitions=2)
+    # crash a resumable write: partials + some data files, no manifest
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.write(
+            events, partition_by="user_id", num_partitions=8,
+            fail_after_partitions=3,
+        )
+    sid = next(
+        d.name.removesuffix(".partials")
+        for d in t.snap_dir.glob("*.partials")
+        if not (t.snap_dir / f"{d.name.removesuffix('.partials')}.json").exists()
+    )
+    inflight = sorted(f.name for f in t.data_dir.glob(f"part-{sid}-*.parquet"))
+    assert len(inflight) >= 2
+
+    rep = t.expire_snapshots(keep_last=1)
+    assert rep["protected_resumable"] == [sid]
+    assert s1 in rep["expired_manifests"]
+    # sidecar and every in-flight data file survived
+    assert (t.snap_dir / f"{sid}.partials" / "_mode.json").exists()
+    for name in inflight:
+        assert (t.data_dir / name).exists()
+    assert not any(name in rep["deleted_files"] for name in inflight)
+
+    # the protected write resumes and commits cleanly
+    assert t.resume(events, sid, partition_by="user_id", num_partitions=8) == sid
+    assert t.current_snapshot_id() == sid
+    assert t.scan().count() == events.count()
+
+    # now crash ANOTHER write and force-expire: declared abandoned
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.write(
+            events, partition_by="user_id", num_partitions=8,
+            fail_after_partitions=2,
+        )
+    sid2 = next(
+        d.name.removesuffix(".partials")
+        for d in t.snap_dir.glob("*.partials")
+        if not (t.snap_dir / f"{d.name.removesuffix('.partials')}.json").exists()
+    )
+    rep2 = t.expire_snapshots(keep_last=1, force=True)
+    assert rep2["protected_resumable"] == []
+    assert f"{sid2}.partials" in rep2["deleted_partials"]
+    assert not (t.snap_dir / f"{sid2}.partials").exists()
+    assert not list(t.data_dir.glob(f"part-{sid2}-*.parquet"))
+    # the committed table is untouched
+    assert t.scan().count() == events.count()
+    assert s2 is not None
+
+
 def test_snapshot_diff_reads_only_churn(spark, events, tmp_path):
     from pyspark.sql import functions as F
 
