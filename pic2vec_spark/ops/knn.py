@@ -995,14 +995,29 @@ def _pq_encode_udf(codebooks: np.ndarray):
 
     @F.pandas_udf("array<int>")
     def enc(s: pd.Series) -> pd.Series:
-        xs = np.array([np.asarray(v, dtype=np.float64) for v in s])
-        if not len(xs):
+        n = len(s)
+        if not n:
             return pd.Series([], dtype=object)
-        codes = np.empty((len(xs), m), dtype=np.int32)
-        for j in range(m):
-            d = _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
-            codes[:, j] = d.argmin(axis=1) + 1  # 1-based
-        return pd.Series(list(codes))
+        # NULL / wrong-dim rows -> NULL codes (same ok-mask degradation
+        # as pair_cosine_arrow): one bad embedding must not crash the
+        # whole encode batch with a ragged-array subspace slice
+        ok = np.fromiter(
+            (v is not None and len(v) == m * dsub for v in s),
+            dtype=bool,
+            count=n,
+        )
+        out = [None] * n
+        if ok.any():
+            xs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, o in zip(s, ok) if o]
+            )
+            codes = np.empty((len(xs), m), dtype=np.int32)
+            for j in range(m):
+                d = _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
+                codes[:, j] = d.argmin(axis=1) + 1  # 1-based
+            for i, pos in enumerate(np.flatnonzero(ok)):
+                out[pos] = codes[i]
+        return pd.Series(out, dtype=object)
 
     return enc
 
@@ -1016,19 +1031,31 @@ def _pq_lut_udf(codebooks: np.ndarray):
 
     @F.pandas_udf("array<array<double>>")
     def lut_udf(s: pd.Series) -> pd.Series:
-        xs = np.array([np.asarray(v, dtype=np.float64) for v in s])
-        if not len(xs):
+        n = len(s)
+        if not n:
             return pd.Series([], dtype=object)
-        luts = np.stack(
-            [
-                _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
-                for j in range(m)
-            ],
-            axis=1,
-        )  # (rows, m, n_codes)
-        return pd.Series(
-            [[list(map(float, r)) for r in row] for row in luts]
+        # NULL / wrong-dim queries -> NULL LUTs (ok-mask degradation,
+        # see _pq_encode_udf)
+        ok = np.fromiter(
+            (v is not None and len(v) == m * dsub for v in s),
+            dtype=bool,
+            count=n,
         )
+        out = [None] * n
+        if ok.any():
+            xs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, o in zip(s, ok) if o]
+            )
+            luts = np.stack(
+                [
+                    _pq_subdists(xs[:, j * dsub : (j + 1) * dsub], cb[j])
+                    for j in range(m)
+                ],
+                axis=1,
+            )  # (rows, m, n_codes)
+            for i, pos in enumerate(np.flatnonzero(ok)):
+                out[pos] = [list(map(float, r)) for r in luts[i]]
+        return pd.Series(out, dtype=object)
 
     return lut_udf
 
@@ -1094,8 +1121,12 @@ def pq_adc_topk(
     ql = queries.select(
         F.col(id_col).alias("query_id"), lut_udf(F.col(vec_col)).alias("lut")
     )
-    cand = codes.crossJoin(F.broadcast(ql)).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    # NULL codes/LUTs mark degraded bad rows (NULL or wrong-dim
+    # embeddings) — drop them, or their NULL adc would still rank
+    cand = (
+        codes.filter(F.col("code").isNotNull())
+        .crossJoin(F.broadcast(ql.filter(F.col("lut").isNotNull())))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     adc = _pq_adc_expr(m)
     w = Window.partitionBy("query_id").orderBy(
@@ -1159,8 +1190,13 @@ def ivf_pq_topk(
         .filter(F.col("prk") <= nprobe)
         .select("query_id", "lut", (F.col("cell0") + 1).alias("cell"))
     )
-    cand = coded.join(F.broadcast(probes), "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    # NULL codes/LUTs mark degraded bad rows (see pq_adc_topk)
+    cand = (
+        coded.filter(F.col("code").isNotNull())
+        .join(
+            F.broadcast(probes.filter(F.col("lut").isNotNull())), "cell"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     adc = _pq_adc_expr(m)
     w = Window.partitionBy("query_id").orderBy(

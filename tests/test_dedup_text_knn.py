@@ -446,6 +446,48 @@ def test_pq_adc_topk_recall_and_determinism(spark):
     assert key(flat) == key(comp)
 
 
+def test_pq_udfs_degrade_bad_rows_to_null(spark):
+    """A NULL or wrong-dim embedding must not crash pq_encode /
+    pq_adc_topk with a ragged-array subspace slice: bad rows degrade to
+    NULL codes/LUTs (the pair_cosine_arrow ok-mask semantics) and good
+    rows in the same Arrow batch are encoded identically to a clean
+    run."""
+    import numpy as np
+
+    from pic2vec_spark.ops.knn import pq_adc_topk, pq_encode, pq_train
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(24, 16))
+    clean = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(100, None), (101, [1.0, 2.0, 3.0])],
+            "vec_id int, embedding array<double>",
+        )
+    ).repartition(1)  # force bad+good rows into ONE Arrow batch
+    cb = pq_train(vecs, m=4, n_codes=8, iters=3)
+
+    codes = pq_encode(dirty, cb).toPandas().set_index("vec_id")
+    assert codes.loc[100, "code"] is None
+    assert codes.loc[101, "code"] is None
+    ref = pq_encode(clean, cb).toPandas().set_index("vec_id")
+    for i in range(24):
+        assert list(codes.loc[i, "code"]) == list(ref.loc[i, "code"])
+
+    # bad QUERY rows (LUT side) degrade silently too: no results for
+    # them, clean queries unaffected
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]]), (1, None)],
+        "query_id int, embedding array<double>",
+    )
+    top = pq_adc_topk(clean, queries.withColumnRenamed("query_id", "vec_id"),
+                      cb, k=1).toPandas()
+    assert set(top.query_id) == {0}
+
+
 def test_neardup_clusters_hand_graph(spark):
     """Chained pairs collapse into one component labeled by its min id;
     disjoint pairs stay separate; a path graph (diameter > 1) needs and
