@@ -67,6 +67,9 @@ class ImageFeaturizer:
         self.model_name = self.plan.model
         self.num_features = self.plan.num_features
         self._spark = spark
+        # URL-mode fetch schemes (CSV contents are untrusted: file:// /
+        # ftp:// stay off unless a caller opts in, e.g. tests)
+        self.url_schemes: tuple[str, ...] = ("http", "https")
         self._reset()
 
     # ------------------------------------------------------------ state
@@ -138,7 +141,10 @@ class ImageFeaturizer:
             for col in image_columns:
                 one = original.select(F.col(col).alias("image_id"))
                 refs = one if refs is None else refs.unionByName(one)
-            images = fetch_url_images(self.spark, refs, "image_id")
+            images = fetch_url_images(
+                self.spark, refs, "image_id",
+                allowed_schemes=self.url_schemes,
+            )
             decoded = decode_images(
                 images,
                 size=self.plan.target_size,

@@ -94,6 +94,7 @@ def fetch_url_images(
     refs: DataFrame,
     image_column: str,
     timeout_s: float = 30.0,
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
 ) -> DataFrame:
     """S6: URL-mode ingestion — the reference's csv-only path fetches
     every entry as a URL (feature_preprocessing.py:311-317, urlretrieve
@@ -114,8 +115,16 @@ def fetch_url_images(
     Scale: one narrow distinct on the URL key, then an embarrassingly
     parallel fetch stage (round-robin repartition so a few huge
     partitions cannot serialize the I/O); bytes never shuffle again —
-    downstream featurize joins back on the url key."""
+    downstream featurize joins back on the url key.
+
+    Security: CSV contents are untrusted, and urllib would happily
+    fetch any scheme it knows (``file://`` local reads, ``ftp://``,
+    internal hosts) — so only ``allowed_schemes`` are attempted
+    (http/https by default; tests opt in to ``file``).  A disallowed
+    scheme degrades to NULL bytes → missing=True, never an error."""
     import pandas as pd
+
+    schemes = tuple(s.lower() for s in allowed_schemes)
 
     urls = (
         refs.select(F.col(image_column).alias("image_id"))
@@ -125,6 +134,7 @@ def fetch_url_images(
     )
 
     def fetch(batches):
+        import urllib.parse
         import urllib.request
 
         for pdf in batches:
@@ -133,6 +143,9 @@ def fetch_url_images(
             datas = []
             for u in pdf["image_id"]:
                 try:
+                    if urllib.parse.urlsplit(u).scheme.lower() not in schemes:
+                        datas.append(None)
+                        continue
                     with urllib.request.urlopen(u, timeout=timeout_s) as r:
                         datas.append(r.read())
                 except Exception:

@@ -138,6 +138,7 @@ def test_csv_only_url_mode(spark, featurizer, img_dir, tmp_path):
         }
     ).to_csv(p, index=False)
 
+    featurizer.url_schemes = ("http", "https", "file")  # test opt-in
     full = (
         featurizer.featurize("images", csv_path=str(p))
         .toPandas().sort_values("row_id").reset_index(drop=True)
@@ -161,13 +162,21 @@ def test_csv_only_url_mode(spark, featurizer, img_dir, tmp_path):
         [(good_png,), (good_png,), ("file://nope/x.jpg",), ("not a url",)],
         "images string",
     )
-    got = fetch_url_images(spark, refs, "images").toPandas()
+    got = fetch_url_images(
+        spark, refs, "images", allowed_schemes=("http", "https", "file")
+    ).toPandas()
     assert len(got) == 3  # distinct
     row = got.set_index("image_id")
     assert row.loc[good_png, "fmt"] == "png"
     assert row.loc[good_png, "bytes"] is not None
     assert row.loc["file://nope/x.jpg", "bytes"] is None
     assert row.loc["not a url", "bytes"] is None
+
+    # default allowlist (http/https only): file:// URLs are NOT fetched
+    # — SSRF/local-read guard for untrusted CSVs — they degrade to NULL
+    # bytes exactly like a failed fetch
+    blocked = fetch_url_images(spark, refs, "images").toPandas()
+    assert blocked.set_index("image_id").loc[good_png, "bytes"] is None
 
 
 def test_two_step_equals_one_step(spark, featurizer, img_dir):
