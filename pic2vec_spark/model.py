@@ -640,7 +640,7 @@ def inceptionv3_features(
 
 # ------------------------------------------------------------ dispatch
 
-def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+def _seeded_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
     if model == "squeezenet":
         return squeezenet_weights(seed)
     if model == "vgg16":
@@ -658,6 +658,62 @@ def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.nda
         "imports it from keras.applications, unavailable here); plan "
         "metadata still validates it"
     )
+
+
+def save_weights_npz(weights: dict[str, np.ndarray], path: str) -> None:
+    """Serialize a weights dict to a single .npz blob (keys preserved
+    verbatim, incl. the 'layer/kernel' slash convention)."""
+    np.savez(path, **weights)
+
+
+def load_weights_npz(path: str, model: str, depth: int = 1) -> dict[str, np.ndarray]:
+    """Pretrained-weights hook: load a converted weights blob and
+    validate it layer-by-layer against the model's own layer spec (the
+    seeded stand-in's keys and shapes), so the day a real ImageNet blob
+    is converted (reference squeezenet.py:35-36 /
+    build_featurizer.py:102-111 — the h5 is stripped from this checkout
+    and unfetchable offline) it drops in and the engine produces true
+    pic2vec-equal features with zero code changes.
+
+    Every layer the decapitated forward needs must be present with the
+    exact shape; extra keys (e.g. a full-model blob serving shallower
+    depths too) are ignored.  Values are cast to float32 (the
+    reference's inference dtype)."""
+    ref = _seeded_weights(model, 0, depth)
+    with np.load(path) as npz:
+        missing = sorted(k for k in ref if k not in npz.files)
+        if missing:
+            raise ValueError(
+                f"weights blob {path!r} is missing {len(missing)} layer "
+                f"arrays for {model!r} depth {depth}: {missing[:5]}..."
+            )
+        out: dict[str, np.ndarray] = {}
+        for k, want in ref.items():
+            arr = np.asarray(npz[k], dtype=np.float32)
+            if arr.shape != want.shape:
+                raise ValueError(
+                    f"weights blob {path!r}: layer {k!r} has shape "
+                    f"{arr.shape}, expected {want.shape} for {model!r}"
+                )
+            out[k] = arr
+    return out
+
+
+def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    """Weights for a model's decapitated forward: a converted pretrained
+    blob if one is installed (``$PIC2VEC_SPARK_WEIGHTS_DIR/<model>.npz``,
+    shape-validated per layer), else the documented deterministic seeded
+    stand-ins — every engine path (featurize broadcast, NumPy oracle)
+    resolves weights through here, so installing a blob swaps ALL of
+    them consistently."""
+    import os
+
+    wdir = os.environ.get("PIC2VEC_SPARK_WEIGHTS_DIR")
+    if wdir:
+        p = os.path.join(wdir, f"{model}.npz")
+        if os.path.exists(p):
+            return load_weights_npz(p, model, depth)
+    return _seeded_weights(model, seed, depth)
 
 
 def model_forward(

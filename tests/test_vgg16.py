@@ -293,3 +293,53 @@ def test_all_six_models_execute_through_plan():
         f = model_forward(name, x, model_weights(name, 0, 4), 4)
         assert f.shape == (1, meta["widths"][4]), name
         assert np.isfinite(f).all(), name
+
+
+def test_weights_npz_hook_round_trip(tmp_path, monkeypatch):
+    """Pretrained-weights hook (release-notes item: the ImageNet h5 is
+    stripped from the reference checkout): a saved weight set loads
+    back through load_weights_npz shape-validated, model_weights picks
+    it up via $PIC2VEC_SPARK_WEIGHTS_DIR, and the forward through the
+    hook matches the oracle forward on the same weights bit-for-bit."""
+    from pic2vec_spark.model import (
+        load_weights_npz,
+        model_forward,
+        model_weights,
+        save_weights_npz,
+        squeezenet_weights,
+    )
+
+    # use a NON-default seed so a hook that silently fell back to the
+    # seed-0 stand-ins would be caught
+    w = squeezenet_weights(seed=99)
+    blob = tmp_path / "squeezenet.npz"
+    save_weights_npz(w, str(blob))
+
+    loaded = load_weights_npz(str(blob), "squeezenet", depth=1)
+    assert set(loaded) == set(w)
+    for k in w:
+        assert loaded[k].dtype == np.float32
+        assert (loaded[k] == w[k]).all(), k
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.9, (2, 227, 227, 3)).astype(np.float32)
+    want = model_forward("squeezenet", x, w, 1)
+
+    monkeypatch.setenv("PIC2VEC_SPARK_WEIGHTS_DIR", str(tmp_path))
+    hooked = model_weights("squeezenet", seed=0, depth=1)  # seed ignored
+    got = model_forward("squeezenet", x, hooked, 1)
+    assert (got == want).all()
+    # models WITHOUT a blob installed still use the seeded stand-ins
+    ref = model_weights("vgg16", seed=0, depth=1)
+    assert (ref["block1_conv1/kernel"] == vgg16_weights(0, 1)["block1_conv1/kernel"]).all()
+
+    # shape validation: a truncated/mangled blob is rejected per layer
+    bad = dict(w)
+    bad["conv1/kernel"] = bad["conv1/kernel"][..., :32]
+    save_weights_npz(bad, str(tmp_path / "bad.npz"))
+    with pytest.raises(ValueError, match="shape"):
+        load_weights_npz(str(tmp_path / "bad.npz"), "squeezenet", depth=1)
+    del bad["conv1/kernel"]
+    save_weights_npz(bad, str(tmp_path / "missing.npz"))
+    with pytest.raises(ValueError, match="missing"):
+        load_weights_npz(str(tmp_path / "missing.npz"), "squeezenet", depth=1)
