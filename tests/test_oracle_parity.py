@@ -39,13 +39,39 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 QUERY_NAMES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
 
 
+_INTEGRAL_SPARK_TYPES = {"byte", "short", "integer", "long"}
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
-    spark_df = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    spark_df = sdf.toPandas()
     duck_df = _duck(entrymod.oracle_sql()[name])
 
     assert len(spark_df) == len(duck_df), f"{name}: row count mismatch"
     assert sorted(spark_df.columns) == sorted(duck_df.columns), f"{name}: schema"
+
+    # Structural dtype guard (round-5 verdict item 1): the driver hashes
+    # values exactly, so a DuckDB HUGEINT that pandas renders as float64
+    # ("0.0" vs Spark's "0") fails the gate even when numerically equal.
+    # This has broken a driver row three rounds running
+    # (purchase_props_json r2, value_mad_outliers r3, doc_packing r4) —
+    # assert NO oracle column is float where the Spark schema is integral,
+    # unless the Spark result actually contains NULLs in that column
+    # (fetchdf legitimately promotes nullable ints to float64 then).
+    integral = {
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in _INTEGRAL_SPARK_TYPES
+    }
+    for col in integral:
+        if duck_df[col].dtype.kind == "f" and not spark_df[col].isna().any():
+            raise AssertionError(
+                f"{name}.{col}: oracle renders float64 ({duck_df[col].dtype}) "
+                f"but the Spark schema is integral and NULL-free — add an "
+                f"explicit CAST(... AS BIGINT) in the oracle SQL "
+                f"(DuckDB HUGEINT→float64 fetchdf trap)"
+            )
 
     a, b = _normalize(spark_df), _normalize(duck_df)
     for col in a.columns:
