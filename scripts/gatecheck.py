@@ -70,6 +70,7 @@ def main() -> int:
     qs = em.queries()
     oracles = em.oracle_sql()
     results = {}
+    timings = {}
     fails = 0
     for name, fn in qs.items():
         if wanted and name not in wanted:
@@ -85,6 +86,7 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             dt = time.time() - t0
+            timings[name] = round(dt, 2)
             print(f"{name:32s} {len(spdf):>7d} rows-only        {dt:5.1f}s")
             results[name] = f"rows_only:{len(spdf)}"
             continue
@@ -97,11 +99,28 @@ def main() -> int:
             continue
         ok, why = compare(spdf, ddf)
         dt = time.time() - t0
+        timings[name] = round(dt, 2)
         status = "MATCH" if ok else f"MISMATCH {why}"
         print(f"{name:32s} {len(spdf):>7d} {status:16s} {dt:5.1f}s")
         results[name] = "match" if ok else f"mismatch:{why}"
         fails += 0 if ok else 1
     print(json.dumps({"fails": fails, "n": len(results)}))
+    out = os.environ.get("GATECHECK_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "oracle_sf_dir": os.environ.get(
+                        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+                    ),
+                    "fails": fails,
+                    "results": results,
+                    "wall_sec": timings,
+                },
+                f,
+                indent=1,
+            )
     return 1 if fails else 0
 
 
