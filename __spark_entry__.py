@@ -16,6 +16,7 @@ Determinism notes shared by Spark and the DuckDB oracle:
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -32,6 +33,7 @@ def _us(col: str):
 
 
 SESSION_GAP_S = 1800
+AUGMENT_SEED = 7  # image_augment op-pick seed (query + literal oracle)
 TUMBLE_S = 3600
 TOP_K = 3
 
@@ -2225,8 +2227,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (random-hyperplane LSH buckets + exact re-rank).
-    Rows-only driver check; recall vs the exact path is asserted in
-    tests/test_dedup_text_knn.py."""
+    Full oracle (the plane literals are embedded in the SQL); recall vs
+    the exact path is asserted in tests/test_dedup_text_knn.py."""
     from pic2vec_spark.ops.knn import lsh_bucket_topk
 
     embs = _embeddings(spark, sf_dir)
@@ -2530,21 +2532,31 @@ def q_multi_column_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PCM-WAV audio decode + signal features over a deterministic
-    64-tone corpus (WAV parsing is not SQL-expressible → rows-only; the
-    rms/zcr/duration math is pinned by tests against closed forms)."""
+@functools.cache
+def _audio_tone_rows() -> list[tuple[int, bytes]]:
+    """The deterministic 64-tone PCM corpus — ONE generator shared by
+    q_audio_features and its literal oracle so the tone constants
+    (4000 samples @ 8 kHz, 0.4 amplitude, 100+25i Hz) cannot drift
+    between the two sides."""
     import numpy as np
 
     from pic2vec_spark.codecs import encode_wav
-    from pic2vec_spark.ops.multimodal import audio_features
 
     t = np.arange(4000) / 8000.0
-    rows = [
+    return [
         (i, encode_wav(0.4 * np.sin(2 * np.pi * (100 + 25 * i) * t), 8000))
         for i in range(64)
     ]
-    df = spark.createDataFrame(rows, "clip_id int, bytes binary")
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM-WAV audio decode + signal features over a deterministic
+    64-tone corpus (the literal oracle recomputes duration/rms/zcr
+    through the same decode path; the mel math is pinned by tests
+    against closed forms)."""
+    from pic2vec_spark.ops.multimodal import audio_features
+
+    df = spark.createDataFrame(_audio_tone_rows(), "clip_id int, bytes binary")
     # mel (array column) is excluded: driver canonicalization sorts all
     # columns and cannot hash array cells (same rule as the flagship)
     return audio_features(df, n_mel=8).select(
@@ -2553,8 +2565,10 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-derived DCT perceptual hash per image (rows-only: DCT is
-    not SQL-expressible; the math is pinned by tests/test_phash.py)."""
+    """Content-derived DCT perceptual hash per image.  Full literal
+    oracle (_image_phash_sql): the hash of each deterministic synth
+    image is recomputed driver-side and embedded as BIGINT literals;
+    the DCT math is additionally pinned by tests/test_phash.py."""
     from pic2vec_spark.ops.multimodal import compute_phash
     from pic2vec_spark.synth import synth_images_df
 
@@ -2564,7 +2578,9 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over the computed
-    phash (pigeonhole chunk buckets, never all-pairs).  Rows-only."""
+    phash (pigeonhole chunk buckets, never all-pairs).  Oracle is an
+    INDEPENDENT all-pairs bit_count(xor) brute force in DuckDB over the
+    literal phash table — it pins bucket recall, not just plan parity."""
     from pic2vec_spark.ops.dedup import hamming_neardup_pairs
     from pic2vec_spark.ops.multimodal import compute_phash
     from pic2vec_spark.synth import synth_images_df
@@ -2579,8 +2595,9 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/resize/re-encode over binary image columns.
-    Rows-only (binary output); codec correctness is pinned by
-    tests/test_codecs.py round-trips."""
+    Full literal oracle on the re-encoded thumbnail byte length (the
+    SQL-visible projection of the binary output); codec correctness is
+    additionally pinned by tests/test_codecs.py round-trips."""
     from pic2vec_spark.ops.multimodal import image_thumbnail
     from pic2vec_spark.synth import synth_images_df
 
@@ -2593,9 +2610,9 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image quality metrics (brightness/contrast/entropy/Laplacian
-    sharpness) — the pre-CNN curation screen.  Rows-only (binary decode
-    is not SQL-expressible); the kernels are closed-form-pinned by
-    tests/test_image_ops.py."""
+    sharpness) — the pre-CNN curation screen.  Full literal oracle
+    (_image_stats_sql, round-6 metric literals); the kernels are
+    additionally closed-form-pinned by tests/test_image_ops.py."""
     from pic2vec_spark.ops.multimodal import image_stats
     from pic2vec_spark.synth import synth_images_df
 
@@ -2608,13 +2625,14 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-row augmentation (md5-keyed op choice —
-    reproducible under retries/repartitioning).  Rows-only; kernels and
-    lossless round-trips pinned by tests/test_image_ops.py."""
+    reproducible under retries/repartitioning).  Full literal oracle
+    sharing the engine's augment_pick; kernels and lossless round-trips
+    additionally pinned by tests/test_image_ops.py."""
     from pic2vec_spark.ops.multimodal import augment_images
     from pic2vec_spark.synth import synth_images_df
 
     images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
-    return augment_images(images, seed=7).select(
+    return augment_images(images, seed=AUGMENT_SEED).select(
         "image_id", "fmt", "aug_op", "aug_ok", F.length("aug").alias("aug_bytes")
     )
 
@@ -2639,9 +2657,10 @@ def q_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-side mirror of training_corpus: decode-quality screen
     (stats_ok, entropy/sharpness floors drop blanks and blurred rows) →
     phash near-dup survivors (one image per Hamming CC cluster) →
-    caption quality floor → deterministic split.  Rows-only: the decode
-    stages are not SQL-expressible; every member kernel is pinned by its
-    own tests (test_image_ops, test_phash, test_dedup_text_knn)."""
+    caption quality floor → deterministic split.  Full composed oracle
+    (_multimodal_corpus_sql) reusing the member literal oracles inside a
+    recursive-CTE connected-components; every member kernel is
+    additionally pinned by its own tests."""
     from pic2vec_spark.ops.dedup import hamming_neardup_pairs, neardup_clusters
     from pic2vec_spark.ops.multimodal import compute_phash, image_stats
     from pic2vec_spark.ops.sampling import hash_split
@@ -2893,10 +2912,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r04 rotation that have never appeared in any driver artifact, then
 # the fixed doc_packing (oracle HUGEINT cast), the two plans changed
 # this round (heavy_hitters_cms de-triple-scan, caption_image_conflicts
-# 16-table LSH), the two rows-only→full-oracle promotions
-# (image_phash/image_stats literal oracles), the flagship pair, and the
-# OLDEST previously-gated queries (r01/r02 family) as refresh anchors —
-# see COVERAGE.md for the per-query last-verified ledger.
+# 16-table LSH), the rows-only→full-oracle promotions (SEVEN this
+# round: image_phash, image_stats, image_thumbnails, image_augment,
+# audio_features literal oracles + the image_phash_neardup brute-force
+# and multimodal_corpus composed oracles — the window carries the five
+# that fit), the flagship pair, and the OLDEST previously-gated queries
+# (r01/r02 family) as refresh anchors — see COVERAGE.md for the
+# per-query last-verified ledger.
 _R05_GATE_WINDOW = [
     # 14 never-driver-gated (added post-r04-rotation)
     "rolling_5_events", "regional_revenue", "shipping_priority",
@@ -3219,6 +3241,7 @@ def _knn_lsh_sql() -> str:
     """
 
 
+@functools.cache
 def _multi_column_widened_sql() -> str:
     """Oracle for multi_column_widened: the ref-table construction is
     pure arithmetic over row_id, and the missing flag adds the synth
@@ -3301,6 +3324,7 @@ def _dup_spans_sql() -> str:
     """
 
 
+@functools.cache
 def _flagship_synth_rows() -> list[dict]:
     """The flagship synthetic image corpus, recomputed driver-side —
     a pure function of (seed=42, i, N_FLAGSHIP_IMAGES), identical to
@@ -3313,6 +3337,7 @@ def _flagship_synth_rows() -> list[dict]:
     ]
 
 
+@functools.cache
 def _image_phash_sql() -> str:
     """Literal oracle for image_phash (the pit_asof_alignment pattern):
     the DCT perceptual hash of each deterministic synth image is a pure
@@ -3339,6 +3364,7 @@ def _image_phash_sql() -> str:
     )
 
 
+@functools.cache
 def _image_stats_sql() -> str:
     """Literal oracle for image_stats: closed-form brightness/contrast/
     entropy/sharpness of the deterministic synth corpus, recomputed
@@ -3367,6 +3393,7 @@ def _image_stats_sql() -> str:
     )
 
 
+@functools.cache
 def _image_thumbnails_sql() -> str:
     """Literal oracle for image_thumbnails: the PNG re-encode of the
     deterministic synth corpus is a pure function of (seed, i, n), so
@@ -3392,20 +3419,22 @@ def _image_thumbnails_sql() -> str:
     )
 
 
+@functools.cache
 def _image_augment_sql() -> str:
     """Literal oracle for image_augment: the md5-keyed op choice and the
     re-encoded augmented byte length are pure functions of (image_id,
     seed=7, corpus), recomputed driver-side with the same pick/kernel/
     encode path."""
-    import hashlib
-
     from pic2vec_spark.codecs import decode_image, encode_image
-    from pic2vec_spark.ops.multimodal import AUGMENT_OPS, _augment_kernel
+    from pic2vec_spark.ops.multimodal import (
+        AUGMENT_OPS,
+        _augment_kernel,
+        augment_pick,
+    )
 
     vals = []
     for r in _flagship_synth_rows():
-        h = hashlib.md5(f"{r['image_id']}|7".encode()).digest()
-        op = AUGMENT_OPS[int.from_bytes(h[:8], "big") % len(AUGMENT_OPS)]
+        op = augment_pick(r["image_id"], AUGMENT_SEED, AUGMENT_OPS)
         fmt = "NULL" if r["fmt"] is None else f"'{r['fmt']}'"
         try:
             blob = encode_image(
@@ -3423,6 +3452,7 @@ def _image_augment_sql() -> str:
     )
 
 
+@functools.cache
 def _audio_features_sql() -> str:
     """Literal oracle for audio_features: the 64-tone PCM corpus is
     generated inline by the query itself, so duration/rms/zcr are pure
@@ -3431,12 +3461,10 @@ def _audio_features_sql() -> str:
     round-6 reductions the Arrow UDF applies."""
     import numpy as np
 
-    from pic2vec_spark.codecs import decode_wav, encode_wav
+    from pic2vec_spark.codecs import decode_wav
 
-    t = np.arange(4000) / 8000.0
     vals = []
-    for i in range(64):
-        data = encode_wav(0.4 * np.sin(2 * np.pi * (100 + 25 * i) * t), 8000)
+    for i, data in _audio_tone_rows():
         x, rate = decode_wav(data)
         mono = x.mean(axis=1)
         dur = round(len(mono) / rate, 6)
@@ -3452,6 +3480,7 @@ def _audio_features_sql() -> str:
     )
 
 
+@functools.cache
 def _image_phash_neardup_sql() -> str:
     """Oracle for image_phash_neardup: an INDEPENDENT all-pairs Hamming
     join in DuckDB (bit_count(xor)) over the literal phash table — this
@@ -3467,6 +3496,7 @@ def _image_phash_neardup_sql() -> str:
     """
 
 
+@functools.cache
 def _multimodal_corpus_sql() -> str:
     """Composed oracle for multimodal_corpus, reusing the member literal
     oracles (image_stats floors + image_phash) so this gate cannot
@@ -3542,6 +3572,7 @@ def _multimodal_corpus_sql() -> str:
     """
 
 
+@functools.cache
 def _pit_alignment_sql() -> str:
     """Oracle for pit_asof_alignment: the as-of window mirrors
     _ASOF_ORACLE's (ts, side, event_id) tiebreak; the missing flag needs
@@ -3550,11 +3581,9 @@ def _pit_alignment_sql() -> str:
     (seed=42, i, 256) — recomputed here driver-side with the same
     decode_image the executors run and embedded as literals."""
     from pic2vec_spark.codecs import decode_image
-    from pic2vec_spark.synth import synth_image_row
 
     bad = []
-    for i in range(N_FLAGSHIP_IMAGES):
-        r = synth_image_row(i, N_FLAGSHIP_IMAGES, 42)
+    for r in _flagship_synth_rows():
         ok = r["bytes"] is not None
         if ok:
             try:

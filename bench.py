@@ -251,6 +251,11 @@ def _run_suite(spark, sf_dir: str, images) -> dict:
     # slow sample on a thrashing box is tenant steal, not a regression).
     group_totals: dict[str, float] = {}
     probes: dict[str, float] = {}
+    # suite-start probe seeds the resample baseline: without it the FIRST
+    # queries have no calm reference (default=p can never trigger), so a
+    # run that starts inside a steal storm would keep its inflated early
+    # numbers unexamined
+    baseline_probe = _quick_probe_gflops()
     for total_key, names in EXTENDED_GROUPS:
         group: dict[str, float] = {}
         for name in names:
@@ -260,7 +265,7 @@ def _run_suite(spark, sf_dir: str, images) -> dict:
                 _force(qs[name](spark, sf_dir))
                 runs.append(round(time.perf_counter() - t0, 3))
             p = _quick_probe_gflops()
-            pmax_so_far = max(probes.values(), default=p)
+            pmax_so_far = max(max(probes.values(), default=0.0), baseline_probe)
             if p < pmax_so_far / 2.0:
                 t0 = time.perf_counter()
                 _force(qs[name](spark, sf_dir))
@@ -274,7 +279,7 @@ def _run_suite(spark, sf_dir: str, images) -> dict:
     # steal-normalized seconds: raw * (adjacent probe / calmest probe)
     # — a LINEAR load model, reported as context next to the raw number
     # (the judge reads deltas; this says which deltas are the box)
-    pmax = max(probes.values(), default=1.0)
+    pmax = max(max(probes.values(), default=1.0), baseline_probe)
     normalized = {
         name: round(timings[name] * probes[name] / pmax, 3)
         for name in probes

@@ -116,18 +116,55 @@ _worker_cache: dict = {}
 def _zero_features(plan: FeaturizerPlan, weights: dict[str, np.ndarray]) -> np.ndarray:
     """f(zero tensor) — what the reference's model.predict returns for
     missing rows' zero slices; computed once and reused."""
-    key = ("zero", plan.model, plan.depth, plan.weight_seed, plan.num_features)
+    # keyed by the weights OBJECT (installed-blob vs seeded dicts differ
+    # under one plan); the entry holds a strong ref to the dict so its
+    # id() cannot be recycled onto a different weight set
+    key = ("zero", id(weights), plan.model, plan.depth, plan.num_features)
     if key not in _worker_cache:
         h, w = plan.target_size
         zeros = np.zeros((1, h, w, 3), dtype=np.float32)
-        _worker_cache[key] = forward_features(zeros, plan, weights)[0]
-    return _worker_cache[key]
+        _worker_cache[key] = (weights, forward_features(zeros, plan, weights)[0])
+    return _worker_cache[key][1]
+
+
+def _weights_ref(sc, plan: FeaturizerPlan, broadcast_weights: bool):
+    """Driver-side weights resolution handle: a Broadcast of the resolved
+    dict, or — in no-broadcast mode — an ``("expect", source)`` tag of
+    WHICH source the driver resolved (``weights_source``: installed
+    pretrained blob vs seeded stand-ins).  Executors re-resolve locally
+    but must land on the same source: env vars like
+    ``$PIC2VEC_SPARK_WEIGHTS_DIR`` are not auto-propagated to executors
+    off local mode, and a silent driver/executor split would featurize
+    present rows with one weight set and zero-vector/oracle paths with
+    another."""
+    from pic2vec_spark.model import weights_source
+
+    if broadcast_weights:
+        return sc.broadcast(model_weights(plan.model, plan.weight_seed, plan.depth))
+    return ("expect", weights_source(plan.model, plan.depth))
 
 
 def _get_weights(plan: FeaturizerPlan, weights_bc) -> dict[str, np.ndarray]:
+    expected = None
+    if isinstance(weights_bc, tuple):  # ("expect", source) — no-broadcast tag
+        expected = weights_bc[1]
+        weights_bc = None
     if weights_bc is not None:
         return weights_bc.value
-    key = ("weights", plan.model, plan.weight_seed, plan.depth)
+    from pic2vec_spark.model import weights_source
+
+    actual = weights_source(plan.model, plan.depth)
+    if expected is not None and actual != expected:
+        raise RuntimeError(
+            f"weights source mismatch: driver resolved {expected!r} but "
+            f"this executor resolves {actual!r} for model "
+            f"{plan.model!r} — propagate PIC2VEC_SPARK_WEIGHTS_DIR (and "
+            "the blob files) to executors via "
+            "spark.executorEnv/--files, or use broadcast_weights=True"
+        )
+    # cache key includes the resolved source: a long-lived worker whose
+    # weights dir appears/disappears must not serve the other source's dict
+    key = ("weights", actual, plan.model, plan.weight_seed, plan.depth)
     if key not in _worker_cache:
         _worker_cache[key] = model_weights(plan.model, plan.weight_seed, plan.depth)
     return _worker_cache[key]
@@ -220,11 +257,7 @@ def featurize_images(
         )
     spark = df.sparkSession
     sc = spark.sparkContext
-    weights_bc = (
-        sc.broadcast(model_weights(plan.model, plan.weight_seed, plan.depth))
-        if broadcast_weights
-        else None
-    )
+    weights_bc = _weights_ref(sc, plan, broadcast_weights)
     n_parts = feature_partitions or sc.defaultParallelism * 2
     run = _featurize_udf(plan, weights_bc, metrics)
 
@@ -365,13 +398,7 @@ def featurize_preloaded(
     from pyspark.sql import types as T
 
     spark = decoded.sparkSession
-    weights_bc = (
-        spark.sparkContext.broadcast(
-            model_weights(plan.model, plan.weight_seed, plan.depth)
-        )
-        if broadcast_weights
-        else None
-    )
+    weights_bc = _weights_ref(spark.sparkContext, plan, broadcast_weights)
     schema = T.StructType(
         [f for f in decoded.schema.fields if f.name not in _PX_COLS]
         + [T.StructField("features", T.ArrayType(T.FloatType()), False)]
@@ -463,11 +490,7 @@ def incremental_featurize(
             )
     spark = images.sparkSession
     sc = spark.sparkContext
-    weights_bc = (
-        sc.broadcast(model_weights(plan.model, plan.weight_seed, plan.depth))
-        if broadcast_weights
-        else None
-    )
+    weights_bc = _weights_ref(sc, plan, broadcast_weights)
     n_parts = feature_partitions or sc.defaultParallelism * 2
 
     distinct = (

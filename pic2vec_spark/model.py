@@ -699,20 +699,35 @@ def load_weights_npz(path: str, model: str, depth: int = 1) -> dict[str, np.ndar
     return out
 
 
-def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
-    """Weights for a model's decapitated forward: a converted pretrained
-    blob if one is installed (``$PIC2VEC_SPARK_WEIGHTS_DIR/<model>.npz``,
-    shape-validated per layer), else the documented deterministic seeded
-    stand-ins — every engine path (featurize broadcast, NumPy oracle)
-    resolves weights through here, so installing a blob swaps ALL of
-    them consistently."""
+def weights_source(model: str, depth: int = 1) -> str:
+    """Which source ``model_weights`` resolves to IN THIS PROCESS:
+    ``"npz:<path>"`` when a converted pretrained blob is installed under
+    ``$PIC2VEC_SPARK_WEIGHTS_DIR``, else ``"seeded"``.  Resolution is
+    per-process (env + filesystem), so driver and executors can disagree
+    off local mode — featurize's no-broadcast path ships the driver's
+    tag and executors verify against their own (featurize._get_weights)
+    instead of silently computing features from a different weight set."""
     import os
 
     wdir = os.environ.get("PIC2VEC_SPARK_WEIGHTS_DIR")
     if wdir:
         p = os.path.join(wdir, f"{model}.npz")
         if os.path.exists(p):
-            return load_weights_npz(p, model, depth)
+            return f"npz:{p}"
+    return "seeded"
+
+
+def model_weights(model: str, seed: int = 0, depth: int = 1) -> dict[str, np.ndarray]:
+    """Weights for a model's decapitated forward: a converted pretrained
+    blob if one is installed (``$PIC2VEC_SPARK_WEIGHTS_DIR/<model>.npz``,
+    shape-validated per layer), else the documented deterministic seeded
+    stand-ins — every engine path (featurize broadcast, NumPy oracle)
+    resolves weights through here, so installing a blob swaps ALL of
+    them consistently (see ``weights_source`` for the cross-process
+    consistency guard)."""
+    src = weights_source(model, depth)
+    if src.startswith("npz:"):
+        return load_weights_npz(src[4:], model, depth)
     return _seeded_weights(model, seed, depth)
 
 

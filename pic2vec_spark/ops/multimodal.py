@@ -233,6 +233,17 @@ def _augment_kernel(img: np.ndarray, op: str) -> np.ndarray:
     raise ValueError(f"unknown augmentation {op!r}; choose from {AUGMENT_OPS}")
 
 
+def augment_pick(rid, seed: int, chosen) -> str:
+    """The deterministic per-row op choice (md5 of ``id|seed`` mod
+    #ops) — module-level so the driver-side literal oracle uses the
+    SAME function the executors run instead of an inline copy that
+    could drift."""
+    import hashlib
+
+    h = hashlib.md5(f"{rid}|{seed}".encode()).digest()
+    return chosen[int.from_bytes(h[:8], "big") % len(chosen)]
+
+
 def augment_images(
     df: DataFrame,
     ops: list[str] | None = None,
@@ -249,8 +260,6 @@ def augment_images(
     (re-encoded in the row's own format), ``aug_op``, ``aug_ok``.
     Narrow map, no shuffle; decode/encode failures yield NULL + False.
     """
-    import hashlib
-
     chosen = list(ops or AUGMENT_OPS)
     for op in chosen:
         if op not in AUGMENT_OPS:
@@ -265,8 +274,7 @@ def augment_images(
     )
 
     def pick(rid) -> str:
-        h = hashlib.md5(f"{rid}|{seed}".encode()).digest()
-        return chosen[int.from_bytes(h[:8], "big") % len(chosen)]
+        return augment_pick(rid, seed, chosen)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pic2vec_spark.codecs import encode_image

@@ -684,7 +684,17 @@ class SnapshotTable:
         }
         if dry_run:
             return report
-        for sid in expired:  # manifests first (crash-safe ordering)
+        # retire each expired snapshot's resume marker BEFORE its
+        # manifest: a crash between the manifest unlink and the partials
+        # rmtree would otherwise leave a _mode.json-bearing .partials dir
+        # with no manifest — exactly the uncommitted-resumable signature,
+        # so every later expire would protect it forever and resume()
+        # could re-commit the long-expired snapshot as CURRENT
+        for sid in expired:
+            ((self.snap_dir / f"{sid}.partials") / "_mode.json").unlink(
+                missing_ok=True
+            )
+        for sid in expired:  # then manifests (crash-safe ordering)
             all_manifests[sid].unlink(missing_ok=True)
         import shutil
 

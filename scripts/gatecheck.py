@@ -93,6 +93,7 @@ def main() -> int:
         try:
             ddf = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
+            timings[name] = round(time.time() - t0, 2)
             print(f"{name:32s} ERROR oracle: {e}")
             results[name] = "oracle_error"
             fails += 1
@@ -111,9 +112,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
-                    "oracle_sf_dir": os.environ.get(
-                        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-                    ),
+                    "oracle_sf_dir": em.ORACLE_SF_DIR,
                     "fails": fails,
                     "results": results,
                     "wall_sec": timings,

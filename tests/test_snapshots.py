@@ -597,3 +597,30 @@ def test_snapshot_diff_reads_only_churn(spark, events, tmp_path):
     assert b3 == {"delete": 1, "update_pre": 2, "update_post": 2}
     with pytest.raises(ValueError):
         snapshot_diff(t, "event_id", old_sid=None, new_sid=t.manifest(mid)["parent"])
+
+
+def test_expire_crash_between_steps_converges(spark, events, tmp_path):
+    """A crash mid-expiry must not convert an expired COMMITTED snapshot
+    into a protected 'resumable' ghost: expiry retires each expired
+    snapshot's _mode.json BEFORE unlinking its manifest, so either crash
+    window leaves a state the next routine expire fully reclaims."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root, spark)
+    s1 = t.write(events.limit(20), num_partitions=2)
+    t.write(events.limit(40), num_partitions=2)
+    s1_files = sorted(f.name for f in t.data_dir.glob(f"part-{s1}-*.parquet"))
+    assert s1_files and (t.snap_dir / f"{s1}.partials" / "_mode.json").exists()
+
+    # crash window A: _mode.json gone, manifest still present -> s1 is
+    # still committed; re-run expires it normally
+    (t.snap_dir / f"{s1}.partials" / "_mode.json").unlink()
+    # crash window B (the round-4 hazard): manifest unlinked, partials
+    # dir (sans _mode.json after the fix) + data files left behind
+    (t.snap_dir / f"{s1}.json").unlink()
+
+    rep = t.expire_snapshots(keep_last=1)
+    assert rep["protected_resumable"] == []
+    assert f"{s1}.partials" in rep["deleted_partials"]
+    assert not (t.snap_dir / f"{s1}.partials").exists()
+    assert not list(t.data_dir.glob(f"part-{s1}-*.parquet"))
+    assert t.scan().count() == 40

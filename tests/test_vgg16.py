@@ -343,3 +343,36 @@ def test_weights_npz_hook_round_trip(tmp_path, monkeypatch):
     save_weights_npz(bad, str(tmp_path / "missing.npz"))
     with pytest.raises(ValueError, match="missing"):
         load_weights_npz(str(tmp_path / "missing.npz"), "squeezenet", depth=1)
+
+
+def test_weights_source_mismatch_guard(tmp_path, monkeypatch):
+    """No-broadcast weights resolution is verified per-process: the
+    driver's resolved source tag ships in the closure, and an executor
+    that resolves a DIFFERENT source (env vars are not auto-propagated
+    off local mode) raises instead of silently featurizing with the
+    other weight set."""
+    from pic2vec_spark.featurize import _get_weights, _weights_ref
+    from pic2vec_spark.model import (
+        save_weights_npz,
+        squeezenet_weights,
+        weights_source,
+    )
+    from pic2vec_spark.plan import FeaturizerPlan
+
+    plan = FeaturizerPlan.build("squeezenet", depth=1, autosample=True)
+
+    # driver resolved "seeded", worker process sees an installed blob
+    monkeypatch.delenv("PIC2VEC_SPARK_WEIGHTS_DIR", raising=False)
+    assert weights_source("squeezenet") == "seeded"
+    tag = _weights_ref(None, plan, broadcast_weights=False)
+    assert tag == ("expect", "seeded")
+    save_weights_npz(squeezenet_weights(seed=99), str(tmp_path / "squeezenet.npz"))
+    monkeypatch.setenv("PIC2VEC_SPARK_WEIGHTS_DIR", str(tmp_path))
+    with pytest.raises(RuntimeError, match="weights source mismatch"):
+        _get_weights(plan, tag)
+
+    # and the matched case resolves fine (worker cache keyed per plan)
+    tag_npz = _weights_ref(None, plan, broadcast_weights=False)
+    assert tag_npz == ("expect", f"npz:{tmp_path}/squeezenet.npz")
+    w = _get_weights(plan, tag_npz)
+    assert (w["conv1/kernel"] == squeezenet_weights(seed=99)["conv1/kernel"]).all()
