@@ -1187,6 +1187,72 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-index maintenance: build the persisted LSH
+    bucket index on HALF the corpus, append the other half (new
+    prefix-partitioned files only — originals carried forward untouched,
+    family digest-verified), then emit the candidate pairs from the
+    stored buckets alone.  Must equal dedup_minhash_lsh over the FULL
+    corpus — the same oracle pins build+append == one-shot rebuild."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_lsh_dedup_index,
+        build_lsh_dedup_index,
+        neardup_pairs_from_index,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="drv_lsh_app_")
+    try:
+        build_lsh_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, spark,
+            n_hashes=MINHASH_K, bands=MINHASH_BANDS, shingle_n=JACCARD_N,
+        )
+        append_to_lsh_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 1), root, spark
+        )
+        # pairs read temp index files deleted in finally — land the
+        # (small, pair-list) result before cleanup
+        return spark.createDataFrame(
+            neardup_pairs_from_index(root, spark).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup gate: probe an incoming batch (odd doc_ids)
+    against the persisted index of the existing corpus (even doc_ids)
+    BEFORE appending — candidate pairs touching the batch, computed with
+    zero corpus re-shingling (broadcast batch buckets × file-pruned
+    index scan).  Oracle: the full-corpus LSH pair set restricted to
+    pairs with an odd side."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        build_lsh_dedup_index,
+        probe_lsh_dedup_index,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="drv_lsh_inc_")
+    try:
+        build_lsh_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, spark,
+            n_hashes=MINHASH_K, bands=MINHASH_BANDS, shingle_n=JACCARD_N,
+        )
+        return spark.createDataFrame(
+            probe_lsh_dedup_index(
+                root, spark, docs.filter(F.col("doc_id") % 2 == 1)
+            ).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.dedup import simhash
 
@@ -2930,9 +2996,13 @@ _R05_GATE_WINDOW = [
     "doc_packing", "heavy_hitters_cms", "caption_image_conflicts",
     "image_phash", "image_stats", "image_augment", "audio_features",
     "multimodal_corpus", "pit_featurize_asof", "pit_asof_alignment",
+    # round-5 persisted-dedup-index additions (registered after the
+    # window was first frozen; swapped in for two r02-covered anchors
+    # — doc_fingerprint and dedup_exact keep their r02 artifacts — so
+    # the r01–r05 union still covers every registered query)
+    "dedup_lsh_append", "dedup_lsh_incremental",
     # oldest previously-gated anchors (r01 rows-only, then r02 family)
-    "image_phash_neardup", "image_thumbnails",
-    "doc_fingerprint", "dedup_exact", "dedup_jaccard",
+    "image_phash_neardup", "image_thumbnails", "dedup_jaccard",
     "dedup_minhash_lsh", "doc_simhash", "simhash_neardup",
     "neardup_consensus", "neardup_clusters", "dedup_survivors",
     "doc_tfidf", "train_test_split", "stratified_sample",
@@ -3015,6 +3085,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_append": q_dedup_lsh_append,
+        "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "doc_simhash": q_doc_simhash,
         "simhash_neardup": q_simhash_neardup,
         "neardup_consensus": q_neardup_consensus,
@@ -5101,6 +5173,15 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM toks t LEFT JOIN per_doc p USING (doc_id)
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        # the persisted-index paths must reproduce the one-shot LSH:
+        # build+append == full rebuild (same oracle), and the ingest
+        # probe == the full pair set restricted to pairs touching the
+        # incoming (odd doc_id) batch
+        "dedup_lsh_append": _minhash_lsh_sql(),
+        "dedup_lsh_incremental": (
+            f"SELECT id1, id2 FROM ({_minhash_lsh_sql()}) q\n"
+            "    WHERE id1 % 2 = 1 OR id2 % 2 = 1"
+        ),
         "doc_simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),
         "neardup_degree_hist": f"""

@@ -400,7 +400,7 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -408,12 +408,13 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates: signature split into ``bands``
-    bands of ``n_hashes/bands`` rows; docs sharing any full band collide.
-
-    Scale path: never materializes all pairs — shuffle keys are
-    (band_idx, band_signature) buckets, then pairs only within buckets.
-    """
+    """(id, band, band_sig) LSH bucket entries: the MinHash signature
+    split into ``bands`` bands of ``n_hashes/bands`` rows, each band
+    md5-digested.  Docs sharing any (band, band_sig) are near-dup
+    candidates.  Shared by ``lsh_candidate_pairs`` (in-memory self-join)
+    and ``ops.dedup_store`` (persisted index: the bucket table IS the
+    index, so build/append/probe are all derived from this one
+    definition and cannot drift from the batch path)."""
     if n_hashes % bands:
         raise ValueError(
             f"n_hashes ({n_hashes}) must divide evenly into bands ({bands}) "
@@ -441,11 +442,28 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.explode(entries).alias("__bb")).select(
+    return sig.select(F.col(id_col), F.explode(entries).alias("__bb")).select(
         id_col,
         F.col("__bb.band").alias("band"),
         F.col("__bb.band_sig").alias("band_sig"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: signature split into ``bands``
+    bands of ``n_hashes/bands`` rows; docs sharing any full band collide.
+
+    Scale path: never materializes all pairs — shuffle keys are
+    (band_idx, band_signature) buckets, then pairs only within buckets.
+    """
+    buckets = lsh_band_buckets(df, id_col, text_col, n_hashes, bands, shingle_n)
     a = buckets.select(F.col(id_col).alias("id1"), "band", "band_sig")
     b2 = buckets.select(F.col(id_col).alias("id2"), "band", "band_sig")
     return (

@@ -613,3 +613,83 @@ def stream_index_vectors(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------ LSH dedup index
+
+DOCUMENTS_STREAM_SCHEMA = "doc_id bigint, text string"
+
+
+def lsh_index_sink(batch_df: DataFrame, batch_id: int,
+                   table_root: str, **family) -> None:
+    """foreachBatch body for ``stream_index_documents`` — module-level
+    so replay idempotence is directly testable.  Exactly-once with the
+    same batch-stamp protocol as ``ivf_index_sink``: a replayed batch
+    id (== the stamp) is a no-op, an id BEHIND the stamp is a
+    fresh-checkpoint restart and raises instead of silently dropping
+    ingest.  ``family`` (n_hashes/bands/shingle_n/prefix_chars) applies
+    to the FIRST batch only — later appends read the family from the
+    manifest and digest-verify it."""
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_lsh_dedup_index,
+        build_lsh_dedup_index,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    table = SnapshotTable(table_root, spark)
+    man = table.manifest()
+    if man is None:
+        build_lsh_dedup_index(
+            batch_df, table_root, spark, **family,
+            extra_properties={"lsh_last_batch": int(batch_id)},
+        )
+        return
+    last = (man.get("properties") or {}).get("lsh_last_batch")
+    if last is not None and int(batch_id) == int(last):
+        return  # replayed batch (failed mid-commit last run): ingested
+    if last is not None and int(batch_id) < int(last):
+        raise ValueError(
+            f"batch id {int(batch_id)} is behind the index's "
+            f"lsh_last_batch {int(last)} — this stream's checkpoint "
+            "does not belong to this index table; reuse the original "
+            "checkpoint dir, or point the stream at a fresh table_root"
+        )
+    props = {**(man.get("properties") or {}),
+             "lsh_last_batch": int(batch_id)}
+    append_to_lsh_dedup_index(batch_df, table_root, spark, properties=props)
+
+
+def stream_index_documents(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    available_now: bool = True,
+    **family,
+):
+    """Continuously maintained dedup index: stream document parquet
+    files into the persisted LSH bucket index — first batch builds,
+    later batches append new prefix-partitioned files only (ingest cost
+    ∝ new data; see append_to_lsh_dedup_index).  Between micro-batches,
+    ``probe_lsh_dedup_index`` against ``table_root`` serves the
+    ingest-time dedup gate and ``neardup_pairs_from_index`` the full
+    candidate set, both freshness-inclusive."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_index_sink(batch_df, batch_id, table_root, **family)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -657,3 +657,67 @@ def test_stream_index_vectors_builds_appends_and_dedups_replays(spark, tmp_path)
     extra = embs.limit(7).withColumn("vec_id", F.col("vec_id") + 100000)
     ivf_index_sink(extra, 2, root, centroids)
     assert SnapshotTable(root, spark).scan().count() == n_ingested + 7
+
+
+def test_stream_index_documents_builds_appends_and_dedups_replays(
+    spark, tmp_path
+):
+    """Streamed LSH dedup-index ingest: first batch builds, later
+    batches append; the stored pair set == one-shot lsh_candidate_pairs
+    over everything ingested; a replayed batch id is a no-op (no
+    phantom self-duplicate pairs)."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.dedup import lsh_candidate_pairs
+    from pic2vec_spark.ops.dedup_store import neardup_pairs_from_index
+    from pic2vec_spark.streaming import lsh_index_sink, stream_index_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(str(inp / "b1"))
+    half_b.coalesce(1).write.parquet(str(inp / "b2"))
+
+    root = str(tmp_path / "lsh_stream")
+    q = stream_index_documents(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt_lsh"),
+        table_root=root,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    table = SnapshotTable(root, spark)
+    props = table.manifest().get("properties") or {}
+    assert props.get("lsh_last_batch") == 1
+    assert props.get("family_digest")  # family survives appends
+    n_rows = table.scan().count()
+
+    expect = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    got = {
+        (r["id1"], r["id2"])
+        for r in neardup_pairs_from_index(root, spark).collect()
+    }
+    assert got == expect and expect
+
+    # replayed batch id == stamp: no-op
+    lsh_index_sink(half_b, 1, root)
+    assert SnapshotTable(root, spark).scan().count() == n_rows
+    # an id behind the stamp is a fresh-checkpoint restart — raise
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="checkpoint"):
+        lsh_index_sink(half_a, 0, root)
+    # a genuinely new batch still appends
+    extra = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    lsh_index_sink(extra, 2, root)
+    assert SnapshotTable(root, spark).scan().count() > n_rows
