@@ -1253,6 +1253,77 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _reingest_batch(docs: DataFrame) -> DataFrame:
+    """Deterministic ingest batch for the digest-index gates: the odd
+    half of the corpus (genuinely new) plus every doc_id % 10 == 0
+    document re-keyed +1_000_000 (a byte-identical re-ingest of already
+    committed text — the synthetic corpus has no natural exact dups)."""
+    return docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+
+
+def q_dedup_digest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-dedup index: build the persisted digest index
+    on the even half, append the odd half plus a re-keyed re-ingest
+    slice (new prefix-partitioned files only), then emit duplicate
+    groups from the stored digests alone.  Must equal exact_dedup over
+    the same (corpus ∪ re-ingest) union — build+append == one-shot."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_digest_dedup_index,
+        build_digest_dedup_index,
+        duplicate_groups_from_index,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="drv_dig_app_")
+    try:
+        build_digest_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, spark
+        )
+        append_to_digest_dedup_index(_reingest_batch(docs), root, spark)
+        return spark.createDataFrame(
+            duplicate_groups_from_index(root, spark).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_dedup_digest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact-dup gate: probe the incoming batch against the
+    persisted digest index of the committed corpus (even doc_ids) — one
+    (doc_id, keep_id) row per batch document whose normalized text is
+    byte-identical to a committed one, with zero corpus re-hashing
+    (broadcast batch digests × file-pruned index scan).  The hits are
+    exactly the re-keyed re-ingest slice; keep_id is the original id."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        probe_digest_dedup_index,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="drv_dig_prb_")
+    try:
+        build_digest_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, spark
+        )
+        return spark.createDataFrame(
+            probe_digest_dedup_index(
+                root, spark, _reingest_batch(docs)
+            ).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.dedup import simhash
 
@@ -2997,15 +3068,17 @@ _R05_GATE_WINDOW = [
     "image_phash", "image_stats", "image_augment", "audio_features",
     "multimodal_corpus", "pit_featurize_asof", "pit_asof_alignment",
     # round-5 persisted-dedup-index additions (registered after the
-    # window was first frozen; swapped in for two r02-covered anchors
-    # — doc_fingerprint and dedup_exact keep their r02 artifacts — so
-    # the r01–r05 union still covers every registered query)
+    # window was first frozen; swapped in for four r02-covered anchors
+    # — doc_fingerprint, dedup_exact, doc_tfidf, train_test_split keep
+    # their r02 artifacts — so the r01–r05 union still covers every
+    # registered query)
     "dedup_lsh_append", "dedup_lsh_incremental",
+    "dedup_digest_append", "dedup_digest_probe",
     # oldest previously-gated anchors (r01 rows-only, then r02 family)
     "image_phash_neardup", "image_thumbnails", "dedup_jaccard",
     "dedup_minhash_lsh", "doc_simhash", "simhash_neardup",
     "neardup_consensus", "neardup_clusters", "dedup_survivors",
-    "doc_tfidf", "train_test_split", "stratified_sample",
+    "stratified_sample",
     "training_corpus", "snapshot_lineage", "knn_cosine", "knn_lsh",
     "knn_ivf", "embedding_neardup", "embedding_neardup_lsh",
     # r03 heavyweights
@@ -3087,6 +3160,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_append": q_dedup_lsh_append,
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
+        "dedup_digest_append": q_dedup_digest_append,
+        "dedup_digest_probe": q_dedup_digest_probe,
         "doc_simhash": q_doc_simhash,
         "simhash_neardup": q_simhash_neardup,
         "neardup_consensus": q_neardup_consensus,
@@ -5182,6 +5257,38 @@ def _oracle_sql_base() -> dict[str, str]:
             f"SELECT id1, id2 FROM ({_minhash_lsh_sql()}) q\n"
             "    WHERE id1 % 2 = 1 OR id2 % 2 = 1"
         ),
+        # exact-digest index: build on the even half + append (odd half
+        # ∪ doc_id%10==0 re-keyed +1e6) must equal one-shot exact_dedup
+        # over the same union; the ingest probe's hits are exactly the
+        # re-keyed slice with keep_id = the committed original
+        "dedup_digest_append": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            )
+            SELECT md5(lower(trim(text))) AS fp_md5,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM all_docs GROUP BY 1
+        """,
+        "dedup_digest_probe": """
+            WITH corpus AS (
+              SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+              WHERE doc_id % 2 = 0
+            ), batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            )
+            SELECT b.doc_id,
+                   CAST(MIN(c.doc_id) AS BIGINT) AS keep_id
+            FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM batch) b
+            JOIN corpus c USING (fp)
+            GROUP BY b.doc_id
+        """,
         "doc_simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),
         "neardup_degree_hist": f"""

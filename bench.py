@@ -120,6 +120,15 @@ EXTENDED_R4B = [
     "shipping_priority",
 ]
 
+# round-5 additions — the persisted LSH dedup index: incremental
+# append vs one-shot rebuild, and the ingest-time batch probe
+EXTENDED_R5 = [
+    "dedup_lsh_append",
+    "dedup_lsh_incremental",
+    "dedup_digest_append",
+    "dedup_digest_probe",
+]
+
 EXTENDED_GROUPS = [
     ("extended_sec", EXTENDED),
     ("extended_r3_sec", EXTENDED_R3),
@@ -127,6 +136,7 @@ EXTENDED_GROUPS = [
     ("extended_r3c_sec", EXTENDED_R3C),
     ("extended_r4_sec", EXTENDED_R4),
     ("extended_r4b_sec", EXTENDED_R4B),
+    ("extended_r5_sec", EXTENDED_R5),
 ]
 
 # probe agreement bound: before/after GFLOPS within 5x = the box stayed

@@ -30,6 +30,14 @@ engine's own snapshot layer, so:
   documents (same bucket definition, shared code), with zero text
   reads.
 
+The same layout carries an EXACT-duplicate index (``*_digest_dedup_*``):
+one md5 digest row per document (a few dozen bytes vs the full text),
+prefix-partitioned so an ingest-time probe file-prunes the corpus scan.
+Build once, append only the new batch's digests, and
+``probe_digest_dedup_index`` answers "which of these incoming documents
+are byte-identical (post-normalization) to something already committed"
+without rescanning a single committed byte.
+
 Reference contrast: pic2vec keeps no state between runs (it re-reads
 its CSV/directory per call, image_featurizer.py:250); this module is
 part of the engine's 100 TB ingest layer, not a parity item.
@@ -42,7 +50,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pic2vec_spark.ops.dedup import _perm_constants, lsh_band_buckets
+from pic2vec_spark.ops.dedup import _norm_text, _perm_constants, lsh_band_buckets
 from pic2vec_spark.snapshots import SnapshotTable
 
 
@@ -121,19 +129,20 @@ def build_lsh_dedup_index(
     )
 
 
-def _index_family(table_root: str, spark: SparkSession) -> tuple:
+def _index_family(
+    table_root: str, spark: SparkSession, kind: str = "lsh_dedup"
+) -> tuple:
     """(table, properties) with the family fields validated present."""
     table = SnapshotTable(table_root, spark)
     man = table.manifest()
     if man is None:
         raise FileNotFoundError(
-            f"no LSH dedup index at {table_root} — build_lsh_dedup_index "
-            "first"
+            f"no {kind} index at {table_root} — build it first"
         )
     props = man.get("properties") or {}
-    if props.get("index") != "lsh_dedup":
+    if props.get("index") != kind:
         raise ValueError(
-            f"snapshot table at {table_root} is not an LSH dedup index "
+            f"snapshot table at {table_root} is not a {kind} index "
             f"(index={props.get('index')!r})"
         )
     return table, props
@@ -274,3 +283,146 @@ def probe_lsh_dedup_index(
         .select("id1", "id2")
     )
     return cross.unionByName(within).distinct()
+
+
+# --------------------------------------------------- exact digest index
+
+def _digest_frame(
+    docs: DataFrame, id_col: str, text_col: str, prefix_chars: int
+) -> DataFrame:
+    """(id, fp_md5, fp_pfx) — one md5 row per document.  The digest is
+    over the same normalization as ``ops.dedup.exact_dedup``
+    (lower+trim), so index answers equal the one-shot operator's."""
+    return docs.select(
+        F.col(id_col), F.md5(_norm_text(text_col)).alias("fp_md5")
+    ).withColumn(
+        "fp_pfx",
+        F.conv(F.substring("fp_md5", 1, prefix_chars), 16, 10).cast("int"),
+    )
+
+
+def build_digest_dedup_index(
+    docs: DataFrame,
+    table_root: str,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 1,
+    extra_properties: dict | None = None,
+) -> str:
+    """Commit one md5 digest row per document, prefix-partitioned with
+    per-file fp_pfx min/max stats — the exact-dup complement of
+    ``build_lsh_dedup_index``.  Returns the snapshot id."""
+    table = SnapshotTable(table_root, spark)
+    return table.write(
+        _digest_frame(docs, id_col, text_col, prefix_chars),
+        partition_by="fp_pfx",
+        num_partitions=2 * (16 ** prefix_chars),
+        stats_cols=["fp_pfx"],
+        properties={
+            **(extra_properties or {}),
+            "index": "digest_dedup",
+            "id_col": id_col,
+            "norm": "lower_trim_md5",
+            "prefix_chars": int(prefix_chars),
+        },
+    )
+
+
+def append_to_digest_dedup_index(
+    new_docs: DataFrame,
+    table_root: str,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    properties: dict | None = None,
+) -> str:
+    """Digest ONLY the new documents and append them as new
+    prefix-partitioned files; committed files are carried forward
+    untouched — ingest cost ∝ new data.  Returns the new snapshot id."""
+    table, props = _index_family(table_root, spark, "digest_dedup")
+    if props.get("id_col") != id_col:
+        raise ValueError(
+            f"append id_col {id_col!r} != index id_col {props.get('id_col')!r}"
+        )
+    if props.get("norm") not in (None, "lower_trim_md5"):
+        raise ValueError(
+            f"append: index normalization {props.get('norm')!r} does not "
+            "match this build's lower_trim_md5 — digests would be "
+            "incomparable; rebuild the index"
+        )
+    prefix_chars = int(props["prefix_chars"])
+    if properties is not None:
+        properties = {
+            **properties,
+            **{k: props[k] for k in (
+                "index", "id_col", "norm", "prefix_chars",
+            ) if k in props},
+        }
+    return table.append(
+        _digest_frame(new_docs, id_col, text_col, prefix_chars),
+        partition_by="fp_pfx",
+        num_partitions=2 * (16 ** prefix_chars),
+        stats_cols=["fp_pfx"],
+        properties=properties,
+    )
+
+
+def duplicate_groups_from_index(
+    table_root: str, spark: SparkSession
+) -> DataFrame:
+    """(fp_md5, keep_id, n_dups) over every indexed document — equals
+    ``ops.dedup.exact_dedup`` on the same documents (shared digest
+    definition), but reads only the digest files: no text scan."""
+    table, props = _index_family(table_root, spark, "digest_dedup")
+    id_col = props.get("id_col", "doc_id")
+    return (
+        table.scan()
+        .groupBy("fp_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def probe_digest_dedup_index(
+    table_root: str,
+    spark: SparkSession,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time exact-dup gate: (id, keep_id) for each new document
+    whose normalized text is byte-identical to a committed one (keep_id
+    = the smallest such committed id).  The batch's digests are
+    broadcast against the index scan, file-pruned to the batch's digest
+    prefixes — zero committed text or digest is re-read beyond the
+    pruned files, and the corpus side never shuffles.  Run BEFORE
+    ``append_to_digest_dedup_index`` so exact duplicates can be dropped
+    from (or linked in) the incoming batch."""
+    table, props = _index_family(table_root, spark, "digest_dedup")
+    idx_id = props.get("id_col", "doc_id")
+    prefix_chars = int(props["prefix_chars"])
+    delta = _digest_frame(
+        new_docs, id_col, text_col, prefix_chars
+    ).localCheckpoint(eager=True)  # used 2x: prefix set + corpus join
+    # bounded by 16**prefix_chars (≤256) — driver-sized, drives pruning
+    pfx = sorted(
+        r["fp_pfx"] for r in delta.select("fp_pfx").distinct().collect()
+    )
+    if not pfx:
+        return delta.select(
+            F.col(id_col), F.col(id_col).alias("keep_id")
+        ).limit(0)
+    corpus = table.scan(
+        min_stats={"fp_pfx": (pfx[0], pfx[-1])}
+    ).filter(F.col("fp_pfx").isin(*pfx))
+    return (
+        corpus.select(F.col(idx_id).alias("_corpus_id"), "fp_md5")
+        .join(
+            F.broadcast(delta.select(F.col(id_col), "fp_md5")), "fp_md5"
+        )
+        .groupBy(id_col)
+        .agg(F.min("_corpus_id").alias("keep_id"))
+    )

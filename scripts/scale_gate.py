@@ -26,7 +26,9 @@ import sys
 FAMILY = [
     # text dedup: shingle buckets, df-cap, window-digest spans
     "dedup_exact", "dedup_jaccard", "dedup_containment",
-    "dedup_minhash_lsh", "dedup_survivors", "doc_simhash",
+    "dedup_minhash_lsh", "dedup_lsh_append", "dedup_lsh_incremental",
+    "dedup_digest_append", "dedup_digest_probe",
+    "dedup_survivors", "doc_simhash",
     "simhash_neardup", "neardup_consensus", "neardup_clusters",
     "doc_dup_spans", "doc_dup_frac",
     # embedding ANN: brute force (bounded queries), LSH, IVF, PQ

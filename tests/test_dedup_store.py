@@ -129,5 +129,127 @@ def test_not_an_index_refused(spark, docs, tmp_path):
 
     root = str(tmp_path / "plain")
     SnapshotTable(root, spark).write(docs.limit(3))
-    with pytest.raises(ValueError, match="not an LSH dedup index"):
+    with pytest.raises(ValueError, match="not a lsh_dedup index"):
         neardup_pairs_from_index(root, spark)
+
+
+# --------------------------------------------------- exact digest index
+
+
+def _groups(df) -> set[tuple]:
+    return {
+        (r["fp_md5"], r["keep_id"], r["n_dups"])
+        for r in df.select("fp_md5", "keep_id", "n_dups").collect()
+    }
+
+
+def _with_reingest(docs):
+    """odd half (new) ∪ doc_id%10==0 re-keyed +1e6 (exact re-ingest)."""
+    return docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+
+
+def test_digest_groups_equal_exact_dedup(spark, docs, tmp_path):
+    from pic2vec_spark.ops.dedup import exact_dedup
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        duplicate_groups_from_index,
+    )
+
+    root = str(tmp_path / "dig")
+    build_digest_dedup_index(docs, root, spark)
+    assert _groups(duplicate_groups_from_index(root, spark)) == _groups(
+        exact_dedup(docs, "doc_id", "text")
+    )
+
+
+def test_digest_append_equals_rebuild(spark, docs, tmp_path):
+    from pic2vec_spark.ops.dedup import exact_dedup
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_digest_dedup_index,
+        build_digest_dedup_index,
+        duplicate_groups_from_index,
+    )
+    from pic2vec_spark.snapshots import SnapshotTable
+
+    root = str(tmp_path / "dig_app")
+    build_digest_dedup_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, spark
+    )
+    base_files = {
+        p["file"] for p in SnapshotTable(root, spark).manifest()["partitions"]
+    }
+    append_to_digest_dedup_index(_with_reingest(docs), root, spark)
+    man = SnapshotTable(root, spark).manifest()
+    assert base_files <= {p["file"] for p in man["partitions"]}
+    assert (man.get("properties") or {}).get("index") == "digest_dedup"
+
+    union = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    got = _groups(duplicate_groups_from_index(root, spark))
+    assert got == _groups(exact_dedup(union, "doc_id", "text"))
+    # the re-ingested slice really forms dup groups of 2
+    assert {g for g in got if g[2] == 2}
+
+
+def test_digest_probe_finds_reingested_docs(spark, docs, tmp_path):
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        probe_digest_dedup_index,
+    )
+
+    root = str(tmp_path / "dig_probe")
+    build_digest_dedup_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, spark
+    )
+    got = {
+        (r["doc_id"], r["keep_id"])
+        for r in probe_digest_dedup_index(
+            root, spark, _with_reingest(docs)
+        ).collect()
+    }
+    expect = {
+        (r["doc_id"] + 1_000_000, r["doc_id"])
+        for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    assert got == expect and expect  # odd docs are new: no false hits
+
+
+def test_digest_probe_empty_batch(spark, docs, tmp_path):
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        probe_digest_dedup_index,
+    )
+
+    root = str(tmp_path / "dig_empty")
+    build_digest_dedup_index(docs, root, spark)
+    out = probe_digest_dedup_index(root, spark, docs.filter(F.lit(False)))
+    assert out.count() == 0 and set(out.columns) == {"doc_id", "keep_id"}
+
+
+def test_digest_index_guards(spark, docs, tmp_path):
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_digest_dedup_index,
+        build_digest_dedup_index,
+        build_lsh_dedup_index,
+        duplicate_groups_from_index,
+    )
+
+    root = str(tmp_path / "dig_guard")
+    build_digest_dedup_index(docs, root, spark)
+    with pytest.raises(ValueError, match="id_col"):
+        append_to_digest_dedup_index(
+            docs.withColumnRenamed("doc_id", "other"), root, spark,
+            id_col="other",
+        )
+    # kind mismatch: a digest reader refuses an LSH index and vice versa
+    lsh_root = str(tmp_path / "lsh_kind")
+    build_lsh_dedup_index(docs, lsh_root, spark)
+    with pytest.raises(ValueError, match="not a digest_dedup index"):
+        duplicate_groups_from_index(lsh_root, spark)
