@@ -1324,6 +1324,43 @@ def q_dedup_digest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_dedup_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full one-call ingest gate: both persisted indexes built on
+    the committed corpus (even doc_ids), then the incoming batch (odd
+    ∪ re-keyed re-ingest slice) is classified exact_dup / near_dup /
+    new in one pass — exact wins over near, keep_id = the committed
+    doc it duplicates — and the survivors are appended to both indexes.
+    Oracle recomputes the same classification from the digest join and
+    the full LSH pair set restricted to odd-even pairs."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        build_lsh_dedup_index,
+        ingest_gate,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    droot = tempfile.mkdtemp(prefix="drv_gate_dig_")
+    lroot = tempfile.mkdtemp(prefix="drv_gate_lsh_")
+    try:
+        build_digest_dedup_index(corpus, droot, spark)
+        build_lsh_dedup_index(
+            corpus, lroot, spark,
+            n_hashes=MINHASH_K, bands=MINHASH_BANDS, shingle_n=JACCARD_N,
+        )
+        return spark.createDataFrame(
+            ingest_gate(
+                _reingest_batch(docs), droot, lroot, spark
+            ).toPandas()
+        )
+    finally:
+        shutil.rmtree(droot, ignore_errors=True)
+        shutil.rmtree(lroot, ignore_errors=True)
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pic2vec_spark.ops.dedup import simhash
 
@@ -2730,6 +2767,89 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flagship_phashes(spark: SparkSession) -> DataFrame:
+    """(image_id, phash64, idx) for the deterministic synth corpus —
+    the fingerprint input of the persisted Hamming index queries."""
+    from pic2vec_spark.ops.multimodal import compute_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return (
+        compute_phash(images)
+        .filter(F.col("phash64_ok"))
+        .select(
+            "image_id", "phash64",
+            F.substring("image_id", 5, 9).cast("long").alias("idx"),
+        )
+        # the decode+DCT pass is the whole cost — materialize once so
+        # the build/append/probe splits don't re-run it per branch
+        .localCheckpoint(eager=True)
+    )
+
+
+def q_phash_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted Hamming-ball index over image pHashes: build on the
+    even half of the synth corpus, append the odd half (new files only,
+    chunk family digest-verified), then emit every <=4-bit pair from
+    the stored chunk buckets alone.  Oracle: the INDEPENDENT all-pairs
+    bit_count(xor) brute force over the literal phash table — the same
+    recall proof as image_phash_neardup, now through the index path."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_hamming_dedup_index,
+        build_hamming_dedup_index,
+        neardup_pairs_from_hamming_index,
+    )
+
+    ph = _flagship_phashes(spark)
+    root = tempfile.mkdtemp(prefix="drv_ph_idx_")
+    try:
+        build_hamming_dedup_index(
+            ph.filter(F.col("idx") % 2 == 0), root, spark,
+            max_distance=4, bits=64,
+        )
+        append_to_hamming_dedup_index(
+            ph.filter(F.col("idx") % 2 == 1), root, spark
+        )
+        return spark.createDataFrame(
+            neardup_pairs_from_hamming_index(root, spark).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time IMAGE near-dup gate: probe the incoming odd half
+    against the persisted pHash index of the even half — <=4-bit pairs
+    touching the batch, computed with zero corpus re-hashing (broadcast
+    batch chunks × file-pruned index scan).  Oracle: the all-pairs
+    brute force restricted to pairs with an odd side."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        build_hamming_dedup_index,
+        probe_hamming_dedup_index,
+    )
+
+    ph = _flagship_phashes(spark)
+    root = tempfile.mkdtemp(prefix="drv_ph_prb_")
+    try:
+        build_hamming_dedup_index(
+            ph.filter(F.col("idx") % 2 == 0), root, spark,
+            max_distance=4, bits=64,
+        )
+        return spark.createDataFrame(
+            probe_hamming_dedup_index(
+                root, spark, ph.filter(F.col("idx") % 2 == 1)
+            ).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/resize/re-encode over binary image columns.
     Full literal oracle on the re-encoded thumbnail byte length (the
@@ -3068,18 +3188,19 @@ _R05_GATE_WINDOW = [
     "image_phash", "image_stats", "image_augment", "audio_features",
     "multimodal_corpus", "pit_featurize_asof", "pit_asof_alignment",
     # round-5 persisted-dedup-index additions (registered after the
-    # window was first frozen; swapped in for four r02-covered anchors
-    # — doc_fingerprint, dedup_exact, doc_tfidf, train_test_split keep
-    # their r02 artifacts — so the r01–r05 union still covers every
-    # registered query)
+    # window was first frozen; swapped in for seven r02-covered anchors
+    # — doc_fingerprint, dedup_exact, doc_tfidf, train_test_split,
+    # stratified_sample, training_corpus, knn_cosine keep their r02
+    # artifacts — so the r01–r05 union still covers every registered
+    # query)
     "dedup_lsh_append", "dedup_lsh_incremental",
-    "dedup_digest_append", "dedup_digest_probe",
+    "dedup_digest_append", "dedup_digest_probe", "dedup_gate_ingest",
+    "phash_index_pairs", "phash_index_probe",
     # oldest previously-gated anchors (r01 rows-only, then r02 family)
     "image_phash_neardup", "image_thumbnails", "dedup_jaccard",
     "dedup_minhash_lsh", "doc_simhash", "simhash_neardup",
     "neardup_consensus", "neardup_clusters", "dedup_survivors",
-    "stratified_sample",
-    "training_corpus", "snapshot_lineage", "knn_cosine", "knn_lsh",
+    "snapshot_lineage", "knn_lsh",
     "knn_ivf", "embedding_neardup", "embedding_neardup_lsh",
     # r03 heavyweights
     "asof_join", "multi_asof", "pit_backfill", "scd2_user_state",
@@ -3162,6 +3283,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_incremental": q_dedup_lsh_incremental,
         "dedup_digest_append": q_dedup_digest_append,
         "dedup_digest_probe": q_dedup_digest_probe,
+        "dedup_gate_ingest": q_dedup_gate_ingest,
         "doc_simhash": q_doc_simhash,
         "simhash_neardup": q_simhash_neardup,
         "neardup_consensus": q_neardup_consensus,
@@ -3224,6 +3346,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "image_phash": q_image_phash,
         "image_phash_neardup": q_image_phash_neardup,
+        "phash_index_pairs": q_phash_index_pairs,
+        "phash_index_probe": q_phash_index_probe,
         "image_thumbnails": q_image_thumbnails,
         "image_stats": q_image_stats,
         "image_augment": q_image_augment,
@@ -4959,6 +5083,16 @@ def oracle_sql() -> dict[str, str]:
     d["audio_features"] = _audio_features_sql()
     # independent all-pairs Hamming brute force over the literal phashes
     d["image_phash_neardup"] = _image_phash_neardup_sql()
+    # the persisted Hamming index must reproduce the same brute-force
+    # pair set (build on even + append odd == full corpus), and the
+    # ingest probe the subset with an odd (incoming) side
+    d["phash_index_pairs"] = _image_phash_neardup_sql()
+    d["phash_index_probe"] = f"""
+        SELECT id1, id2, hamming
+        FROM ({_image_phash_neardup_sql()}) p
+        WHERE CAST(substr(id1, 5) AS BIGINT) % 2 = 1
+           OR CAST(substr(id2, 5) AS BIGINT) % 2 = 1
+    """
     # composition over the member literal oracles (cannot drift)
     d["multimodal_corpus"] = _multimodal_corpus_sql()
     return d
@@ -5288,6 +5422,43 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM batch) b
             JOIN corpus c USING (fp)
             GROUP BY b.doc_id
+        """,
+        # one-call ingest gate: exact hits from the digest join (the
+        # re-keyed slice), near hits from the full LSH pair set
+        # restricted to odd-even pairs (the committed partner is the
+        # even side), exact wins when both hit, everything else is new
+        "dedup_gate_ingest": f"""
+            WITH corpus AS (
+              SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+              WHERE doc_id % 2 = 0
+            ), batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            ), exact AS (
+              SELECT b.doc_id, CAST(MIN(c.doc_id) AS BIGINT) AS keep_id
+              FROM (SELECT doc_id, md5(lower(trim(text))) AS fp
+                    FROM batch) b
+              JOIN corpus c USING (fp)
+              GROUP BY b.doc_id
+            ), pairs AS ({_minhash_lsh_sql()}
+            ), near AS (
+              SELECT CASE WHEN id1 % 2 = 1 THEN id1 ELSE id2 END
+                       AS doc_id,
+                     CAST(MIN(CASE WHEN id1 % 2 = 1 THEN id2 ELSE id1
+                              END) AS BIGINT) AS keep_id
+              FROM pairs WHERE (id1 % 2) + (id2 % 2) = 1
+              GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                        WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                        ELSE 'new' END AS disposition,
+                   COALESCE(e.keep_id, n.keep_id) AS keep_id
+            FROM batch b
+            LEFT JOIN exact e ON b.doc_id = e.doc_id
+            LEFT JOIN near n ON b.doc_id = n.doc_id
         """,
         "doc_simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),

@@ -127,6 +127,9 @@ EXTENDED_R5 = [
     "dedup_lsh_incremental",
     "dedup_digest_append",
     "dedup_digest_probe",
+    "dedup_gate_ingest",
+    "phash_index_pairs",
+    "phash_index_probe",
 ]
 
 EXTENDED_GROUPS = [

@@ -426,3 +426,341 @@ def probe_digest_dedup_index(
         .groupBy(id_col)
         .agg(F.min("_corpus_id").alias("keep_id"))
     )
+
+
+# --------------------------------------------- Hamming (phash) index
+
+def _hamming_family_digest(max_distance: int, bits: int,
+                           bucket_mod: int) -> str:
+    return hashlib.md5(
+        f"hamming,{max_distance},{bits},{bucket_mod}".encode()
+    ).hexdigest()
+
+
+def _chunk_frame(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_distance: int,
+    bits: int,
+    bucket_mod: int,
+) -> DataFrame:
+    """(id, sig, chunk, chunk_val, pfx) — the pigeonhole chunk buckets
+    of ``ops.dedup.hamming_neardup_pairs`` (same split: max_distance+1
+    chunks, last chunk absorbs remainder bits), plus the bounded
+    pruning key pfx = chunk * bucket_mod + chunk_val % bucket_mod."""
+    chunks = max_distance + 1
+    width = bits // chunks
+
+    def chunk_val(c: int):
+        w = width if c < chunks - 1 else bits - width * (chunks - 1)
+        return F.shiftright(F.col(sig_col), c * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("chunk_val"))
+            for c in range(chunks)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.col(sig_col).alias("sig"),
+        F.explode(entries).alias("__cb"),
+    ).select(
+        id_col,
+        "sig",
+        F.col("__cb.chunk").alias("chunk"),
+        F.col("__cb.chunk_val").alias("chunk_val"),
+        (
+            F.col("__cb.chunk") * bucket_mod
+            + F.pmod(F.col("__cb.chunk_val"), F.lit(bucket_mod))
+        ).cast("int").alias("pfx"),
+    )
+
+
+def build_hamming_dedup_index(
+    sigs: DataFrame,
+    table_root: str,
+    spark: SparkSession,
+    id_col: str = "image_id",
+    sig_col: str = "phash64",
+    max_distance: int = 4,
+    bits: int = 64,
+    bucket_mod: int = 16,
+    extra_properties: dict | None = None,
+) -> str:
+    """Persisted Hamming-ball index over any <=64-bit fingerprint
+    (image pHash, text SimHash): commit each row's pigeonhole chunk
+    buckets — any pair within ``max_distance`` bits shares at least one
+    exact chunk — partitioned by the bounded pruning key with per-file
+    stats.  The same incremental story as the LSH/digest stores: one
+    fingerprint pass over the corpus, ever; appends touch only new
+    data; probes broadcast the batch against a file-pruned scan."""
+    table = SnapshotTable(table_root, spark)
+    return table.write(
+        _chunk_frame(sigs, id_col, sig_col, max_distance, bits, bucket_mod),
+        partition_by="pfx",
+        num_partitions=2 * (max_distance + 1) * bucket_mod,
+        stats_cols=["pfx"],
+        properties={
+            **(extra_properties or {}),
+            "index": "hamming_dedup",
+            "id_col": id_col,
+            "max_distance": int(max_distance),
+            "bits": int(bits),
+            "bucket_mod": int(bucket_mod),
+            "family_digest": _hamming_family_digest(
+                max_distance, bits, bucket_mod
+            ),
+        },
+    )
+
+
+def _hamming_family(table_root: str, spark: SparkSession,
+                    action: str) -> tuple:
+    table, props = _index_family(table_root, spark, "hamming_dedup")
+    max_distance = int(props["max_distance"])
+    bits = int(props["bits"])
+    bucket_mod = int(props["bucket_mod"])
+    expect = _hamming_family_digest(max_distance, bits, bucket_mod)
+    if props.get("family_digest") not in (None, expect):
+        raise ValueError(
+            f"{action}: this build's chunk family does not reproduce the "
+            "one this index was built with (family_digest mismatch) — "
+            "chunk buckets would be incomparable; rebuild the index"
+        )
+    return table, props, max_distance, bits, bucket_mod
+
+
+def append_to_hamming_dedup_index(
+    new_sigs: DataFrame,
+    table_root: str,
+    spark: SparkSession,
+    id_col: str = "image_id",
+    sig_col: str = "phash64",
+    properties: dict | None = None,
+) -> str:
+    """Chunk ONLY the new fingerprints (family read from the manifest,
+    digest-verified) and append them as new files — ingest cost ∝ new
+    data.  Returns the new snapshot id."""
+    table, props, max_distance, bits, bucket_mod = _hamming_family(
+        table_root, spark, "append"
+    )
+    if props.get("id_col") != id_col:
+        raise ValueError(
+            f"append id_col {id_col!r} != index id_col {props.get('id_col')!r}"
+        )
+    if properties is not None:
+        properties = {
+            **properties,
+            **{k: props[k] for k in (
+                "index", "id_col", "max_distance", "bits", "bucket_mod",
+                "family_digest",
+            ) if k in props},
+        }
+    return table.append(
+        _chunk_frame(
+            new_sigs, id_col, sig_col, max_distance, bits, bucket_mod
+        ),
+        partition_by="pfx",
+        num_partitions=2 * (max_distance + 1) * bucket_mod,
+        stats_cols=["pfx"],
+        properties=properties,
+    )
+
+
+def neardup_pairs_from_hamming_index(
+    table_root: str, spark: SparkSession
+) -> DataFrame:
+    """(id1, id2, hamming) for every indexed pair within max_distance —
+    equals ``hamming_neardup_pairs`` over the same fingerprints (the
+    chunk definition is shared), with zero fingerprint recompute."""
+    table, props, max_distance, _, _ = _hamming_family(
+        table_root, spark, "pairs"
+    )
+    id_col = props.get("id_col", "image_id")
+    buckets = table.scan().select(id_col, "sig", "chunk", "chunk_val")
+    a = buckets.select(
+        F.col(id_col).alias("id1"), F.col("sig").alias("s1"),
+        "chunk", "chunk_val",
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id2"), F.col("sig").alias("s2"),
+        "chunk", "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def probe_hamming_dedup_index(
+    table_root: str,
+    spark: SparkSession,
+    new_sigs: DataFrame,
+    id_col: str = "image_id",
+    sig_col: str = "phash64",
+) -> DataFrame:
+    """Ingest-time near-dup gate for fingerprinted media: (id1, id2,
+    hamming) pairs within max_distance where at least one side is in
+    ``new_sigs`` — batch-vs-corpus via the broadcast batch buckets
+    against the file-pruned index scan (no corpus shuffle), unioned
+    with batch-internal pairs.  Run BEFORE appending so near-duplicate
+    images can be dropped from the incoming batch."""
+    table, props, max_distance, bits, bucket_mod = _hamming_family(
+        table_root, spark, "probe"
+    )
+    idx_id = props.get("id_col", "image_id")
+    delta = _chunk_frame(
+        new_sigs, id_col, sig_col, max_distance, bits, bucket_mod
+    ).localCheckpoint(eager=True)  # used 3x: pfx set, corpus join, self-join
+    pfx = sorted(
+        r["pfx"] for r in delta.select("pfx").distinct().collect()
+    )
+    if not pfx:
+        return delta.select(
+            F.col(id_col).alias("id1"),
+            F.col(id_col).alias("id2"),
+            F.lit(0).alias("hamming"),
+        ).limit(0)
+    corpus = table.scan(
+        min_stats={"pfx": (pfx[0], pfx[-1])}
+    ).filter(F.col("pfx").isin(*pfx))
+    cross = (
+        corpus.select(
+            F.col(idx_id).alias("ia"), F.col("sig").alias("sa"),
+            "chunk", "chunk_val",
+        )
+        .join(
+            F.broadcast(
+                delta.select(
+                    F.col(id_col).alias("ib"), F.col("sig").alias("sb"),
+                    "chunk", "chunk_val",
+                )
+            ),
+            ["chunk", "chunk_val"],
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("id1"),
+            F.greatest("ia", "ib").alias("id2"),
+            F.col("sa").alias("s1"),
+            F.col("sb").alias("s2"),
+        )
+    )
+    da = delta.select(
+        F.col(id_col).alias("id1"), F.col("sig").alias("s1"),
+        "chunk", "chunk_val",
+    )
+    db = delta.select(
+        F.col(id_col).alias("id2"), F.col("sig").alias("s2"),
+        "chunk", "chunk_val",
+    )
+    within = (
+        da.join(db, ["chunk", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+    )
+    return (
+        cross.unionByName(within)
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# -------------------------------------------------------- ingest gate
+
+def ingest_gate(
+    batch: DataFrame,
+    digest_root: str,
+    lsh_root: str,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = True,
+) -> DataFrame:
+    """The full ingest-time dedup gate in one call: classify every
+    incoming document against BOTH persisted indexes and (optionally)
+    append only the survivors.  Returns one row per batch document:
+
+    - ``disposition='exact_dup'``, keep_id = the smallest committed id
+      with byte-identical normalized text (digest index);
+    - ``disposition='near_dup'``, keep_id = the smallest committed
+      LSH near-dup candidate partner (exact wins when both hit);
+    - ``disposition='new'``, keep_id = NULL — appended to both indexes
+      when ``append=True``.
+
+    Batch ids must be disjoint from committed ids (the gate's contract
+    — ingests assign fresh ids).  Within-batch near-dup pairs are NOT
+    dropped here (both sides are unseen; resolve them upstream with
+    ``lsh_candidate_pairs`` if single-batch dedup is wanted) — the gate
+    answers "is this new against the committed corpus".  Plan shape:
+    both probes broadcast the (micro-)batch against file-pruned index
+    scans; the committed corpus never shuffles and no committed text is
+    re-read."""
+    # pay the batch's upstream plan (file read + transforms) exactly
+    # once — it feeds the id projection, both probes, and the
+    # survivors join
+    batch = batch.localCheckpoint(eager=True)
+    batch_ids = batch.select(F.col(id_col))
+    exact = probe_digest_dedup_index(
+        digest_root, spark, batch, id_col, text_col
+    ).withColumnRenamed("keep_id", "_exact_keep")
+    pairs = probe_lsh_dedup_index(lsh_root, spark, batch, id_col, text_col)
+    b1 = batch_ids.select(F.col(id_col).alias("id1"))
+    b2 = batch_ids.select(F.col(id_col).alias("id2"))
+    # corpus partner = the pair side that is NOT a batch id
+    near = (
+        pairs.join(F.broadcast(b1), "id1", "semi")
+        .join(F.broadcast(b2), "id2", "anti")
+        .select(F.col("id1").alias(id_col), F.col("id2").alias("_partner"))
+        .unionByName(
+            pairs.join(F.broadcast(b2), "id2", "semi")
+            .join(F.broadcast(b1), "id1", "anti")
+            .select(
+                F.col("id2").alias(id_col), F.col("id1").alias("_partner")
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.min("_partner").alias("_near_keep"))
+    )
+    decisions = (
+        batch_ids.join(F.broadcast(exact), id_col, "left")
+        .join(F.broadcast(near), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_exact_keep").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_near_keep").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("disposition"),
+            F.coalesce("_exact_keep", "_near_keep").alias("keep_id"),
+        )
+        # materialize BEFORE the appends mutate the indexes the probes
+        # read — decisions must reflect the pre-ingest corpus
+        .localCheckpoint(eager=True)
+    )
+    if append:
+        survivors = batch.join(
+            decisions.filter(F.col("disposition") == "new").select(id_col),
+            id_col,
+            "semi",
+        ).localCheckpoint(eager=True)
+        # a fully-duplicate batch (the very case the gate exists for)
+        # must not commit two empty snapshot versions per micro-batch
+        if not survivors.isEmpty():
+            append_to_digest_dedup_index(
+                survivors, digest_root, spark, id_col, text_col
+            )
+            append_to_lsh_dedup_index(
+                survivors, lsh_root, spark, id_col, text_col
+            )
+    return decisions

@@ -535,51 +535,74 @@ EMBEDDINGS_SCHEMA = (
 )
 
 
+def _stamped_index_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_root: str,
+    stamp_key: str,
+    build_fn,
+    append_fn,
+) -> None:
+    """The shared batch-stamp protocol behind every streamed index sink
+    (IVF / LSH / digest).  Exactly-once: foreachBatch replays a batch
+    after failure, and a replayed append would insert every row twice,
+    so the committed manifest carries ``stamp_key`` and
+
+    - no manifest yet → ``build_fn(extra_properties={stamp: id})``;
+    - batch id == stamp → no-op (the replay foreachBatch can actually
+      produce: the most recent batch, failed mid-commit last run);
+    - batch id < stamp → raise.  Ids far behind the stamp are NOT a
+      replay — this is a stream restarted with a FRESH checkpoint dir
+      against an existing index (ids restart at 0): silently treating
+      every batch as a replay would stop ingest forever while probes
+      serve stale results;
+    - otherwise → ``append_fn(properties={**manifest props, stamp})``
+      (index-identity properties are preserved across appends)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    man = SnapshotTable(table_root, spark).manifest()
+    if man is None:
+        build_fn(extra_properties={stamp_key: int(batch_id)})
+        return
+    last = (man.get("properties") or {}).get(stamp_key)
+    if last is not None and int(batch_id) == int(last):
+        return  # replayed batch (failed mid-commit last run): ingested
+    if last is not None and int(batch_id) < int(last):
+        raise ValueError(
+            f"batch id {int(batch_id)} is behind the index's "
+            f"{stamp_key} {int(last)} — this stream's checkpoint "
+            "does not belong to this index table; reuse the original "
+            "checkpoint dir, or point the stream at a fresh table_root"
+        )
+    append_fn(
+        properties={**(man.get("properties") or {}),
+                    stamp_key: int(batch_id)}
+    )
+
+
 def ivf_index_sink(batch_df: DataFrame, batch_id: int, table_root: str,
                    centroids) -> None:
     """foreachBatch body for ``stream_index_vectors`` — module-level so
-    replay idempotence is directly testable.  Exactly-once: foreachBatch
-    replays a batch after failure, and a replayed append would insert
-    every vector twice (duplicate neighbors in every probe), so the
-    committed manifest carries ``ivf_last_batch`` and a batch id <= it
-    is a no-op (same batch-stamp guard as stream_quality/stream_merge).
-    The quantizer digest is preserved across appends (properties are
+    replay idempotence is directly testable.  ``_stamped_index_sink``
+    supplies the exactly-once protocol under ``ivf_last_batch``; the
+    quantizer digest is preserved across appends (properties are
     merged, not replaced)."""
     from pic2vec_spark.ops.ivf_store import (
         append_to_ivf_index,
         build_ivf_index,
     )
 
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
-    table = SnapshotTable(table_root, spark)
-    man = table.manifest()
-    if man is None:
-        build_ivf_index(
+    _stamped_index_sink(
+        batch_df, batch_id, table_root, "ivf_last_batch",
+        build_fn=lambda extra_properties: build_ivf_index(
             batch_df, centroids, table_root, spark,
-            extra_properties={"ivf_last_batch": int(batch_id)},
-        )
-        return
-    last = (man.get("properties") or {}).get("ivf_last_batch")
-    if last is not None and int(batch_id) == int(last):
-        return  # replayed batch (failed mid-commit last run): ingested
-    if last is not None and int(batch_id) < int(last):
-        # ids far behind the stamp are NOT a replay — foreachBatch only
-        # replays the most recent batch.  This is a stream restarted
-        # with a FRESH checkpoint dir against an existing index (ids
-        # restart at 0): silently treating every batch as a replay
-        # would stop ingest forever while probes serve stale neighbors.
-        raise ValueError(
-            f"batch id {int(batch_id)} is behind the index's "
-            f"ivf_last_batch {int(last)} — this stream's checkpoint "
-            "does not belong to this index table; reuse the original "
-            "checkpoint dir, or point the stream at a fresh table_root"
-        )
-    props = {**(man.get("properties") or {}),
-             "ivf_last_batch": int(batch_id)}
-    append_to_ivf_index(
-        batch_df, centroids, table_root, spark, properties=props
+            extra_properties=extra_properties,
+        ),
+        append_fn=lambda properties: append_to_ivf_index(
+            batch_df, centroids, table_root, spark, properties=properties
+        ),
     )
 
 
@@ -623,42 +646,27 @@ DOCUMENTS_STREAM_SCHEMA = "doc_id bigint, text string"
 def lsh_index_sink(batch_df: DataFrame, batch_id: int,
                    table_root: str, **family) -> None:
     """foreachBatch body for ``stream_index_documents`` — module-level
-    so replay idempotence is directly testable.  Exactly-once with the
-    same batch-stamp protocol as ``ivf_index_sink``: a replayed batch
-    id (== the stamp) is a no-op, an id BEHIND the stamp is a
-    fresh-checkpoint restart and raises instead of silently dropping
-    ingest.  ``family`` (n_hashes/bands/shingle_n/prefix_chars) applies
-    to the FIRST batch only — later appends read the family from the
-    manifest and digest-verify it."""
+    so replay idempotence is directly testable.  ``_stamped_index_sink``
+    supplies the exactly-once protocol under ``lsh_last_batch``.
+    ``family`` (n_hashes/bands/shingle_n/prefix_chars) applies to the
+    FIRST batch only — later appends read the family from the manifest
+    and digest-verify it."""
     from pic2vec_spark.ops.dedup_store import (
         append_to_lsh_dedup_index,
         build_lsh_dedup_index,
     )
 
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
-    table = SnapshotTable(table_root, spark)
-    man = table.manifest()
-    if man is None:
-        build_lsh_dedup_index(
+    _stamped_index_sink(
+        batch_df, batch_id, table_root, "lsh_last_batch",
+        build_fn=lambda extra_properties: build_lsh_dedup_index(
             batch_df, table_root, spark, **family,
-            extra_properties={"lsh_last_batch": int(batch_id)},
-        )
-        return
-    last = (man.get("properties") or {}).get("lsh_last_batch")
-    if last is not None and int(batch_id) == int(last):
-        return  # replayed batch (failed mid-commit last run): ingested
-    if last is not None and int(batch_id) < int(last):
-        raise ValueError(
-            f"batch id {int(batch_id)} is behind the index's "
-            f"lsh_last_batch {int(last)} — this stream's checkpoint "
-            "does not belong to this index table; reuse the original "
-            "checkpoint dir, or point the stream at a fresh table_root"
-        )
-    props = {**(man.get("properties") or {}),
-             "lsh_last_batch": int(batch_id)}
-    append_to_lsh_dedup_index(batch_df, table_root, spark, properties=props)
+            extra_properties=extra_properties,
+        ),
+        append_fn=lambda properties: append_to_lsh_dedup_index(
+            batch_df, table_root, spark, properties=properties
+        ),
+    )
 
 
 def stream_index_documents(
@@ -684,6 +692,68 @@ def stream_index_documents(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         lsh_index_sink(batch_df, batch_id, table_root, **family)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --------------------------------------------------- exact digest index
+
+def digest_index_sink(batch_df: DataFrame, batch_id: int,
+                      table_root: str, prefix_chars: int = 1) -> None:
+    """foreachBatch body for ``stream_index_digests`` — module-level so
+    replay idempotence is directly testable.  ``_stamped_index_sink``
+    supplies the exactly-once protocol under ``digest_last_batch``.
+    ``prefix_chars`` applies to the FIRST batch only — later appends
+    read it from the manifest."""
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_digest_dedup_index,
+        build_digest_dedup_index,
+    )
+
+    spark = batch_df.sparkSession
+    _stamped_index_sink(
+        batch_df, batch_id, table_root, "digest_last_batch",
+        build_fn=lambda extra_properties: build_digest_dedup_index(
+            batch_df, table_root, spark, prefix_chars=prefix_chars,
+            extra_properties=extra_properties,
+        ),
+        append_fn=lambda properties: append_to_digest_dedup_index(
+            batch_df, table_root, spark, properties=properties
+        ),
+    )
+
+
+def stream_index_digests(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    available_now: bool = True,
+    prefix_chars: int = 1,
+):
+    """Continuously maintained EXACT-dup index: stream document parquet
+    files into the persisted digest index — first batch builds, later
+    batches append new prefix-partitioned files only (ingest cost ∝ new
+    data; see append_to_digest_dedup_index).  Between micro-batches,
+    ``probe_digest_dedup_index`` against ``table_root`` answers "is
+    this incoming document byte-identical to anything committed" and
+    ``duplicate_groups_from_index`` the full group set, both
+    freshness-inclusive."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        digest_index_sink(batch_df, batch_id, table_root, prefix_chars)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

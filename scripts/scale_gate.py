@@ -27,7 +27,10 @@ FAMILY = [
     # text dedup: shingle buckets, df-cap, window-digest spans
     "dedup_exact", "dedup_jaccard", "dedup_containment",
     "dedup_minhash_lsh", "dedup_lsh_append", "dedup_lsh_incremental",
-    "dedup_digest_append", "dedup_digest_probe",
+    # NOT phash_index_pairs/probe: they run over the fixed synth image
+    # corpus (N_FLAGSHIP_IMAGES), so an sf0.1 re-run would be
+    # bit-identical to the sf0.01 gate and test no scale claim
+    "dedup_digest_append", "dedup_digest_probe", "dedup_gate_ingest",
     "dedup_survivors", "doc_simhash",
     "simhash_neardup", "neardup_consensus", "neardup_clusters",
     "doc_dup_spans", "doc_dup_frac",

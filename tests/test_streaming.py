@@ -721,3 +721,94 @@ def test_stream_index_documents_builds_appends_and_dedups_replays(
     extra = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
     lsh_index_sink(extra, 2, root)
     assert SnapshotTable(root, spark).scan().count() > n_rows
+
+
+def test_stream_index_digests_builds_appends_and_dedups_replays(
+    spark, tmp_path
+):
+    """Streamed EXACT-dup index ingest: first batch builds, later
+    batches append; the stored group set == one-shot exact_dedup over
+    everything ingested (including a re-keyed re-ingest slice that
+    forms real dup groups); a replayed batch id is a no-op and a
+    fresh-checkpoint restart raises."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.dedup import exact_dedup
+    from pic2vec_spark.ops.dedup_store import (
+        duplicate_groups_from_index,
+        probe_digest_dedup_index,
+    )
+    from pic2vec_spark.streaming import digest_index_sink, stream_index_digests
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    # second batch re-ingests part of the first under new ids — the
+    # stream must link them into dup groups across the batch boundary
+    half_b = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    half_a.coalesce(1).write.parquet(str(inp / "b1"))
+    half_b.coalesce(1).write.parquet(str(inp / "b2"))
+
+    root = str(tmp_path / "dig_stream")
+    q = stream_index_digests(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt_dig"),
+        table_root=root,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    table = SnapshotTable(root, spark)
+    props = table.manifest().get("properties") or {}
+    assert props.get("digest_last_batch") == 1
+    assert props.get("index") == "digest_dedup"  # identity survives appends
+    n_rows = table.scan().count()
+
+    union = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    expect = {
+        (r["fp_md5"], r["keep_id"], r["n_dups"])
+        for r in exact_dedup(union, "doc_id", "text").collect()
+    }
+    got = {
+        (r["fp_md5"], r["keep_id"], r["n_dups"])
+        for r in duplicate_groups_from_index(root, spark).collect()
+    }
+    assert got == expect and {g for g in got if g[2] == 2}
+
+    # the probe gate works against the stream-built index too
+    hits = {
+        (r["doc_id"], r["keep_id"])
+        for r in probe_digest_dedup_index(
+            root, spark,
+            docs.limit(3).withColumn("doc_id", F.col("doc_id") + 2_000_000),
+        ).collect()
+    }
+    assert hits == {
+        (r["doc_id"] + 2_000_000, r["doc_id"]) for r in docs.limit(3).collect()
+    }
+
+    # replayed batch id == stamp: no-op
+    digest_index_sink(half_b, 1, root)
+    assert SnapshotTable(root, spark).scan().count() == n_rows
+    # an id behind the stamp is a fresh-checkpoint restart — raise
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="checkpoint"):
+        digest_index_sink(half_a, 0, root)
+    # a genuinely new batch still appends
+    extra = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    digest_index_sink(extra, 2, root)
+    assert SnapshotTable(root, spark).scan().count() == n_rows + 5
