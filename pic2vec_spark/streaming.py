@@ -763,3 +763,73 @@ def stream_index_digests(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------- Hamming (fingerprint) index
+
+def hamming_index_sink(batch_df: DataFrame, batch_id: int,
+                       table_root: str, id_col: str = "image_id",
+                       sig_col: str = "phash64", **family) -> None:
+    """foreachBatch body for ``stream_index_fingerprints`` —
+    module-level so replay idempotence is directly testable.
+    ``_stamped_index_sink`` supplies the exactly-once protocol under
+    ``hamming_last_batch``.  ``family`` (max_distance/bits/bucket_mod)
+    applies to the FIRST batch only — later appends read the chunk
+    family from the manifest and digest-verify it."""
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_hamming_dedup_index,
+        build_hamming_dedup_index,
+    )
+
+    spark = batch_df.sparkSession
+    _stamped_index_sink(
+        batch_df, batch_id, table_root, "hamming_last_batch",
+        build_fn=lambda extra_properties: build_hamming_dedup_index(
+            batch_df, table_root, spark, id_col=id_col, sig_col=sig_col,
+            **family, extra_properties=extra_properties,
+        ),
+        append_fn=lambda properties: append_to_hamming_dedup_index(
+            batch_df, table_root, spark, id_col=id_col, sig_col=sig_col,
+            properties=properties,
+        ),
+    )
+
+
+def stream_index_fingerprints(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    available_now: bool = True,
+    id_col: str = "image_id",
+    sig_col: str = "phash64",
+    **family,
+):
+    """Continuously maintained near-dup media index: stream fingerprint
+    parquet drops (image pHash, text SimHash — any <=64-bit signature)
+    into the persisted Hamming-ball index — first batch builds, later
+    batches append new pfx-partitioned files only (ingest cost ∝ new
+    data; see append_to_hamming_dedup_index).  Between micro-batches,
+    ``probe_hamming_dedup_index`` against ``table_root`` serves the
+    ingest-time near-dup gate (drop incoming images within
+    max_distance bits of anything committed) and
+    ``neardup_pairs_from_hamming_index`` the full pair set, both
+    freshness-inclusive."""
+    stream = (
+        spark.readStream.schema(f"{id_col} bigint, {sig_col} bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hamming_index_sink(batch_df, batch_id, table_root,
+                           id_col=id_col, sig_col=sig_col, **family)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

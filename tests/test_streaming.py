@@ -812,3 +812,99 @@ def test_stream_index_digests_builds_appends_and_dedups_replays(
     extra = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 3_000_000)
     digest_index_sink(extra, 2, root)
     assert SnapshotTable(root, spark).scan().count() == n_rows + 5
+
+
+def test_stream_index_fingerprints_builds_appends_and_dedups_replays(
+    spark, tmp_path
+):
+    """Streamed Hamming-index ingest: first batch builds, later batches
+    append; the stored pair set == one-shot hamming_neardup_pairs over
+    every fingerprint ingested; the probe gate works against the
+    stream-built index; a replayed batch id is a no-op and a
+    fresh-checkpoint restart raises."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, simhash
+    from pic2vec_spark.ops.dedup_store import (
+        neardup_pairs_from_hamming_index,
+        probe_hamming_dedup_index,
+    )
+    from pic2vec_spark.streaming import (
+        hamming_index_sink,
+        stream_index_fingerprints,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # the index is signature-agnostic: text simhash exercises it
+    # without the image decode cost (same trick as test_dedup_store)
+    sims = simhash(docs, "doc_id", "text").localCheckpoint(eager=True)
+
+    inp = tmp_path / "fps"
+    inp.mkdir()
+    half_a = sims.filter(F.col("doc_id") % 2 == 0)
+    half_b = sims.filter(F.col("doc_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(str(inp / "b1"))
+    half_b.coalesce(1).write.parquet(str(inp / "b2"))
+
+    root = str(tmp_path / "ham_stream")
+    q = stream_index_fingerprints(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt_ham"),
+        table_root=root,
+        id_col="doc_id",
+        sig_col="simhash",
+        max_distance=3,
+        bits=60,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    table = SnapshotTable(root, spark)
+    props = table.manifest().get("properties") or {}
+    assert props.get("hamming_last_batch") == 1
+    assert props.get("index") == "hamming_dedup"  # identity survives
+    n_rows = table.scan().count()
+
+    def pairs(df):
+        return {
+            (r["id1"], r["id2"], r["hamming"])
+            for r in df.select("id1", "id2", "hamming").collect()
+        }
+
+    expect = pairs(
+        hamming_neardup_pairs(sims, "doc_id", max_distance=3,
+                              sig_col="simhash", bits=60)
+    )
+    assert pairs(neardup_pairs_from_hamming_index(root, spark)) == expect
+    assert expect  # the synth corpus has real near-dup pairs
+
+    # the ingest-time gate works against the stream-built index: a
+    # re-keyed re-ingest of a slice must hit its committed originals
+    batch = sims.limit(3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    hits = pairs(
+        probe_hamming_dedup_index(root, spark, batch,
+                                  id_col="doc_id", sig_col="simhash")
+    )
+    assert {(r["doc_id"], r["doc_id"] + 1_000_000, 0)
+            for r in sims.limit(3).collect()} <= hits
+
+    # replayed batch id == stamp: no-op
+    hamming_index_sink(half_b, 1, root, id_col="doc_id",
+                       sig_col="simhash")
+    assert SnapshotTable(root, spark).scan().count() == n_rows
+    # an id behind the stamp is a fresh-checkpoint restart — raise
+    with pytest.raises(ValueError, match="checkpoint"):
+        hamming_index_sink(half_a, 0, root, id_col="doc_id",
+                           sig_col="simhash")
+    # a genuinely new batch still appends (5 sigs x 4 chunks = 20 rows)
+    extra = sims.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000)
+    )
+    hamming_index_sink(extra, 2, root, id_col="doc_id", sig_col="simhash")
+    assert SnapshotTable(root, spark).scan().count() == n_rows + 20
