@@ -2850,6 +2850,77 @@ def q_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_image_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call IMAGE ingest gate: a binary-digest index (exact
+    bytes) and a pHash Hamming-ball index built on the committed half
+    of the synth corpus (even idx), then the incoming batch (odd idx ∪
+    byte-identical re-keyed copies of every idx % 10 == 0 image) is
+    classified exact_dup / near_dup / new in one pass — exact wins,
+    keep_id = the committed image it duplicates — and survivors are
+    appended to both indexes.  The batch also carries format-TRANSCODED
+    copies (decode → re-encode BMP) of committed images: perceptually
+    identical but (except BMP-source roundtrips) byte-distinct, so they
+    gate as near_dup — the canonical image near-duplicate.  Oracle: the
+    same classification
+    from literal tables — hashlib md5 digests (independent of Spark's
+    md5) joined for exact, the literal phash tables brute-forced with
+    bit_count(xor) <= 4 for near."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        build_hamming_dedup_index,
+        media_ingest_gate,
+    )
+    from pic2vec_spark.ops.multimodal import compute_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    images = (
+        synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+        .withColumn("idx", F.substring("image_id", 5, 9).cast("long"))
+        .select("image_id", "bytes", "fmt", "idx")
+        # the decode+DCT pass feeds the corpus index build AND the
+        # gate's batch probe — materialize the source once
+        .localCheckpoint(eager=True)
+    )
+    corpus = images.filter(F.col("idx") % 2 == 0)
+    batch = (
+        images.filter(F.col("idx") % 2 == 1)
+        .unionByName(
+            images.filter(F.col("idx") % 10 == 0).withColumn(
+                "image_id", F.concat(F.lit("re_"), F.col("image_id"))
+            )
+        )
+        .select("image_id", "bytes", "fmt")
+        .unionByName(
+            spark.createDataFrame(
+                [(r["image_id"], r["bytes"], r["fmt"])
+                 for r in _transcode_rows()],
+                "image_id string, bytes binary, fmt string",
+            )
+        )
+    )
+    droot = tempfile.mkdtemp(prefix="drv_img_dig_")
+    hroot = tempfile.mkdtemp(prefix="drv_img_ham_")
+    try:
+        build_digest_dedup_index(
+            corpus, droot, spark,
+            id_col="image_id", text_col="bytes", norm="binary",
+        )
+        ph = compute_phash(corpus)
+        build_hamming_dedup_index(
+            ph.filter(F.col("phash64_ok")), hroot, spark,
+            max_distance=4, bits=64,
+        )
+        return spark.createDataFrame(
+            media_ingest_gate(batch, droot, hroot, spark).toPandas()
+        )
+    finally:
+        shutil.rmtree(droot, ignore_errors=True)
+        shutil.rmtree(hroot, ignore_errors=True)
+
+
 def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/resize/re-encode over binary image columns.
     Full literal oracle on the re-encoded thumbnail byte length (the
@@ -3195,9 +3266,11 @@ _R05_GATE_WINDOW = [
     # query)
     "dedup_lsh_append", "dedup_lsh_incremental",
     "dedup_digest_append", "dedup_digest_probe", "dedup_gate_ingest",
-    "phash_index_pairs", "phash_index_probe",
+    "phash_index_pairs", "phash_index_probe", "image_gate_ingest",
     # oldest previously-gated anchors (r01 rows-only, then r02 family)
-    "image_phash_neardup", "image_thumbnails", "dedup_jaccard",
+    # (dedup_jaccard swapped out for image_gate_ingest — it keeps its
+    # r02 artifact AND the sf0.1 scale-gate row, so the union holds)
+    "image_phash_neardup", "image_thumbnails",
     "dedup_minhash_lsh", "doc_simhash", "simhash_neardup",
     "neardup_consensus", "neardup_clusters", "dedup_survivors",
     "snapshot_lineage", "knn_lsh",
@@ -3348,6 +3421,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "phash_index_pairs": q_phash_index_pairs,
         "phash_index_probe": q_phash_index_probe,
+        "image_gate_ingest": q_image_gate_ingest,
         "image_thumbnails": q_image_thumbnails,
         "image_stats": q_image_stats,
         "image_augment": q_image_augment,
@@ -3606,6 +3680,76 @@ def _flagship_synth_rows() -> list[dict]:
         synth_image_row(i, N_FLAGSHIP_IMAGES, 42)
         for i in range(N_FLAGSHIP_IMAGES)
     ]
+
+
+@functools.cache
+def _transcode_rows() -> list[dict]:
+    """Format-converted duplicates for the image gate: every idx % 10
+    == 4 committed (even) synth image decoded and re-encoded as BMP —
+    perceptually identical (same pixels → same pHash), the canonical
+    image near-dup.  Sources that were already BMP roundtrip
+    byte-identically and so gate as exact_dup instead — both paths are
+    exercised.  Pure function of the deterministic corpus; undecodable
+    sources (gif/corrupt/empty) are skipped."""
+    from pic2vec_spark.codecs import decode_image, encode_image
+
+    out = []
+    for i, r in enumerate(_flagship_synth_rows()):
+        if i % 10 != 4:
+            continue
+        try:
+            px = decode_image(r["bytes"], r["fmt"])
+        except Exception:
+            continue
+        out.append({
+            "image_id": "tc_" + r["image_id"],
+            "bytes": encode_image(px, "bmp"),
+            "fmt": "bmp",
+        })
+    return out
+
+
+@functools.cache
+def _image_transcode_sql() -> str:
+    """Literal table for the transcoded batch slice: (image_id, fp,
+    phash64) with the digest from hashlib and the pHash recomputed over
+    the re-encoded bytes (NOT copied from the source image) — the
+    oracle proves, rather than assumes, that transcoding preserves the
+    perceptual hash."""
+    import hashlib as _hl
+
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.ops.multimodal import phash64
+
+    vals = []
+    for r in _transcode_rows():
+        fp = _hl.md5(r["bytes"]).hexdigest()
+        h = phash64(decode_image(r["bytes"], r["fmt"]))
+        vals.append(f"('{r['image_id']}', '{fp}', CAST({h} AS BIGINT))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, fp, phash64)"
+    )
+
+
+@functools.cache
+def _image_digest_sql() -> str:
+    """Literal digest table for the image-gate oracle: the md5 of each
+    deterministic synth image's raw bytes, computed driver-side with
+    hashlib (an md5 implementation independent of Spark's ``F.md5``)
+    and embedded as literals alongside the numeric idx."""
+    import hashlib as _hl
+
+    vals = [
+        f"('{r['image_id']}', {i}, '{_hl.md5(r['bytes']).hexdigest()}')"
+        for i, r in enumerate(_flagship_synth_rows())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, idx, fp)"
+    )
 
 
 @functools.cache
@@ -5092,6 +5236,55 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_image_phash_neardup_sql()}) p
         WHERE CAST(substr(id1, 5) AS BIGINT) % 2 = 1
            OR CAST(substr(id2, 5) AS BIGINT) % 2 = 1
+    """
+    # the one-call image ingest gate: exact from the independent
+    # hashlib digest literals, near from the literal-phash brute force
+    # (batch side vs committed even side, both decodable), exact wins
+    d["image_gate_ingest"] = f"""
+        WITH dig AS ({_image_digest_sql()}),
+        ph AS ({_image_phash_sql()}),
+        tc AS ({_image_transcode_sql()}),
+        batch AS (
+          SELECT image_id AS src_id, image_id, fp FROM dig
+          WHERE idx % 2 = 1
+          UNION ALL
+          SELECT image_id AS src_id, 're_' || image_id AS image_id, fp
+          FROM dig WHERE idx % 10 = 0
+          UNION ALL
+          SELECT NULL AS src_id, image_id, fp FROM tc
+        ),
+        committed AS (SELECT * FROM dig WHERE idx % 2 = 0),
+        exact AS (
+          SELECT b.image_id, MIN(c.image_id) AS keep_id
+          FROM batch b JOIN committed c ON b.fp = c.fp
+          GROUP BY b.image_id
+        ),
+        bph AS (
+          SELECT b.image_id, p.phash64
+          FROM batch b JOIN ph p ON b.src_id = p.image_id
+          WHERE p.phash64_ok
+          UNION ALL
+          SELECT image_id, phash64 FROM tc
+        ),
+        cph AS (
+          SELECT c.image_id, p.phash64
+          FROM committed c JOIN ph p ON c.image_id = p.image_id
+          WHERE p.phash64_ok
+        ),
+        near AS (
+          SELECT b.image_id, MIN(c.image_id) AS keep_id
+          FROM bph b JOIN cph c
+            ON bit_count(xor(b.phash64, c.phash64)) <= 4
+          GROUP BY b.image_id
+        )
+        SELECT b.image_id,
+               CASE WHEN e.image_id IS NOT NULL THEN 'exact_dup'
+                    WHEN n.image_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS disposition,
+               COALESCE(e.keep_id, n.keep_id) AS keep_id
+        FROM batch b
+        LEFT JOIN exact e ON b.image_id = e.image_id
+        LEFT JOIN near n ON b.image_id = n.image_id
     """
     # composition over the member literal oracles (cannot drift)
     d["multimodal_corpus"] = _multimodal_corpus_sql()

@@ -130,6 +130,7 @@ EXTENDED_R5 = [
     "dedup_gate_ingest",
     "phash_index_pairs",
     "phash_index_probe",
+    "image_gate_ingest",
 ]
 
 EXTENDED_GROUPS = [

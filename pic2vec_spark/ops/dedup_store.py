@@ -288,13 +288,22 @@ def probe_lsh_dedup_index(
 # --------------------------------------------------- exact digest index
 
 def _digest_frame(
-    docs: DataFrame, id_col: str, text_col: str, prefix_chars: int
+    docs: DataFrame, id_col: str, text_col: str, prefix_chars: int,
+    norm: str = "lower_trim",
 ) -> DataFrame:
-    """(id, fp_md5, fp_pfx) — one md5 row per document.  The digest is
-    over the same normalization as ``ops.dedup.exact_dedup``
-    (lower+trim), so index answers equal the one-shot operator's."""
+    """(id, fp_md5, fp_pfx) — one md5 row per document.  ``norm``
+    picks the digest definition: ``lower_trim`` matches
+    ``ops.dedup.exact_dedup`` (text corpora, so index answers equal
+    the one-shot operator's); ``binary`` hashes the raw column bytes
+    (image/audio blobs, where case-folding is meaningless)."""
+    if norm == "lower_trim":
+        digest = F.md5(_norm_text(text_col))
+    elif norm == "binary":
+        digest = F.md5(F.col(text_col))
+    else:
+        raise ValueError(f"unknown digest norm {norm!r}")
     return docs.select(
-        F.col(id_col), F.md5(_norm_text(text_col)).alias("fp_md5")
+        F.col(id_col), digest.alias("fp_md5")
     ).withColumn(
         "fp_pfx",
         F.conv(F.substring("fp_md5", 1, prefix_chars), 16, 10).cast("int"),
@@ -308,14 +317,17 @@ def build_digest_dedup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_chars: int = 1,
+    norm: str = "lower_trim",
     extra_properties: dict | None = None,
 ) -> str:
     """Commit one md5 digest row per document, prefix-partitioned with
     per-file fp_pfx min/max stats — the exact-dup complement of
-    ``build_lsh_dedup_index``.  Returns the snapshot id."""
+    ``build_lsh_dedup_index``.  ``norm='binary'`` makes this an exact
+    image/blob index (digest over raw bytes).  Returns the snapshot
+    id."""
     table = SnapshotTable(table_root, spark)
     return table.write(
-        _digest_frame(docs, id_col, text_col, prefix_chars),
+        _digest_frame(docs, id_col, text_col, prefix_chars, norm),
         partition_by="fp_pfx",
         num_partitions=2 * (16 ** prefix_chars),
         stats_cols=["fp_pfx"],
@@ -323,10 +335,24 @@ def build_digest_dedup_index(
             **(extra_properties or {}),
             "index": "digest_dedup",
             "id_col": id_col,
-            "norm": "lower_trim_md5",
+            "norm": f"{norm}_md5",
             "prefix_chars": int(prefix_chars),
         },
     )
+
+
+def _digest_norm(props: dict, action: str) -> str:
+    """The digest definition this index was built with — the manifest
+    is the source of truth, so appends and probes digest new rows the
+    same way forever (mixed-norm digests would be incomparable)."""
+    norm_prop = props.get("norm", "lower_trim_md5")
+    if norm_prop not in ("lower_trim_md5", "binary_md5"):
+        raise ValueError(
+            f"{action}: index digest norm {norm_prop!r} is not one this "
+            "build can reproduce — digests would be incomparable; "
+            "rebuild the index"
+        )
+    return norm_prop[: -len("_md5")]
 
 
 def append_to_digest_dedup_index(
@@ -345,12 +371,7 @@ def append_to_digest_dedup_index(
         raise ValueError(
             f"append id_col {id_col!r} != index id_col {props.get('id_col')!r}"
         )
-    if props.get("norm") not in (None, "lower_trim_md5"):
-        raise ValueError(
-            f"append: index normalization {props.get('norm')!r} does not "
-            "match this build's lower_trim_md5 — digests would be "
-            "incomparable; rebuild the index"
-        )
+    norm = _digest_norm(props, "append")
     prefix_chars = int(props["prefix_chars"])
     if properties is not None:
         properties = {
@@ -360,7 +381,7 @@ def append_to_digest_dedup_index(
             ) if k in props},
         }
     return table.append(
-        _digest_frame(new_docs, id_col, text_col, prefix_chars),
+        _digest_frame(new_docs, id_col, text_col, prefix_chars, norm),
         partition_by="fp_pfx",
         num_partitions=2 * (16 ** prefix_chars),
         stats_cols=["fp_pfx"],
@@ -405,7 +426,8 @@ def probe_digest_dedup_index(
     idx_id = props.get("id_col", "doc_id")
     prefix_chars = int(props["prefix_chars"])
     delta = _digest_frame(
-        new_docs, id_col, text_col, prefix_chars
+        new_docs, id_col, text_col, prefix_chars,
+        _digest_norm(props, "probe"),
     ).localCheckpoint(eager=True)  # used 2x: prefix set + corpus join
     # bounded by 16**prefix_chars (≤256) — driver-sized, drives pruning
     pfx = sorted(
@@ -763,4 +785,104 @@ def ingest_gate(
             append_to_lsh_dedup_index(
                 survivors, lsh_root, spark, id_col, text_col
             )
+    return decisions
+
+
+def media_ingest_gate(
+    batch: DataFrame,
+    digest_root: str,
+    hamming_root: str,
+    spark: SparkSession,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    sig_col: str = "phash64",
+    append: bool = True,
+) -> DataFrame:
+    """``ingest_gate`` for binary media: classify every incoming image
+    (or any fingerprintable blob) against a persisted exact-byte
+    digest index (``norm='binary'``) and a persisted pHash Hamming
+    index, then (optionally) append only the survivors.  One row per
+    batch image:
+
+    - ``disposition='exact_dup'``, keep_id = the smallest committed id
+      with byte-identical content (digest index);
+    - ``disposition='near_dup'``, keep_id = the smallest committed
+      pHash partner within the index's max_distance (exact wins when
+      both hit);
+    - ``disposition='new'``, keep_id = NULL — appended to the digest
+      index, and to the Hamming index when its pHash decoded.
+
+    Undecodable blobs (``phash64_ok`` false) still get the exact-byte
+    check — a corrupt file re-ingested twice is still a duplicate —
+    but can only be exact_dup or new.  Batch ids must be disjoint from
+    committed ids (ingests assign fresh ids); within-batch near-dup
+    pairs are NOT dropped here (both sides are unseen — resolve them
+    upstream with ``hamming_neardup_pairs`` if single-batch dedup is
+    wanted).  Plan shape: the pHash decode pass runs ONCE over the
+    batch (checkpointed), both probes broadcast the batch against
+    file-pruned index scans, and the committed corpus never shuffles —
+    no committed byte is re-read or re-hashed."""
+    from pic2vec_spark.ops.multimodal import compute_phash
+
+    # one decode+DCT pass over the batch — it feeds the id projection,
+    # both probes, and the survivors join
+    fp = compute_phash(
+        batch, bytes_col=bytes_col, fmt_col=fmt_col, out_col=sig_col
+    ).localCheckpoint(eager=True)
+    batch_ids = fp.select(F.col(id_col))
+    exact = probe_digest_dedup_index(
+        digest_root, spark, fp, id_col, bytes_col
+    ).withColumnRenamed("keep_id", "_exact_keep")
+    pairs = probe_hamming_dedup_index(
+        hamming_root, spark, fp.filter(F.col(f"{sig_col}_ok")),
+        id_col, sig_col,
+    )
+    b1 = batch_ids.select(F.col(id_col).alias("id1"))
+    b2 = batch_ids.select(F.col(id_col).alias("id2"))
+    # corpus partner = the pair side that is NOT a batch id
+    near = (
+        pairs.join(F.broadcast(b1), "id1", "semi")
+        .join(F.broadcast(b2), "id2", "anti")
+        .select(F.col("id1").alias(id_col), F.col("id2").alias("_partner"))
+        .unionByName(
+            pairs.join(F.broadcast(b2), "id2", "semi")
+            .join(F.broadcast(b1), "id1", "anti")
+            .select(
+                F.col("id2").alias(id_col), F.col("id1").alias("_partner")
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.min("_partner").alias("_near_keep"))
+    )
+    decisions = (
+        batch_ids.join(F.broadcast(exact), id_col, "left")
+        .join(F.broadcast(near), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_exact_keep").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_near_keep").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("disposition"),
+            F.coalesce("_exact_keep", "_near_keep").alias("keep_id"),
+        )
+        # materialize BEFORE the appends mutate the indexes the probes
+        # read — decisions must reflect the pre-ingest corpus
+        .localCheckpoint(eager=True)
+    )
+    if append:
+        survivors = fp.join(
+            decisions.filter(F.col("disposition") == "new").select(id_col),
+            id_col,
+            "semi",
+        ).localCheckpoint(eager=True)
+        if not survivors.isEmpty():
+            append_to_digest_dedup_index(
+                survivors, digest_root, spark, id_col, bytes_col
+            )
+            sigs = survivors.filter(F.col(f"{sig_col}_ok"))
+            if not sigs.isEmpty():
+                append_to_hamming_dedup_index(
+                    sigs, hamming_root, spark, id_col, sig_col
+                )
     return decisions

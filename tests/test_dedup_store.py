@@ -420,3 +420,198 @@ def test_digest_index_guards(spark, docs, tmp_path):
     build_lsh_dedup_index(docs, lsh_root, spark)
     with pytest.raises(ValueError, match="not a digest_dedup index"):
         duplicate_groups_from_index(lsh_root, spark)
+
+
+# ------------------------------------------------- media ingest gate
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    """Deterministic synth images with a numeric idx — the hot
+    duplicate clusters make exact AND near dups occur naturally."""
+    from pic2vec_spark.synth import synth_images_df
+
+    return (
+        synth_images_df(spark, 96, seed=42)
+        .withColumn("idx", F.substring("image_id", 5, 9).cast("long"))
+        .select("image_id", "bytes", "fmt", "idx")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_media_ingest_gate_classifies_and_appends(spark, images, tmp_path):
+    """The image gate's dispositions equal a driver-side brute force
+    (hashlib md5 for exact, all-pairs Hamming for near, exact wins),
+    and survivors (and only survivors) are appended to both indexes."""
+    import hashlib as hl
+
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        build_hamming_dedup_index,
+        media_ingest_gate,
+        probe_digest_dedup_index,
+    )
+    from pic2vec_spark.codecs import encode_image
+    from pic2vec_spark.ops.multimodal import compute_phash, phash64
+
+    rows = images.collect()
+    # format-transcoded copies of committed images: same pixels (same
+    # pHash), usually different bytes — the canonical image near-dup
+    tc = []
+    for r in rows:
+        if r["idx"] % 8 != 4:
+            continue
+        try:
+            px = decode_image(r["bytes"], r["fmt"])
+        except Exception:
+            continue
+        tc.append(("tc_" + r["image_id"], encode_image(px, "bmp"), "bmp"))
+    corpus = images.filter(F.col("idx") % 2 == 0)
+    batch = (
+        images.filter(F.col("idx") % 2 == 1)
+        .unionByName(
+            images.filter(F.col("idx") % 8 == 0).withColumn(
+                "image_id", F.concat(F.lit("re_"), F.col("image_id"))
+            )
+        )
+        .select("image_id", "bytes", "fmt")
+        .unionByName(
+            spark.createDataFrame(
+                tc, "image_id string, bytes binary, fmt string"
+            )
+        )
+    )
+    droot = str(tmp_path / "img_dig")
+    hroot = str(tmp_path / "img_ham")
+    build_digest_dedup_index(
+        corpus, droot, spark,
+        id_col="image_id", text_col="bytes", norm="binary",
+    )
+    build_hamming_dedup_index(
+        compute_phash(corpus).filter(F.col("phash64_ok")), hroot, spark,
+        max_distance=4, bits=64,
+    )
+
+    got = {
+        r["image_id"]: (r["disposition"], r["keep_id"])
+        for r in media_ingest_gate(batch, droot, hroot, spark).collect()
+    }
+    assert set(got) == {r["image_id"] for r in batch.collect()}
+
+    # driver-side brute force with INDEPENDENT kernels (hashlib md5;
+    # python phash64 over decode_image) over each batch row's ACTUAL
+    # bytes (transcodes digest differently from their source)
+    def fingerprint(data, fmt):
+        try:
+            h = phash64(decode_image(data, fmt))
+        except Exception:
+            h = None
+        return hl.md5(data).hexdigest(), h
+
+    cfp, cph = {}, {}
+    for r in rows:
+        if r["idx"] % 2 == 0:
+            cfp[r["image_id"]], cph[r["image_id"]] = fingerprint(
+                r["bytes"], r["fmt"]
+            )
+    batch_items = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in rows if r["idx"] % 2 == 1
+    ] + [
+        ("re_" + r["image_id"], r["bytes"], r["fmt"])
+        for r in rows if r["idx"] % 8 == 0
+    ] + tc
+    expect = {}
+    for bid, data, fmt in batch_items:
+        bfp, bph = fingerprint(data, fmt)
+        exact = [c for c, f in cfp.items() if f == bfp]
+        near = [
+            c for c, h in cph.items()
+            if bph is not None and h is not None
+            and bin(bph ^ h).count("1") <= 4
+        ]
+        if exact:
+            expect[bid] = ("exact_dup", min(exact))
+        elif near:
+            expect[bid] = ("near_dup", min(near))
+        else:
+            expect[bid] = ("new", None)
+    assert got == expect
+    assert {d for d, _ in got.values()} == {"exact_dup", "near_dup", "new"}
+
+    # survivors re-probe as exact hits of themselves
+    new_ids = {b for b, (disp, _) in got.items() if disp == "new"}
+    survivors = batch.filter(F.col("image_id").isin(*new_ids)).withColumn(
+        "image_id", F.concat(F.lit("x_"), F.col("image_id"))
+    )
+    hit_map = {
+        r["image_id"]: r["keep_id"]
+        for r in probe_digest_dedup_index(
+            droot, spark, survivors, "image_id", "bytes"
+        ).collect()
+    }
+    # every survivor now exact-hits the index, and the keep target is
+    # byte-identical to it (keep = the GROUP min — within-batch
+    # identical survivors were both appended, so it may not be the
+    # probed original itself)
+    assert set(hit_map) == {"x_" + b for b in new_ids}
+    fpb = {bid: fingerprint(data, fmt)[0] for bid, data, fmt in batch_items}
+    all_fp = {**cfp, **fpb}
+    for b in new_ids:
+        assert all_fp[hit_map["x_" + b]] == fpb[b]
+
+
+def test_digest_norm_is_manifest_sticky(spark, images, tmp_path):
+    """A binary-norm index appends and probes with the binary digest
+    read from the manifest — and an unknown stored norm raises instead
+    of silently mixing incomparable digests."""
+    import json
+
+    from pic2vec_spark.ops.dedup_store import (
+        append_to_digest_dedup_index,
+        build_digest_dedup_index,
+        duplicate_groups_from_index,
+        probe_digest_dedup_index,
+    )
+
+    root = str(tmp_path / "bin_dig")
+    build_digest_dedup_index(
+        images.filter(F.col("idx") % 2 == 0), root, spark,
+        id_col="image_id", text_col="bytes", norm="binary",
+    )
+    append_to_digest_dedup_index(
+        images.filter(F.col("idx") % 2 == 1), root, spark,
+        id_col="image_id", text_col="bytes",
+    )
+    # byte-identical hot-cluster images form groups across the halves
+    groups = duplicate_groups_from_index(root, spark)
+    assert groups.filter(F.col("n_dups") >= 2).count() > 0
+    # a re-keyed re-ingest exact-hits its original through the probe
+    batch = images.limit(3).withColumn(
+        "image_id", F.concat(F.lit("re_"), F.col("image_id"))
+    )
+    hits = {
+        (r["image_id"], r["keep_id"])
+        for r in probe_digest_dedup_index(
+            root, spark, batch, "image_id", "bytes"
+        ).collect()
+    }
+    assert {("re_" + r["image_id"], r["image_id"])
+            for r in images.limit(3).collect()} <= hits
+
+    # unknown norm in the manifest → refuse, don't mix digests
+    with pytest.raises(ValueError):
+        build_digest_dedup_index(
+            images, str(tmp_path / "bad"), spark,
+            id_col="image_id", text_col="bytes", norm="sha9000",
+        )
+    import pathlib
+
+    sid = (pathlib.Path(root) / "CURRENT").read_text().strip()
+    man_path = pathlib.Path(root) / "snapshots" / f"{sid}.json"
+    man = json.loads(man_path.read_text())
+    man["properties"]["norm"] = "rot13_md5"
+    man_path.write_text(json.dumps(man))
+    with pytest.raises(ValueError, match="norm"):
+        probe_digest_dedup_index(root, spark, batch, "image_id", "bytes")
