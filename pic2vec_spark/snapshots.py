@@ -777,6 +777,25 @@ class SnapshotTable:
             fname = f"part-{sid}-{pid:05d}.parquet"
             fpath = os.path.join(data_dir, fname)
             tbl = pa.Table.from_pandas(out, preserve_index=False)
+            # pandas infers an all-NULL object column as Arrow `null`
+            # type, which parquet stores with an INT32 physical type; a
+            # later append where the column HAS values writes string/
+            # int, and Spark's vectorized reader crashes on the mix
+            # (SchemaColumnConvertNotSupportedException). Pin any
+            # null-typed column to the table's declared Spark type.
+            if any(pa.types.is_null(f.type) for f in tbl.schema):
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType as _ST
+
+                want = to_arrow_schema(_ST.fromJson(json.loads(schema_json)))
+                for i, f in enumerate(tbl.schema):
+                    if pa.types.is_null(f.type) and f.name in want.names:
+                        tgt = want.field(f.name).type
+                        tbl = tbl.set_column(
+                            i,
+                            pa.field(f.name, tgt),
+                            tbl.column(i).cast(tgt),
+                        )
             # Spark's parquet reader rejects TIMESTAMP(NANOS); pandas
             # datetime64[ns] must land as microseconds.
             pq.write_table(

@@ -833,3 +833,132 @@ def stream_index_fingerprints(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------ streaming media gate
+
+def media_gate_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    digest_root: str,
+    hamming_root: str,
+    decisions_root: str,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> None:
+    """foreachBatch body for ``stream_media_gate`` — module-level so
+    replay idempotence is directly testable.
+
+    The decisions table carries the ``gate_last_batch`` stamp (same
+    replay protocol as the index sinks: replayed id → no-op, id behind
+    the stamp → fresh-checkpoint restart raises).  The very first batch
+    BECOMES the committed corpus: both indexes are built from it and
+    every row is decided ``new`` (within-batch near-dups are not
+    flagged — the gate's contract is batch-vs-committed).  Later
+    batches run ``media_ingest_gate``.
+
+    Commit order: index appends first, decisions (with the stamp)
+    last.  A crash between them means the replayed batch re-gates
+    against indexes that already contain its survivors, so those rows
+    re-classify as exact_dup of themselves — the decisions stream is
+    then at-least-once rather than exactly-once for that one batch,
+    but no content is ever lost or double-committed to the indexes
+    (a re-append is suppressed because the survivors now exact-hit)."""
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        build_hamming_dedup_index,
+        media_ingest_gate,
+    )
+    from pic2vec_spark.ops.multimodal import compute_phash
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    dec_table = SnapshotTable(decisions_root, spark)
+    man = dec_table.manifest()
+    props = (man.get("properties") or {}) if man is not None else {}
+    last = props.get("gate_last_batch")
+    if last is not None and int(batch_id) == int(last):
+        return  # replayed batch (failed mid-commit last run): decided
+    if last is not None and int(batch_id) < int(last):
+        raise ValueError(
+            f"batch id {int(batch_id)} is behind the decisions table's "
+            f"gate_last_batch {int(last)} — this stream's checkpoint "
+            "does not belong to this gate; reuse the original "
+            "checkpoint dir, or point the stream at fresh roots"
+        )
+    if SnapshotTable(digest_root, spark).manifest() is None:
+        fp = compute_phash(
+            batch_df, bytes_col=bytes_col, fmt_col=fmt_col
+        ).localCheckpoint(eager=True)
+        build_digest_dedup_index(
+            fp, digest_root, spark,
+            id_col=id_col, text_col=bytes_col, norm="binary",
+        )
+        build_hamming_dedup_index(
+            fp.filter(F.col("phash64_ok")), hamming_root, spark,
+            id_col=id_col,
+        )
+        decisions = fp.select(
+            F.col(id_col),
+            F.lit("new").alias("disposition"),
+            F.lit(None).cast(fp.schema[id_col].dataType).alias("keep_id"),
+        )
+    else:
+        decisions = media_ingest_gate(
+            batch_df, digest_root, hamming_root, spark,
+            id_col=id_col, bytes_col=bytes_col, fmt_col=fmt_col,
+        )
+    rows = decisions.withColumn("batch_id", F.lit(int(batch_id)))
+    if man is None:
+        dec_table.write(
+            rows,
+            properties={
+                "table": "media_gate_decisions",
+                "gate_last_batch": int(batch_id),
+            },
+        )
+    else:
+        dec_table.append(
+            rows, properties={**props, "gate_last_batch": int(batch_id)}
+        )
+
+
+def stream_media_gate(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    digest_root: str,
+    hamming_root: str,
+    decisions_root: str,
+    available_now: bool = True,
+):
+    """The full streaming IMAGE ingest pipeline: stream image parquet
+    drops through the one-call media dedup gate.  Each micro-batch is
+    classified exact_dup / near_dup / new against everything committed
+    so far (binary digest index + pHash Hamming index, one decode+DCT
+    pass per batch, no committed pixel re-read), survivors are
+    appended to both indexes, and the decisions land in a queryable
+    snapshot table partitioned by disposition-bearing batch —
+    downstream featurization consumes ``disposition = 'new'`` rows
+    only, so the expensive CNN never sees a duplicate image."""
+    stream = (
+        spark.readStream.schema("image_id string, bytes binary, fmt string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        media_gate_sink(
+            batch_df, batch_id, digest_root, hamming_root, decisions_root
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -624,3 +624,36 @@ def test_expire_crash_between_steps_converges(spark, events, tmp_path):
     assert not (t.snap_dir / f"{s1}.partials").exists()
     assert not list(t.data_dir.glob(f"part-{s1}-*.parquet"))
     assert t.scan().count() == 40
+
+
+def test_all_null_column_write_then_valued_append_scans(spark, tmp_path):
+    """An all-NULL string column in the first commit must land in
+    parquet as STRING (from the declared Spark schema), not the
+    pandas-inferred Arrow `null` type (INT32 physical) — otherwise a
+    later append where the column has values makes the mixed-file scan
+    crash with SchemaColumnConvertNotSupportedException."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root, spark)
+    base = spark.range(10).select(
+        F.col("id"),
+        F.lit(None).cast("string").alias("keep_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    t.write(base, num_partitions=2)
+    t.append(
+        spark.range(10, 15).select(
+            F.col("id"),
+            F.concat(F.lit("k"), F.col("id")).cast("string").alias("keep_id"),
+            (F.col("id") * 0.5).alias("score"),
+        )
+    )
+    got = t.scan()
+    assert got.schema["keep_id"].dataType == T.StringType()
+    assert got.schema["score"].dataType == T.DoubleType()
+    rows = {r["id"]: (r["keep_id"], r["score"]) for r in got.collect()}
+    assert len(rows) == 15
+    assert rows[3] == (None, None)
+    assert rows[12] == ("k12", 6.0)

@@ -908,3 +908,129 @@ def test_stream_index_fingerprints_builds_appends_and_dedups_replays(
     )
     hamming_index_sink(extra, 2, root, id_col="doc_id", sig_col="simhash")
     assert SnapshotTable(root, spark).scan().count() == n_rows + 20
+
+
+def test_stream_media_gate_end_to_end(spark, tmp_path):
+    """The streaming image-ingest pipeline: drop 1 becomes the corpus
+    (all 'new'), drop 2 (odd ∪ re-keyed exact copies ∪ BMP transcodes)
+    is classified identically to a one-shot media_ingest_gate over the
+    same committed state; replay is a no-op and a fresh-checkpoint
+    restart raises."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.codecs import decode_image, encode_image
+    from pic2vec_spark.ops.dedup_store import (
+        build_digest_dedup_index,
+        build_hamming_dedup_index,
+        media_ingest_gate,
+    )
+    from pic2vec_spark.ops.multimodal import compute_phash
+    from pic2vec_spark.streaming import media_gate_sink, stream_media_gate
+    from pic2vec_spark.synth import synth_images_df
+
+    images = (
+        synth_images_df(spark, 48, seed=42)
+        .withColumn("idx", F.substring("image_id", 5, 9).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    rows = images.collect()
+    tc = []
+    for r in rows:
+        if r["idx"] % 8 != 4:
+            continue
+        try:
+            px = decode_image(r["bytes"], r["fmt"])
+        except Exception:
+            continue
+        tc.append(("tc_" + r["image_id"], encode_image(px, "bmp"), "bmp"))
+    b1 = images.filter(F.col("idx") % 2 == 0).select(
+        "image_id", "bytes", "fmt"
+    )
+    b2 = (
+        images.filter(F.col("idx") % 2 == 1)
+        .unionByName(
+            images.filter(F.col("idx") % 8 == 0).withColumn(
+                "image_id", F.concat(F.lit("re_"), F.col("image_id"))
+            )
+        )
+        .select("image_id", "bytes", "fmt")
+        .unionByName(
+            spark.createDataFrame(
+                tc, "image_id string, bytes binary, fmt string"
+            )
+        )
+    )
+    inp = tmp_path / "imgdrops"
+    inp.mkdir()
+    b1.coalesce(1).write.parquet(str(inp / "b1"))
+    b2.coalesce(1).write.parquet(str(inp / "b2"))
+
+    droot = str(tmp_path / "gate_dig")
+    hroot = str(tmp_path / "gate_ham")
+    decroot = str(tmp_path / "gate_dec")
+    q = stream_media_gate(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt_gate"),
+        digest_root=droot,
+        hamming_root=hroot,
+        decisions_root=decroot,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+
+    dec = SnapshotTable(decroot, spark)
+    props = dec.manifest().get("properties") or {}
+    assert props.get("gate_last_batch") == 1
+    got = dec.scan().collect()
+    by_batch = {}
+    for r in got:
+        by_batch.setdefault(r["batch_id"], {})[r["image_id"]] = (
+            r["disposition"], r["keep_id"]
+        )
+    # drop 1 became the corpus: every row 'new'
+    assert set(by_batch[0]) == {r["image_id"] for r in b1.collect()}
+    assert all(d == ("new", None) for d in by_batch[0].values())
+
+    # drop 2 classifies exactly like a one-shot gate over the same
+    # committed state (fresh reference indexes, append=False)
+    droot2 = str(tmp_path / "ref_dig")
+    hroot2 = str(tmp_path / "ref_ham")
+    build_digest_dedup_index(
+        b1, droot2, spark, id_col="image_id", text_col="bytes",
+        norm="binary",
+    )
+    build_hamming_dedup_index(
+        compute_phash(b1).filter(F.col("phash64_ok")), hroot2, spark,
+    )
+    expect = {
+        r["image_id"]: (r["disposition"], r["keep_id"])
+        for r in media_ingest_gate(
+            b2, droot2, hroot2, spark, append=False
+        ).collect()
+    }
+    assert by_batch[1] == expect
+    assert {d for d, _ in expect.values()} == {"exact_dup", "near_dup", "new"}
+    n_dec = len(got)
+
+    # replayed batch id == stamp: no-op
+    media_gate_sink(b2, 1, droot, hroot, decroot)
+    assert SnapshotTable(decroot, spark).scan().count() == n_dec
+    # an id behind the stamp is a fresh-checkpoint restart — raise
+    with pytest.raises(ValueError, match="checkpoint"):
+        media_gate_sink(b1, 0, droot, hroot, decroot)
+    # a genuinely new batch still gates and appends decisions: an
+    # exact re-ingest of batch-2 SURVIVORS must now hit the index
+    survivors = [b for b, (d, _) in by_batch[1].items() if d == "new"]
+    b3 = b2.filter(F.col("image_id").isin(*survivors)).withColumn(
+        "image_id", F.concat(F.lit("x_"), F.col("image_id"))
+    )
+    media_gate_sink(b3, 2, droot, hroot, decroot)
+    dec3 = {
+        r["image_id"]: (r["disposition"], r["keep_id"])
+        for r in SnapshotTable(decroot, spark).scan()
+        .filter(F.col("batch_id") == 2).collect()
+    }
+    assert set(dec3) == {"x_" + b for b in survivors}
+    assert all(d == "exact_dup" for d, _ in dec3.values())
