@@ -2965,6 +2965,56 @@ def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-decode-pass curation profile: quality metrics AND
+    the DCT perceptual hash from one decode of each image — at 10^12
+    images decode dominates curation cost, so any pipeline needing both
+    must not pay it twice.  Full oracle: the image_stats ⨝ image_phash
+    literal tables (the fused pass must be column-identical to the
+    two-pass composition — also pinned by tests/test_image_ops.py)."""
+    from pic2vec_spark.ops.multimodal import image_profile
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return image_profile(images).select(
+        "image_id", "fmt", "stats_ok",
+        "brightness", "contrast", "dyn_range", "entropy", "sharpness",
+        "phash64", "phash64_ok",
+    )
+
+
+def q_image_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule pass/fail suite for images (the pixel-side
+    mirror of doc_gopher_rules): decode / resolution / aspect /
+    brightness band / entropy / sharpness / dynamic-range screens, each
+    its own boolean column so a curation run reports WHICH screen
+    failed.  Full oracle: the rule thresholds re-applied in SQL over
+    the image_stats literals joined to the (image_id, w, h) metadata
+    literals."""
+    from pic2vec_spark.ops.multimodal import IMAGE_RULE_COLS, image_quality_rules
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return image_quality_rules(images).select(
+        "image_id", *IMAGE_RULE_COLS, "passes"
+    )
+
+
+def q_image_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection over pHash near-dup clusters:
+    one decode pass (fused profile), pigeonhole Hamming pairs, min-label
+    CC, then per-cluster rank by sharpness → entropy → pixel count →
+    id, keeping the BEST member instead of an arbitrary min-id.  Full
+    oracle: recursive-CTE CC over the literal phash table + the window
+    rank over the literal stats/metadata — an all-pairs brute force
+    that also re-pins bucket recall."""
+    from pic2vec_spark.ops.multimodal import image_neardup_survivors
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return image_neardup_survivors(images, max_distance=4)
+
+
 def q_neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the simhash near-dup pair graph — the
     dedup-health diagnostic (a fat tail = hub documents = a template or
@@ -2985,22 +3035,33 @@ def q_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-side mirror of training_corpus: decode-quality screen
     (stats_ok, entropy/sharpness floors drop blanks and blurred rows) →
     phash near-dup survivors (one image per Hamming CC cluster) →
-    caption quality floor → deterministic split.  Full composed oracle
+    caption quality floor → deterministic split.  Screen + phash come
+    from the fused one-decode-pass image_profile.  Full composed oracle
     (_multimodal_corpus_sql) reusing the member literal oracles inside a
     recursive-CTE connected-components; every member kernel is
     additionally pinned by its own tests."""
     from pic2vec_spark.ops.dedup import hamming_neardup_pairs, neardup_clusters
-    from pic2vec_spark.ops.multimodal import compute_phash, image_stats
+    from pic2vec_spark.ops.multimodal import image_profile
     from pic2vec_spark.ops.sampling import hash_split
     from pic2vec_spark.ops.text import quality_score
     from pic2vec_spark.synth import synth_images_df
 
     images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
-    stats = image_stats(images)
-    ok = stats.filter(
-        F.col("stats_ok") & (F.col("entropy") >= 1.0) & (F.col("sharpness") >= 1.0)
+    # ONE decode pass (fused profile) for the quality screen AND the
+    # phash — the old image_stats→compute_phash composition decoded
+    # every surviving image twice, and decode dominates at corpus
+    # scale.  The binary column is dropped before the checkpoint so it
+    # never shuffles; the checkpoint materializes the decode once for
+    # both consumers (the pair join and the survivor anti-join).
+    ph = (
+        image_profile(images)
+        .filter(
+            F.col("stats_ok") & (F.col("entropy") >= 1.0)
+            & (F.col("sharpness") >= 1.0) & F.col("phash64_ok")
+        )
+        .select("image_id", "caption", "phash64")
+        .localCheckpoint(eager=False)
     )
-    ph = compute_phash(ok).filter(F.col("phash64_ok"))
     pairs = hamming_neardup_pairs(
         ph.select("image_id", "phash64"), "image_id",
         max_distance=4, sig_col="phash64", bits=64,
@@ -3267,6 +3328,11 @@ _R05_GATE_WINDOW = [
     "dedup_lsh_append", "dedup_lsh_incremental",
     "dedup_digest_append", "dedup_digest_probe", "dedup_gate_ingest",
     "phash_index_pairs", "phash_index_probe", "image_gate_ingest",
+    # round-5 fused-profile / image-rules / quality-ranked-survivor
+    # additions (registered after the second freeze; swapped in for
+    # three r03-covered anchors — pit_backfill, scd2_user_state,
+    # events_zorder keep their r03 artifacts — union preserved)
+    "image_profile", "image_quality_rules", "image_neardup_survivors",
     # oldest previously-gated anchors (r01 rows-only, then r02 family)
     # (dedup_jaccard swapped out for image_gate_ingest — it keeps its
     # r02 artifact AND the sf0.1 scale-gate row, so the union holds)
@@ -3276,8 +3342,7 @@ _R05_GATE_WINDOW = [
     "snapshot_lineage", "knn_lsh",
     "knn_ivf", "embedding_neardup", "embedding_neardup_lsh",
     # r03 heavyweights
-    "asof_join", "multi_asof", "pit_backfill", "scd2_user_state",
-    "events_zorder",
+    "asof_join", "multi_asof",
 ]
 
 
@@ -3424,6 +3489,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gate_ingest": q_image_gate_ingest,
         "image_thumbnails": q_image_thumbnails,
         "image_stats": q_image_stats,
+        "image_profile": q_image_profile,
+        "image_quality_rules": q_image_quality_rules,
+        "image_neardup_survivors": q_image_neardup_survivors,
         "image_augment": q_image_augment,
         "multimodal_corpus": q_multimodal_corpus,
         "neardup_degree_hist": q_neardup_degree_hist,
@@ -3806,6 +3874,120 @@ def _image_stats_sql() -> str:
         + ", ".join(vals)
         + f") AS t(image_id, fmt, stats_ok, {cols})"
     )
+
+
+@functools.cache
+def _image_meta_sql() -> str:
+    """Literal (image_id, w, h) metadata of the deterministic synth
+    corpus — the table columns the image rule suite reads without
+    decoding (resolution / aspect screens)."""
+    vals = ", ".join(
+        f"('{r['image_id']}', {r['w']}, {r['h']})"
+        for r in _flagship_synth_rows()
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(image_id, w, h)"
+
+
+@functools.cache
+def _image_profile_sql() -> str:
+    """Oracle for image_profile: the fused one-decode-pass profile must
+    be column-identical to the two-pass image_stats ⨝ image_phash
+    composition, so the oracle IS that join of the member literal
+    tables — it cannot drift from the per-stage gates."""
+    return f"""
+        SELECT s.image_id, s.fmt, s.stats_ok,
+               s.brightness, s.contrast, s.dyn_range, s.entropy,
+               s.sharpness, p.phash64, p.phash64_ok
+        FROM ({_image_stats_sql()}) s
+        JOIN ({_image_phash_sql()}) p USING (image_id)
+    """
+
+
+@functools.cache
+def _image_quality_rules_sql() -> str:
+    """Oracle for image_quality_rules: the default thresholds re-applied
+    in SQL over the image_stats literals joined to the (w, h) metadata
+    literals, with the same NULL→FALSE coalescing as the engine."""
+    rules = {
+        "rule_decodes": "s.stats_ok",
+        "rule_resolution": "CAST(m.w AS BIGINT) * m.h >= 1024",
+        "rule_aspect": "GREATEST(m.w, m.h) <= LEAST(m.w, m.h) * 3.0",
+        "rule_brightness": "s.brightness BETWEEN 10.0 AND 245.0",
+        "rule_entropy": "s.entropy >= 1.0",
+        "rule_sharpness": "s.sharpness >= 1.0",
+        "rule_dyn_range": "s.dyn_range >= 16.0",
+    }
+    cols = ",\n               ".join(
+        f"COALESCE({expr}, FALSE) AS {name}" for name, expr in rules.items()
+    )
+    all_pass = " AND ".join(f"COALESCE({e}, FALSE)" for e in rules.values())
+    return f"""
+        SELECT s.image_id,
+               {cols},
+               ({all_pass}) AS passes
+        FROM ({_image_stats_sql()}) s
+        JOIN ({_image_meta_sql()}) m USING (image_id)
+    """
+
+
+@functools.cache
+def _image_neardup_survivors_sql() -> str:
+    """Oracle for image_neardup_survivors: all-pairs bit_count(xor)
+    Hamming brute force over the literal phash table (independent of
+    the engine's pigeonhole buckets — re-pins recall), recursive-CTE
+    min-label connected components (the neardup_clusters proof shape),
+    then the identical quality-rank window over the literal sharpness/
+    entropy/pixel-count columns."""
+    return f"""
+        WITH RECURSIVE ph AS ({_image_phash_sql()}),
+        stats AS ({_image_stats_sql()}),
+        meta AS ({_image_meta_sql()}),
+        prof AS (
+          SELECT p.image_id, p.phash64, s.sharpness, s.entropy,
+                 CAST(m.w AS BIGINT) * m.h AS px
+          FROM ph p
+          JOIN stats s USING (image_id)
+          JOIN meta m USING (image_id)
+          WHERE p.phash64_ok
+        ),
+        pairs AS (
+          SELECT a.image_id AS id1, b.image_id AS id2
+          FROM prof a JOIN prof b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash64, b.phash64)) <= 4
+        ),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs
+        ),
+        reach(v, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.v
+        ),
+        clusters AS (
+          SELECT v AS image_id, MIN(label) AS cluster_id FROM reach GROUP BY v
+        ),
+        labeled AS (
+          SELECT pr.image_id,
+                 COALESCE(c.cluster_id, pr.image_id) AS cluster_id,
+                 pr.sharpness, pr.entropy, pr.px
+          FROM prof pr LEFT JOIN clusters c USING (image_id)
+        ),
+        ranked AS (
+          SELECT image_id, cluster_id,
+                 CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+                   AS n_members,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY sharpness DESC, entropy DESC,
+                            px DESC NULLS LAST, image_id ASC
+                 ) AS INTEGER) AS quality_rank
+          FROM labeled
+        )
+        SELECT image_id, cluster_id, n_members, quality_rank,
+               (quality_rank = 1) AS kept
+        FROM ranked
+    """
 
 
 @functools.cache
@@ -5222,6 +5404,9 @@ def oracle_sql() -> dict[str, str]:
     # promoting both from rows-only to full-oracle rows
     d["image_phash"] = _image_phash_sql()
     d["image_stats"] = _image_stats_sql()
+    d["image_profile"] = _image_profile_sql()
+    d["image_quality_rules"] = _image_quality_rules_sql()
+    d["image_neardup_survivors"] = _image_neardup_survivors_sql()
     d["image_thumbnails"] = _image_thumbnails_sql()
     d["image_augment"] = _image_augment_sql()
     d["audio_features"] = _audio_features_sql()

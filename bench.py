@@ -133,6 +133,17 @@ EXTENDED_R5 = [
     "image_gate_ingest",
 ]
 
+# round-5b additions — the fused one-decode-pass image curation path:
+# profile (stats+phash in one pass), the Gopher-style image rule
+# suite, quality-ranked near-dup survivors, and the corpus recipe now
+# composing the fused profile
+EXTENDED_R5B = [
+    "image_profile",
+    "image_quality_rules",
+    "image_neardup_survivors",
+    "multimodal_corpus",
+]
+
 EXTENDED_GROUPS = [
     ("extended_sec", EXTENDED),
     ("extended_r3_sec", EXTENDED_R3),
@@ -141,6 +152,7 @@ EXTENDED_GROUPS = [
     ("extended_r4_sec", EXTENDED_R4),
     ("extended_r4b_sec", EXTENDED_R4B),
     ("extended_r5_sec", EXTENDED_R5),
+    ("extended_r5b_sec", EXTENDED_R5B),
 ]
 
 # probe agreement bound: before/after GFLOPS within 5x = the box stayed

