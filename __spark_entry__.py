@@ -3000,6 +3000,40 @@ def q_image_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_RULE_ORDER = [
+    "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+    "rule_bullet", "rule_ellipsis", "rule_alpha", "rule_stopwords",
+]
+
+
+def q_doc_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules attrition report over the documents table: per rule
+    the independent pass count AND the cumulative survivor count — the
+    Gopher paper's per-screen removal accounting, computed in ONE
+    aggregation pass (never a scan per rule).  Oracle re-derives the
+    funnel in SQL over the doc_gopher_rules oracle."""
+    from pic2vec_spark.ops.quality import rule_funnel
+    from pic2vec_spark.ops.text import gopher_quality_flags
+
+    return rule_funnel(
+        gopher_quality_flags(_documents(spark, sf_dir)), GOPHER_RULE_ORDER
+    )
+
+
+def q_image_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side rule attrition: the same one-pass funnel over the
+    image_quality_rules booleans (decode → resolution → aspect →
+    brightness → entropy → sharpness → dyn-range) — which screen drops
+    how much of the corpus, and the survivor curve through the
+    pipeline.  Oracle re-derives the funnel over the rules literals."""
+    from pic2vec_spark.ops.multimodal import IMAGE_RULE_COLS, image_quality_rules
+    from pic2vec_spark.ops.quality import rule_funnel
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return rule_funnel(image_quality_rules(images), list(IMAGE_RULE_COLS))
+
+
 def q_image_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked canonical selection over pHash near-dup clusters:
     one decode pass (fused profile), pigeonhole Hamming pairs, min-label
@@ -3333,6 +3367,10 @@ _R05_GATE_WINDOW = [
     # three r03-covered anchors — pit_backfill, scd2_user_state,
     # events_zorder keep their r03 artifacts — union preserved)
     "image_profile", "image_quality_rules", "image_neardup_survivors",
+    # rule-funnel attrition reports (swapped in for the last two
+    # r03-covered anchors — asof_join, multi_asof keep their r03
+    # artifacts — union preserved)
+    "doc_rule_funnel", "image_rule_funnel",
     # oldest previously-gated anchors (r01 rows-only, then r02 family)
     # (dedup_jaccard swapped out for image_gate_ingest — it keeps its
     # r02 artifact AND the sf0.1 scale-gate row, so the union holds)
@@ -3341,8 +3379,6 @@ _R05_GATE_WINDOW = [
     "neardup_consensus", "neardup_clusters", "dedup_survivors",
     "snapshot_lineage", "knn_lsh",
     "knn_ivf", "embedding_neardup", "embedding_neardup_lsh",
-    # r03 heavyweights
-    "asof_join", "multi_asof",
 ]
 
 
@@ -3492,6 +3528,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_profile": q_image_profile,
         "image_quality_rules": q_image_quality_rules,
         "image_neardup_survivors": q_image_neardup_survivors,
+        "doc_rule_funnel": q_doc_rule_funnel,
+        "image_rule_funnel": q_image_rule_funnel,
         "image_augment": q_image_augment,
         "multimodal_corpus": q_multimodal_corpus,
         "neardup_degree_hist": q_neardup_degree_hist,
@@ -3987,6 +4025,36 @@ def _image_neardup_survivors_sql() -> str:
         SELECT image_id, cluster_id, n_members, quality_rank,
                (quality_rank = 1) AS kept
         FROM ranked
+    """
+
+
+def _rule_funnel_sql(base_sql: str, rule_cols: list[str]) -> str:
+    """Funnel oracle generator: per-rule independent pass counts and
+    cumulative AND-chain survivor counts re-derived in SQL over any
+    rule-suite oracle (doc_gopher_rules / image_quality_rules), with
+    explicit BIGINT casts so DuckDB's HUGEINT sums can't render as
+    float64 (the dtype trap the oracle lint test guards)."""
+    parts = []
+    for i, c in enumerate(rule_cols):
+        cum = " AND ".join(rule_cols[: i + 1])
+        parts.append(f"""
+          SELECT '{c}' AS rule, {i + 1} AS rule_order,
+                 CAST(COUNT(*) AS BIGINT) AS n_total,
+                 CAST(COALESCE(SUM(CASE WHEN {c} THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_pass,
+                 CAST(COALESCE(SUM(CASE WHEN {cum} THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_survive
+          FROM base""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH base AS ({base_sql}),
+        f AS ({union})
+        SELECT rule, rule_order, n_total, n_pass, n_survive,
+               CASE WHEN n_total > 0
+                 THEN ROUND(n_pass * 1.0 / n_total, 6) END AS pass_rate,
+               CASE WHEN n_total > 0
+                 THEN ROUND(n_survive * 1.0 / n_total, 6) END AS survive_rate
+        FROM f
     """
 
 
@@ -5407,6 +5475,14 @@ def oracle_sql() -> dict[str, str]:
     d["image_profile"] = _image_profile_sql()
     d["image_quality_rules"] = _image_quality_rules_sql()
     d["image_neardup_survivors"] = _image_neardup_survivors_sql()
+    # funnels re-derive per-rule pass + cumulative survivor counts over
+    # the member rule-suite oracles — composition cannot drift
+    from pic2vec_spark.ops.multimodal import IMAGE_RULE_COLS
+
+    d["doc_rule_funnel"] = _rule_funnel_sql(_doc_gopher_sql(), GOPHER_RULE_ORDER)
+    d["image_rule_funnel"] = _rule_funnel_sql(
+        _image_quality_rules_sql(), list(IMAGE_RULE_COLS)
+    )
     d["image_thumbnails"] = _image_thumbnails_sql()
     d["image_augment"] = _image_augment_sql()
     d["audio_features"] = _audio_features_sql()

@@ -142,6 +142,8 @@ EXTENDED_R5B = [
     "image_quality_rules",
     "image_neardup_survivors",
     "multimodal_corpus",
+    "doc_rule_funnel",
+    "image_rule_funnel",
 ]
 
 EXTENDED_GROUPS = [

@@ -127,3 +127,56 @@ def check_foreign_key(
         [(f"foreign_key({col})", n, orphans, orphans == 0)],
         "check_name string, n_rows bigint, n_violations bigint, pass boolean",
     )
+
+
+def rule_funnel(df: DataFrame, rule_cols: list[str]) -> DataFrame:
+    """Gopher-style attrition report over a boolean rule suite (Rae et
+    al. 2021 report per-rule removal rates for each quality screen):
+    one output row per rule, in the given order, carrying BOTH the
+    independent pass count (how many rows satisfy this rule alone) and
+    the cumulative survivor count (rows satisfying rules 1..k) — the
+    two numbers a curation run needs to see which screen is doing the
+    work and how the corpus shrinks through the pipeline.
+
+    Works over any frame with boolean rule columns — ``ops.text.
+    gopher_quality_flags`` and ``ops.multimodal.image_quality_rules``
+    both qualify.  Rule columns are expected NULL-free (both suites
+    emit total booleans); a NULL rule value is skipped by the sums.
+
+    Shape: ONE aggregation pass (2·k+1 conditional sums folding
+    map-side into a single row — never a scan per rule), then a
+    ``stack`` unpivot of that one row.  The report is O(#rules) rows
+    regardless of input size; rates are round-6 closed forms so a SQL
+    oracle reproduces them exactly, and an empty input yields zero
+    counts with NULL rates (never a divide-by-zero)."""
+    if not rule_cols:
+        raise ValueError("rule_funnel needs at least one rule column")
+    aggs = [F.count(F.lit(1)).alias("_n_total")]
+    cum: Column | None = None
+    for c in rule_cols:
+        cum = F.col(c) if cum is None else cum & F.col(c)
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"_p_{c}"))
+        aggs.append(F.sum(cum.cast("long")).alias(f"_s_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {i + 1}, _p_{c}, _s_{c}" for i, c in enumerate(rule_cols)
+    )
+    out = row.selectExpr(
+        "_n_total",
+        f"stack({len(rule_cols)}, {stack_args})"
+        " AS (rule, rule_order, _n_pass, _n_survive)",
+    )
+    total = F.col("_n_total")
+    return out.select(
+        "rule",
+        F.col("rule_order").cast("int").alias("rule_order"),
+        total.alias("n_total"),
+        F.coalesce(F.col("_n_pass"), F.lit(0)).alias("n_pass"),
+        F.coalesce(F.col("_n_survive"), F.lit(0)).alias("n_survive"),
+        F.when(total > 0, F.round(F.col("_n_pass") / total, 6)).alias(
+            "pass_rate"
+        ),
+        F.when(total > 0, F.round(F.col("_n_survive") / total, 6)).alias(
+            "survive_rate"
+        ),
+    )

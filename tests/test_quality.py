@@ -83,3 +83,72 @@ def test_foreign_key_report(spark, facts):
     # unions cleanly with the aggregate report
     both = check_constraints(facts, [not_null("event_id")]).unionByName(rep)
     assert both.count() == 2
+
+
+class TestRuleFunnel:
+    """Gopher-style attrition report: hand-computed funnel over a
+    3-rule fixture, single-pass plan, and empty-input semantics."""
+
+    @pytest.fixture()
+    def ruled(self, spark):
+        # (a, b, c): a passes 3/4, b 3/4, c 2/4; cumulative 3, 2, 1
+        rows = [
+            (True, True, True),
+            (True, True, False),
+            (True, False, True),
+            (False, True, False),
+        ]
+        return spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+
+    def test_hand_funnel(self, ruled):
+        from pic2vec_spark.ops.quality import rule_funnel
+
+        out = {
+            r["rule"]: r
+            for r in rule_funnel(ruled, ["a", "b", "c"]).collect()
+        }
+        assert len(out) == 3
+        assert (out["a"]["n_pass"], out["a"]["n_survive"]) == (3, 3)
+        assert (out["b"]["n_pass"], out["b"]["n_survive"]) == (3, 2)
+        assert (out["c"]["n_pass"], out["c"]["n_survive"]) == (2, 1)
+        assert [out[k]["rule_order"] for k in ("a", "b", "c")] == [1, 2, 3]
+        assert all(r["n_total"] == 4 for r in out.values())
+        assert out["c"]["pass_rate"] == 0.5
+        assert out["c"]["survive_rate"] == 0.25
+
+    def test_order_changes_survivors_not_passes(self, ruled):
+        from pic2vec_spark.ops.quality import rule_funnel
+
+        out = {
+            r["rule"]: r
+            for r in rule_funnel(ruled, ["c", "a", "b"]).collect()
+        }
+        # independent pass counts are order-free; survivors are not
+        assert out["c"]["n_pass"] == 2 and out["c"]["n_survive"] == 2
+        assert out["a"]["n_survive"] == 2   # c AND a
+        assert out["b"]["n_survive"] == 1   # c AND a AND b
+        assert out["b"]["n_pass"] == 3
+
+    def test_empty_input(self, spark):
+        from pic2vec_spark.ops.quality import rule_funnel
+
+        empty = spark.createDataFrame([], "a boolean, b boolean")
+        rows = rule_funnel(empty, ["a", "b"]).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert (r["n_total"], r["n_pass"], r["n_survive"]) == (0, 0, 0)
+            assert r["pass_rate"] is None and r["survive_rate"] is None
+
+    def test_single_scan_plan(self, ruled):
+        from pic2vec_spark.ops.quality import rule_funnel
+
+        plan = rule_funnel(ruled, ["a", "b", "c"])._jdf.queryExecution().executedPlan().toString()
+        # one aggregation over the input, no join, no per-rule re-scan
+        assert plan.count("LocalTableScan") <= 1
+        assert "Join" not in plan
+
+    def test_needs_rules(self, ruled):
+        from pic2vec_spark.ops.quality import rule_funnel
+
+        with pytest.raises(ValueError, match="at least one rule"):
+            rule_funnel(ruled, [])
