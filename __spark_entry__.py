@@ -1070,6 +1070,48 @@ def q_pit_asof_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_curated_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation propagated through the point-in-time join with zero
+    temporal leakage: the timeline's feature side is screened by the
+    image quality rule suite FIRST (only rule-passing images are
+    observable), so a query whose latest image fails a screen falls
+    back to the previous PASSING image — never forward to a leaked
+    future one.  This is the axes-A+B composition in one row: upstream
+    curation decisions change which observations exist, and the as-of
+    alignment must respect that under the same (ts, side, tiebreak)
+    order.  Plan: broadcast semi-join of the ≤n_images passing-id set
+    into the feature scan (narrow), then the single-exchange as-of.
+    Oracle: the flagship alignment window oracle with the rules
+    literals as the feature-side filter."""
+    from pic2vec_spark.ops.asof import asof_join
+    from pic2vec_spark.ops.multimodal import image_quality_rules
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    passing = (
+        image_quality_rules(images).filter(F.col("passes")).select("image_id")
+    )
+    tl = _timeline_from_events(spark, sf_dir, N_FLAGSHIP_IMAGES)
+    feats = (
+        tl.filter(F.col("kind") == "feature")
+        .join(F.broadcast(passing), "image_id", "semi")
+        .select("entity_id", "ts", "image_id", "row_id")
+    )
+    qrs = tl.filter(F.col("kind") == "query").select(
+        "entity_id", "ts", F.col("row_id").alias("event_id")
+    )
+    out = asof_join(
+        qrs, feats, on="entity_id", ts="ts",
+        value_cols=["image_id"], tiebreak="row_id",
+    )
+    return out.select(
+        "event_id",
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        "image_id_asof",
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline layer: dedup / text analysis / similarity search
 # --------------------------------------------------------------------------
@@ -3371,11 +3413,15 @@ _R05_GATE_WINDOW = [
     # r03-covered anchors — asof_join, multi_asof keep their r03
     # artifacts — union preserved)
     "doc_rule_funnel", "image_rule_funnel",
+    # curation-propagated as-of alignment (swapped in for the
+    # r02-covered dedup_minhash_lsh — its r02 full-oracle artifact
+    # stands — union preserved)
+    "pit_curated_asof",
     # oldest previously-gated anchors (r01 rows-only, then r02 family)
     # (dedup_jaccard swapped out for image_gate_ingest — it keeps its
     # r02 artifact AND the sf0.1 scale-gate row, so the union holds)
     "image_phash_neardup", "image_thumbnails",
-    "dedup_minhash_lsh", "doc_simhash", "simhash_neardup",
+    "doc_simhash", "simhash_neardup",
     "neardup_consensus", "neardup_clusters", "dedup_survivors",
     "snapshot_lineage", "knn_lsh",
     "knn_ivf", "embedding_neardup", "embedding_neardup_lsh",
@@ -3530,6 +3576,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup_survivors": q_image_neardup_survivors,
         "doc_rule_funnel": q_doc_rule_funnel,
         "image_rule_funnel": q_image_rule_funnel,
+        "pit_curated_asof": q_pit_curated_asof,
         "image_augment": q_image_augment,
         "multimodal_corpus": q_multimodal_corpus,
         "neardup_degree_hist": q_neardup_degree_hist,
@@ -4284,6 +4331,44 @@ def _pit_alignment_sql() -> str:
         SELECT event_id, user_id, epoch_us(ts) AS ts_us, image_id_asof,
                (image_id_asof IS NULL
                 OR image_id_asof IN ({bad_list})) AS missing_asof
+        FROM m WHERE side = 1
+    """
+
+
+@functools.cache
+def _pit_curated_asof_sql() -> str:
+    """Oracle for pit_curated_asof: the flagship alignment window with
+    the image-rules literals filtering the feature side — a feature row
+    whose image fails any screen never becomes observable, so the
+    window's last passing observation is the only legal match."""
+    img_expr = (
+        f"'img_' || lpad(CAST(event_id % {N_FLAGSHIP_IMAGES} "
+        "AS VARCHAR), 9, '0')"
+    )
+    return f"""
+        WITH rules AS ({_image_quality_rules_sql()}),
+        f AS (
+          SELECT user_id, ts, event_id, {img_expr} AS img, 0 AS side
+          FROM events
+          WHERE event_type <> 'purchase'
+            AND {img_expr} IN (SELECT image_id FROM rules WHERE passes)
+        ), q AS (
+          SELECT user_id, ts, event_id, CAST(NULL AS VARCHAR) AS img,
+                 1 AS side
+          FROM events WHERE event_type = 'purchase'
+        ), u AS (
+          SELECT * FROM f UNION ALL SELECT * FROM q
+        ), m AS (
+          SELECT u.*,
+            last_value(CASE WHEN side = 0 THEN img END IGNORE NULLS)
+              OVER w AS image_id_asof
+          FROM u
+          WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          )
+        )
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, image_id_asof
         FROM m WHERE side = 1
     """
 
@@ -6056,6 +6141,7 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT 1 FROM tp WHERE tp.id1 = ep.id1 AND tp.id2 = ep.id2)
         """,
         "pit_asof_alignment": _pit_alignment_sql(),
+        "pit_curated_asof": _pit_curated_asof_sql(),
         "asof_join": _ASOF_ORACLE.format(val="value_asof", fts="epoch_us(fts)"),
         "asof_tolerance": _ASOF_ORACLE.format(
             val="CASE WHEN fts IS NOT NULL AND epoch_us(ts) - epoch_us(fts) <= 3600000000 THEN value_asof END",

@@ -144,6 +144,7 @@ EXTENDED_R5B = [
     "multimodal_corpus",
     "doc_rule_funnel",
     "image_rule_funnel",
+    "pit_curated_asof",
 ]
 
 EXTENDED_GROUPS = [

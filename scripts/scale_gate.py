@@ -40,6 +40,10 @@ FAMILY = [
     "embedding_neardup", "embedding_neardup_lsh", "semantic_dedup",
     # cross-modal composition of both families
     "caption_image_conflicts",
+    # curation-propagated as-of: the query side scales with events
+    # (100k rows at sf0.1), pinning the screen→PIT composition beyond
+    # the sf0.01 gate
+    "pit_curated_asof",
 ]
 
 
