@@ -842,6 +842,79 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event values onto a regular 6h
+    grid with linear interpolation between the surrounding
+    observations (NULL outside the observed span — never
+    extrapolates).  One narrow explode(sequence) spine + one
+    entity-hash exchange + two framed passes of the same sorted
+    window; the missing member of the ffill/bfill family."""
+    from pic2vec_spark.ops.windows import resample_interpolate
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id", "value"
+    )
+    out = resample_interpolate(ev, step_s=21600, tiebreak="event_id")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _us("ts").alias("ts_us"),
+        "value_interp",
+    )
+
+
+def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (trapezoidal integral of
+    the piecewise-linear curve over the observed span) — the
+    burst-robust mean; one entity exchange, aggregate reuses the
+    window's partitioning."""
+    from pic2vec_spark.ops.windows import time_weighted_avg
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id", "value"
+    )
+    out = time_weighted_avg(ev, tiebreak="event_id")
+    return out.select(
+        F.col("entity_id").alias("user_id"), "n_obs", "twap"
+    )
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily open/high/low/close downsample of the value
+    stream — ONE hash aggregate (max/min of struct(ts, tiebreak, v)
+    finds open/close without a window sort), map-side partial combine,
+    no shuffle of the raw stream."""
+    from pic2vec_spark.ops.windows import ohlc_agg
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id", "value"
+    )
+    out = ohlc_agg(ev, bucket_s=86400, tiebreak="event_id")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _us("bucket_start").alias("bucket_us"),
+        "open", "high", "low", "close", "n_obs",
+    )
+
+
+_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01, keeps x well-scaled
+
+
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time via the SQL
+    regr_* aggregates (x = days since 2024-01-01): slope, intercept,
+    R² in one hash aggregate with map-side partials — the trend
+    feature of a feature store, no window, no collect."""
+    ev = _events(spark, sf_dir)
+    xd = (_us("ts") - F.lit(_TREND_EPOCH_US)) / F.lit(86_400_000_000.0)
+    y = F.col("value")
+    return ev.groupBy("user_id").agg(
+        F.count("value").alias("n_obs"),
+        F.regr_slope(y, xd).alias("slope"),
+        F.regr_intercept(y, xd).alias("intercept"),
+        F.regr_r2(y, xd).alias("r2"),
+    )
+
+
 def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) layout key over two bucketed dimensions —
     user bucket x hour-of-epoch bucket — the write-side clustering key
@@ -3421,8 +3494,19 @@ _R05_GATE_WINDOW = [
     # (dedup_jaccard swapped out for image_gate_ingest — it keeps its
     # r02 artifact AND the sf0.1 scale-gate row, so the union holds)
     "image_phash_neardup", "image_thumbnails",
-    "doc_simhash", "simhash_neardup",
-    "neardup_consensus", "neardup_clusters", "dedup_survivors",
+    # linear-interpolation resample (swapped in for the r02-covered
+    # doc_simhash — its r02 artifact AND its sf0.1 scale-gate row
+    # stand — union preserved)
+    "resample_linear",
+    # per-entity time-weighted average (swapped in for the r02-covered
+    # simhash_neardup — r02 artifact + sf0.1 scale-gate row stand —
+    # union preserved)
+    "twap_value",
+    # OHLC downsample + least-squares trend (swapped in for the
+    # r02-covered neardup_consensus / neardup_clusters — r02 artifacts
+    # + sf0.1 scale-gate rows stand — union preserved)
+    "ohlc_daily", "value_trend",
+    "dedup_survivors",
     "snapshot_lineage", "knn_lsh",
     "knn_ivf", "embedding_neardup", "embedding_neardup_lsh",
 ]
@@ -3472,6 +3556,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "multi_column_widened": q_multi_column_widened,
         "forward_fill": q_forward_fill,
+        "resample_linear": q_resample_linear,
+        "twap_value": q_twap_value,
+        "ohlc_daily": q_ohlc_daily,
+        "value_trend": q_value_trend,
         "backward_fill": q_backward_fill,
         "decayed_sum": q_decayed_sum,
         "entity_zscore": q_entity_zscore,
@@ -6524,6 +6612,111 @@ def _oracle_sql_base() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
             FROM events
+        """,
+        # OHLC: open/close resolved by the same (ts, event_id) order;
+        # the oracle uses explicit row_number windows where the engine
+        # uses min/max of struct(ts, tiebreak, v)
+        "ohlc_daily": """
+            WITH x AS (
+              SELECT user_id, epoch_us(ts) AS tu, event_id,
+                     CAST(value AS DOUBLE) AS v,
+                     epoch_us(ts) - (epoch_us(ts) % 86400000000) AS b
+              FROM events
+            ), r AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY user_id, b
+                                   ORDER BY tu, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY user_id, b
+                                   ORDER BY tu DESC, event_id DESC) AS rn_d
+              FROM x
+            )
+            SELECT user_id, b AS bucket_us,
+                   max(CASE WHEN rn_a = 1 THEN v END) AS open,
+                   max(v) AS high, min(v) AS low,
+                   max(CASE WHEN rn_d = 1 THEN v END) AS close,
+                   count(v) AS n_obs
+            FROM r GROUP BY user_id, b
+        """,
+        # least-squares trend: identical regr_* aggregates and the
+        # identical well-scaled x expression in both engines
+        "value_trend": f"""
+            SELECT user_id, count(value) AS n_obs,
+              regr_slope(value, (epoch_us(ts) - {_TREND_EPOCH_US})
+                                / 86400000000.0) AS slope,
+              regr_intercept(value, (epoch_us(ts) - {_TREND_EPOCH_US})
+                                    / 86400000000.0) AS intercept,
+              regr_r2(value, (epoch_us(ts) - {_TREND_EPOCH_US})
+                             / 86400000000.0) AS r2
+            FROM events GROUP BY user_id
+        """,
+        # TWAP: same lag-window trapezoid + zero-span degradation to
+        # the plain average as the engine
+        "twap_value": """
+            WITH x AS (
+              SELECT user_id, epoch_us(ts) AS tu,
+                     CAST(value AS DOUBLE) AS v,
+                     lag(CAST(value AS DOUBLE)) OVER w AS pv,
+                     lag(epoch_us(ts)) OVER w AS pt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(v) AS n_obs,
+              CASE WHEN max(tu) - min(tu) > 0
+                   THEN sum((v + pv) / 2 * (tu - pt))
+                        / CAST(max(tu) - min(tu) AS DOUBLE)
+                   ELSE avg(v) END AS twap
+            FROM x GROUP BY user_id
+        """,
+        # linear-interpolation resample: same obs ∪ grid union + two
+        # framed passes as the engine (obs sort before the grid row at
+        # an equal instant, so an exact-timestamp observation is the
+        # zero-distance "prev"); event_id NULL-ordering never matters —
+        # grid rows are unique per (user, instant)
+        "resample_linear": """
+            WITH obs AS (
+              SELECT user_id, epoch_us(ts) AS tu,
+                     CAST(value AS DOUBLE) AS v, event_id
+              FROM events
+            ), b AS (
+              SELECT (min(tu) // 21600000000) * 21600000000 AS g0,
+                     max(tu) AS mx
+              FROM obs
+            ), grid AS (
+              SELECT u.user_id, g.tu
+              FROM (SELECT DISTINCT user_id FROM obs) u
+              CROSS JOIN (
+                SELECT unnest(range((SELECT g0 FROM b),
+                                    (SELECT mx + 1 FROM b),
+                                    21600000000)) AS tu
+              ) g
+            ), uni AS (
+              SELECT user_id, tu, v, 0 AS side, event_id FROM obs
+              UNION ALL
+              SELECT user_id, tu, NULL, 1, NULL FROM grid
+            ), m AS (
+              SELECT user_id, tu, side,
+                last_value(CASE WHEN side = 0 THEN tu END IGNORE NULLS)
+                  OVER wp AS pt,
+                last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+                  OVER wp AS pv,
+                first_value(CASE WHEN side = 0 THEN tu END IGNORE NULLS)
+                  OVER wn AS nt,
+                first_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+                  OVER wn AS nv
+              FROM uni
+              WINDOW
+                wp AS (PARTITION BY user_id ORDER BY tu, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY user_id ORDER BY tu, side, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, tu AS ts_us,
+              CASE WHEN pt IS NULL THEN NULL
+                   WHEN pt = tu THEN pv
+                   WHEN nt IS NULL THEN NULL
+                   ELSE pv + (nv - pv) * (tu - pt) / (nt - pt)
+              END AS value_interp
+            FROM m WHERE side = 1
         """,
         "entity_zscore": """
             SELECT event_id, user_id,

@@ -145,6 +145,10 @@ EXTENDED_R5B = [
     "doc_rule_funnel",
     "image_rule_funnel",
     "pit_curated_asof",
+    "resample_linear",
+    "twap_value",
+    "ohlc_daily",
+    "value_trend",
 ]
 
 EXTENDED_GROUPS = [

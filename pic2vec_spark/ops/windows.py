@@ -112,6 +112,210 @@ def backward_fill(
     return df
 
 
+def resample_interpolate(
+    df: DataFrame,
+    step_s: int,
+    value_col: str = "value",
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> DataFrame:
+    """Resample each entity's irregular observations onto a regular
+    time grid with LINEAR interpolation between the two surrounding
+    observations — the missing member of the fill family
+    (``forward_fill`` holds the last value, ``backward_fill`` the next;
+    this one draws the line between them).  Sensor/price timelines
+    joining a fixed-cadence training grid want the interpolated level,
+    not a stale hold.
+
+    Grid points are epoch-aligned multiples of ``step_s`` covering
+    ``[start_us, end_us]`` (derived from ``df`` when not given, one
+    2-scalar aggregate).  For a grid instant ``g``:
+
+    - observation exactly at ``g`` → its value (last by ``tiebreak``
+      when several share the timestamp);
+    - ``prev < g < next`` → ``prev_v + (next_v - prev_v) *
+      (g - prev_ts) / (next_ts - prev_ts)`` (all µs doubles);
+    - ``g`` outside the entity's observed span → NULL (interpolation
+      never extrapolates; compose with ``forward_fill`` for a trailing
+      hold).
+
+    Note the ``next`` observation is read: like ``backward_fill`` this
+    is an imputation op, not a point-in-time feature source.
+
+    Scale shape: grid rows are a narrow per-entity
+    ``explode(sequence(...))`` (no shuffle, no driver materialization);
+    obs ∪ grid then takes ONE entity-hash exchange and two framed
+    passes of the same sorted window (running last + running first) —
+    never a join, never quadratic in observations per entity.  Output:
+    ``(on, ts, {value_col}_interp)``, one row per entity × grid point.
+    """
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
+    step_us = int(step_s * 1_000_000)
+    if start_us is None or end_us is None:
+        row = df.agg(F.min(_us(F.col(ts))), F.max(_us(F.col(ts)))).first()
+        if row[0] is None:
+            raise ValueError("df has no rows to derive grid bounds")
+        start_us = start_us if start_us is not None else int(row[0])
+        end_us = end_us if end_us is not None else int(row[1])
+    g0 = (start_us // step_us) * step_us
+    if end_us < g0:
+        raise ValueError("grid is empty (end < aligned start)")
+
+    tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    obs = df.select(
+        F.col(on).alias("__e"),
+        _us(F.col(ts)).alias("__tu"),
+        F.lit(0).alias("__side"),
+        tb.alias("__tb"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    grid = (
+        df.select(on).distinct()
+        .select(
+            F.col(on).alias("__e"),
+            F.explode(
+                F.sequence(F.lit(g0), F.lit(end_us), F.lit(step_us))
+            ).alias("__tu"),
+            F.lit(1).alias("__side"),
+            F.lit(None).cast("long").alias("__tb"),
+            F.lit(None).cast("double").alias("__v"),
+        )
+    )
+    # one sorted pass: obs sort BEFORE the grid row at an equal
+    # timestamp (side 0 < 1), so an exact-timestamp observation is the
+    # running-last "prev" (distance 0 → its own value) and the running
+    # -first "next" frame starts strictly after the instant
+    w = Window.partitionBy("__e").orderBy("__tu", "__side", "__tb")
+    prev = F.last(
+        F.when(F.col("__side") == 0, F.struct("__tu", "__v")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nxt = F.first(
+        F.when(F.col("__side") == 0, F.struct("__tu", "__v")), ignorenulls=True
+    ).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    ts_type = df.schema[ts].dataType
+    out = (
+        obs.unionByName(grid)
+        .withColumn("__p", prev)
+        .withColumn("__n", nxt)
+        .filter(F.col("__side") == 1)
+    )
+    val = (
+        F.when(F.col("__p").isNull(), F.lit(None).cast("double"))
+        .when(F.col("__p.__tu") == F.col("__tu"), F.col("__p.__v"))
+        .when(F.col("__n").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("__p.__v")
+            + (F.col("__n.__v") - F.col("__p.__v"))
+            * (F.col("__tu") - F.col("__p.__tu"))
+            / (F.col("__n.__tu") - F.col("__p.__tu"))
+        )
+    )
+    return out.select(
+        F.col("__e").alias(on),
+        F.timestamp_micros(F.col("__tu")).cast(ts_type).alias(ts),
+        val.alias(f"{value_col}_interp"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str = "value",
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    out_col: str = "twap",
+) -> DataFrame:
+    """Time-weighted average per entity — the trapezoidal integral of
+    the piecewise-linear value curve over the entity's observed span,
+    divided by the span.  The plain ``avg`` over-weights bursts of
+    closely-spaced observations; TWAP weights each value by how long
+    it was in force, which is what sensor levels, prices, and queue
+    depths mean by "average".
+
+    ``twap = Σ (vᵢ + vᵢ₊₁)/2 · (tᵢ₊₁ - tᵢ) / (t_max - t_min)`` over
+    consecutive observations in ``(ts, tiebreak)`` order; an entity
+    whose span is zero (a single observation, or all at one instant)
+    degrades to the plain average at that instant.  Equal-timestamp
+    segments contribute zero width, so the tiebreak affects only which
+    value anchors the adjacent segments — pass one for determinism.
+
+    Scale shape: one entity-hash exchange for the sorted lag window;
+    the per-entity aggregate reuses the same partitioning (no second
+    exchange).  Output: one row ``(on, n_obs, {out_col})`` per entity.
+    """
+    w = entity_window(on, ts, tiebreak)
+    tu = _us(F.col(ts))
+    v = F.col(value_col).cast("double")
+    seg = (v + F.lag(v).over(w)) / 2.0 * (tu - F.lag(tu).over(w)).cast("double")
+    x = df.select(
+        F.col(on), tu.alias("__tu"), v.alias("__v"), seg.alias("__seg")
+    )
+    span = F.max("__tu") - F.min("__tu")
+    return x.groupBy(on).agg(
+        F.count("__v").alias("n_obs"),
+        F.when(span > 0, F.sum("__seg") / span.cast("double"))
+        .otherwise(F.avg("__v"))
+        .alias(out_col),
+    )
+
+
+def ohlc_agg(
+    df: DataFrame,
+    bucket_s: int,
+    value_col: str = "value",
+    on: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close downsample: one row per entity × tumbling
+    ``bucket_s`` bucket with the first, max, min, and last observation
+    of the bucket plus the observation count — the lossless-enough
+    summary a price/sensor timeline keeps when the raw tick stream is
+    too big to retain.
+
+    Open/close are deterministic under ``(ts, tiebreak)`` order (pass a
+    tiebreak when timestamps can collide).  Implemented as max/min of
+    ``struct(ts, tiebreak, value)`` — a single hash aggregate with
+    map-side partial combine, NO window sort: the struct's
+    lexicographic order finds the first/last row per group in one
+    pass, so the shuffle carries one partial row per (entity, bucket)
+    per mapper instead of the raw stream.  Output: ``(on, bucket_start
+    [same type as ts], open, high, low, close, n_obs)``.
+    """
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    step_us = int(bucket_s * 1_000_000)
+    tu = _us(F.col(ts))
+    tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    v = F.col(value_col).cast("double")
+    ts_type = df.schema[ts].dataType
+    x = df.select(
+        F.col(on),
+        (tu - (tu % step_us)).alias("__b"),
+        F.struct(tu.alias("t"), tb.alias("k"), v.alias("v")).alias("__s"),
+        v.alias("__v"),
+    )
+    return (
+        x.groupBy(on, "__b")
+        .agg(
+            F.min("__s").getField("v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__s").getField("v").alias("close"),
+            F.count("__v").alias("n_obs"),
+        )
+        .select(
+            on,
+            F.timestamp_micros(F.col("__b")).cast(ts_type).alias("bucket_start"),
+            "open", "high", "low", "close", "n_obs",
+        )
+    )
+
+
 # fast-path domain for decayed_sum: rows further than this many tau
 # below the entity's max ts would hit exp overflow/underflow in the
 # factored prefix form (double overflows near exp(709))

@@ -44,6 +44,13 @@ FAMILY = [
     # (100k rows at sf0.1), pinning the screen→PIT composition beyond
     # the sf0.01 gate
     "pit_curated_asof",
+    # interpolation resample: obs side scales with events (100k rows),
+    # grid side with users x 120 instants (180k rows at sf0.1)
+    "resample_linear",
+    # time-weighted average over the full 100k-event fact side
+    "twap_value",
+    # OHLC downsample + regr_* trend over the full fact side
+    "ohlc_daily", "value_trend",
 ]
 
 
