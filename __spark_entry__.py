@@ -878,6 +878,45 @@ def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sort multi-feature point-in-time training matrix: six
+    trailing features — lag-1 value, last-5-rows mean, running sum,
+    prior-event count, trailing-1h count and mean — computed over the
+    FULL event stream, then only the purchase rows (the query points)
+    are kept.  Every frame is trailing, so zero temporal leakage by
+    construction.  All windows share ONE entity exchange and ONE sort:
+    the ROWS frames order by (ts_us, event_id) and the RANGE frame's
+    (ts_us) ordering is a satisfied prefix of it — the feature-store
+    pattern where adding a feature costs a frame, not a shuffle."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", _us("ts").alias("ts_us")
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w5 = wr.rowsBetween(-4, 0)
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wh = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    x = (
+        ev.withColumn("value_lag_1", F.lag("value").over(wr))
+        .withColumn("avg_5", F.round(F.avg("value").over(w5), 6))
+        .withColumn("sum_cum", F.round(F.sum("value").over(wcum), 6))
+        .withColumn(
+            "n_prior", (F.row_number().over(wr) - 1).cast("long")
+        )
+        .withColumn("n_1h", F.count("value").over(wh))
+        .withColumn("avg_1h", F.round(F.avg("value").over(wh), 6))
+    )
+    return x.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us",
+        "value_lag_1", "avg_5", "sum_cum", "n_prior", "n_1h", "avg_1h",
+    )
+
+
 def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily open/high/low/close downsample of the value
     stream — ONE hash aggregate (max/min of struct(ts, tiebreak, v)
@@ -2882,6 +2921,69 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three perceptual fingerprints — DCT pHash, gradient dHash,
+    mean aHash — in ONE decode pass (ops.multimodal.compute_fingerprints).
+    At 10^12 images the JPEG decode dominates fingerprinting cost, so a
+    multi-hash pipeline must never decode once per hash.  Full literal
+    oracle (_image_fingerprints_sql): every hash of the deterministic
+    synth corpus recomputed driver-side with the same kernels and
+    embedded as BIGINT literals — which also pins fused ≡ single-pass
+    (the phash64 column must equal _image_phash_sql's values)."""
+    from pic2vec_spark.ops.multimodal import compute_fingerprints
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return compute_fingerprints(images).select(
+        "image_id", "phash64", "dhash64", "ahash64", "fp_ok"
+    )
+
+
+def q_fingerprint_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus near-duplicate image pairs: a pair is reported only
+    when >=2 of the 3 structurally different fingerprints (DCT /
+    gradient / mean) place it within 4 Hamming bits — the single-hash
+    false-positive screen for image dedup at scale.  ONE decode pass
+    feeds all three pigeonhole bucket joins (the fused fingerprint
+    frame is localCheckpointed: decode is the dominant cost and must
+    not be paid 3x), then a pair-keyed vote count.  Oracle: the
+    INDEPENDENT all-pairs bit_count(xor) brute force over the literal
+    hash table — it pins bucket recall per algo AND the vote logic."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs
+    from pic2vec_spark.ops.multimodal import compute_fingerprints
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    fp = (
+        compute_fingerprints(images)
+        .filter(F.col("fp_ok"))
+        .select("image_id", "phash64", "dhash64", "ahash64")
+        .localCheckpoint(eager=False)
+    )
+    votes = None
+    for col in ("phash64", "dhash64", "ahash64"):
+        hits = hamming_neardup_pairs(
+            fp.select("image_id", col), "image_id",
+            max_distance=4, sig_col=col, bits=64,
+        ).select(
+            "id1", "id2", F.lit(col.replace("64", "")).alias("algo")
+        )
+        votes = hits if votes is None else votes.unionByName(hits)
+    return (
+        votes.groupBy("id1", "id2")
+        .agg(
+            F.count("*").alias("n_algos"),
+            F.max(F.col("algo") == "phash").alias("hit_phash"),
+            F.max(F.col("algo") == "dhash").alias("hit_dhash"),
+            F.max(F.col("algo") == "ahash").alias("hit_ahash"),
+        )
+        .filter(F.col("n_algos") >= 2)
+        .select(
+            "id1", "id2", "n_algos", "hit_phash", "hit_dhash", "hit_ahash"
+        )
+    )
+
+
 def _flagship_phashes(spark: SparkSession) -> DataFrame:
     """(image_id, phash64, idx) for the deterministic synth corpus —
     the fingerprint input of the persisted Hamming index queries."""
@@ -3506,9 +3608,16 @@ _R05_GATE_WINDOW = [
     # r02-covered neardup_consensus / neardup_clusters — r02 artifacts
     # + sf0.1 scale-gate rows stand — union preserved)
     "ohlc_daily", "value_trend",
-    "dedup_survivors",
-    "snapshot_lineage", "knn_lsh",
-    "knn_ivf", "embedding_neardup", "embedding_neardup_lsh",
+    # one-sort multi-feature PIT matrix (swapped in for the
+    # r02-covered dedup_survivors — r02 artifact + sf0.1 scale-gate
+    # row stand — union preserved)
+    "pit_feature_matrix",
+    # fused one-decode fingerprint triple + >=2-of-3 consensus near-dup
+    # (swapped in for the r02-covered knn_lsh / knn_ivf — r02 artifacts
+    # + sf0.1 scale-gate rows stand — union preserved)
+    "image_fingerprints", "fingerprint_consensus",
+    "snapshot_lineage",
+    "embedding_neardup", "embedding_neardup_lsh",
 ]
 
 
@@ -3559,6 +3668,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_linear": q_resample_linear,
         "twap_value": q_twap_value,
         "ohlc_daily": q_ohlc_daily,
+        "pit_feature_matrix": q_pit_feature_matrix,
         "value_trend": q_value_trend,
         "backward_fill": q_backward_fill,
         "decayed_sum": q_decayed_sum,
@@ -3654,6 +3764,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "image_phash": q_image_phash,
         "image_phash_neardup": q_image_phash_neardup,
+        "image_fingerprints": q_image_fingerprints,
+        "fingerprint_consensus": q_fingerprint_consensus,
         "phash_index_pairs": q_phash_index_pairs,
         "phash_index_probe": q_phash_index_probe,
         "image_gate_ingest": q_image_gate_ingest,
@@ -4018,6 +4130,59 @@ def _image_phash_sql() -> str:
         + ", ".join(vals)
         + ") AS t(image_id, phash64, phash64_ok)"
     )
+
+
+@functools.cache
+def _image_fingerprints_sql() -> str:
+    """Literal oracle for image_fingerprints: all three perceptual
+    hashes of each deterministic synth image recomputed driver-side
+    with the SAME decode_image + phash64/dhash64/ahash64 kernels the
+    fused one-decode UDF runs, embedded as BIGINT literals — pinning
+    the mapInPandas plumbing AND fused ≡ single-pass equality."""
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.ops.multimodal import ahash64, dhash64, phash64
+
+    vals = []
+    for r in _flagship_synth_rows():
+        try:
+            img = decode_image(r["bytes"], r["fmt"])
+            p, d, a, ok = phash64(img), dhash64(img), ahash64(img), True
+        except Exception:
+            p, d, a, ok = 0, 0, 0, False
+        vals.append(
+            f"('{r['image_id']}', CAST({p} AS BIGINT), CAST({d} AS BIGINT),"
+            f" CAST({a} AS BIGINT), {'TRUE' if ok else 'FALSE'})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, phash64, dhash64, ahash64, fp_ok)"
+    )
+
+
+def _fingerprint_consensus_sql() -> str:
+    """Oracle for fingerprint_consensus: INDEPENDENT all-pairs
+    bit_count(xor) brute force per algo over the literal fingerprint
+    table, then the same >=2-of-3 vote — re-pins pigeonhole bucket
+    recall for every hash and the consensus logic itself."""
+    return f"""
+        WITH fp AS ({_image_fingerprints_sql()}),
+        ok AS (SELECT * FROM fp WHERE fp_ok),
+        pairs AS (
+          SELECT a.image_id AS id1, b.image_id AS id2,
+                 (bit_count(xor(a.phash64, b.phash64)) <= 4) AS hit_phash,
+                 (bit_count(xor(a.dhash64, b.dhash64)) <= 4) AS hit_dhash,
+                 (bit_count(xor(a.ahash64, b.ahash64)) <= 4) AS hit_ahash
+          FROM ok a JOIN ok b ON a.image_id < b.image_id
+        )
+        SELECT id1, id2,
+               CAST(CAST(hit_phash AS INT) + CAST(hit_dhash AS INT)
+                    + CAST(hit_ahash AS INT) AS BIGINT) AS n_algos,
+               hit_phash, hit_dhash, hit_ahash
+        FROM pairs
+        WHERE CAST(hit_phash AS INT) + CAST(hit_dhash AS INT)
+              + CAST(hit_ahash AS INT) >= 2
+    """
 
 
 @functools.cache
@@ -5661,6 +5826,9 @@ def oracle_sql() -> dict[str, str]:
     d["audio_features"] = _audio_features_sql()
     # independent all-pairs Hamming brute force over the literal phashes
     d["image_phash_neardup"] = _image_phash_neardup_sql()
+    # fused one-decode fingerprint triple + >=2-of-3 consensus vote
+    d["image_fingerprints"] = _image_fingerprints_sql()
+    d["fingerprint_consensus"] = _fingerprint_consensus_sql()
     # the persisted Hamming index must reproduce the same brute-force
     # pair set (build on even + append odd == full corpus), and the
     # ingest probe the subset with an odd (incoming) side
@@ -6612,6 +6780,35 @@ def _oracle_sql_base() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
             FROM events
+        """,
+        # one-sort PIT feature matrix: the identical six trailing
+        # frames; features over the full stream, purchase rows kept
+        "pit_feature_matrix": """
+            SELECT event_id, user_id, ts_us, value_lag_1, avg_5,
+                   sum_cum, n_prior, n_1h, avg_1h
+            FROM (
+              SELECT event_id, user_id, event_type,
+                epoch_us(ts) AS ts_us,
+                lag(value) OVER wr AS value_lag_1,
+                round(avg(value) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg_5,
+                round(sum(value) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS sum_cum,
+                row_number() OVER wr - 1 AS n_prior,
+                count(value) OVER wh AS n_1h,
+                round(avg(value) OVER wh, 6) AS avg_1h
+              FROM events
+              WINDOW
+                wr AS (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id),
+                wh AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW)
+            )
+            WHERE event_type = 'purchase'
         """,
         # OHLC: open/close resolved by the same (ts, event_id) order;
         # the oracle uses explicit row_number windows where the engine

@@ -149,6 +149,8 @@ EXTENDED_R5B = [
     "twap_value",
     "ohlc_daily",
     "value_trend",
+    "pit_feature_matrix",
+    "fingerprint_consensus",
 ]
 
 EXTENDED_GROUPS = [

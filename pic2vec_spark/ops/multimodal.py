@@ -133,6 +133,93 @@ def compute_phash(
     return df.mapInPandas(run, schema=schema)
 
 
+def _pack_bits64(bits: np.ndarray) -> int:
+    """Pack a flat boolean array (<=64 long) into a SIGNED 64-bit int
+    (Spark LongType two's complement), bit i = bits[i]."""
+    v = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def dhash64(img: np.ndarray, hash_size: int = 8) -> int:
+    """Row-gradient difference hash of an (H, W, 3) uint8 image:
+    grayscale -> resize to hash_size x (hash_size+1) -> bit (r, c) =
+    pixel(r, c+1) > pixel(r, c).  Gradient direction survives global
+    brightness/contrast shifts that flip aHash bits, and it is O(n)
+    where pHash pays a DCT — the cheap member of the fingerprint
+    family."""
+    from pic2vec_spark.preprocess import resize_nearest, to_grayscale
+
+    g = to_grayscale(resize_nearest(img, (hash_size, hash_size + 1)))[
+        ..., 0
+    ].astype(np.int32)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
+
+
+def ahash64(img: np.ndarray, hash_size: int = 8) -> int:
+    """Average hash: grayscale -> resize to hash_size^2 -> bit i =
+    pixel_i > mean.  The bluntest fingerprint — kept because consensus
+    across structurally different hashes (DCT / gradient / mean) is
+    what makes multi-fingerprint near-dup voting robust."""
+    from pic2vec_spark.preprocess import resize_nearest, to_grayscale
+
+    g = to_grayscale(resize_nearest(img, (hash_size, hash_size)))[
+        ..., 0
+    ].astype(np.float64)
+    return _pack_bits64(g.ravel() > g.mean())
+
+
+def compute_fingerprints(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """All three perceptual fingerprints (pHash DCT, dHash gradient,
+    aHash mean) in ONE decode pass — at 10^12 images the JPEG decode
+    dominates, so a consensus near-dup pipeline must never decode once
+    per hash.  Emits ``phash64/dhash64/ahash64: long`` + ``fp_ok:
+    boolean``; values are identical to running compute_phash / the
+    single-hash kernels separately (pinned by tests and the driver's
+    literal oracle).  Narrow map, no shuffle, no per-row Python."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("phash64", T.LongType(), False),
+            T.StructField("dhash64", T.LongType(), False),
+            T.StructField("ahash64", T.LongType(), False),
+            T.StructField("fp_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ph, dh, ah, oks = [], [], [], []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    img = decode_image(data, fmt)
+                    ph.append(phash64(img, hash_size, highfreq_factor))
+                    dh.append(dhash64(img, hash_size))
+                    ah.append(ahash64(img, hash_size))
+                    oks.append(True)
+                except Exception:
+                    ph.append(0)
+                    dh.append(0)
+                    ah.append(0)
+                    oks.append(False)
+            out = pdf.copy()
+            out["phash64"] = pd.array(ph, dtype="int64")
+            out["dhash64"] = pd.array(dh, dtype="int64")
+            out["ahash64"] = pd.array(ah, dtype="int64")
+            out["fp_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def _gray_f64(img: np.ndarray) -> np.ndarray:
     from pic2vec_spark.preprocess import to_grayscale
 

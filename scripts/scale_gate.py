@@ -51,6 +51,8 @@ FAMILY = [
     "twap_value",
     # OHLC downsample + regr_* trend over the full fact side
     "ohlc_daily", "value_trend",
+    # one-sort six-feature PIT matrix over the full fact side
+    "pit_feature_matrix",
 ]
 
 

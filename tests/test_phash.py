@@ -121,3 +121,64 @@ def test_hamming_sig_col_no_collision_with_existing_simhash(spark):
     ).toPandas()
     got = {(r.id1, r.id2, r.hamming) for _, r in out.iterrows()}
     assert got == {(1, 2, 1)}  # 0b1010 vs 0b1011; others are 4+ bits apart
+
+
+def test_dhash_closed_form_and_brightness_invariance():
+    from pic2vec_spark.ops.multimodal import dhash64
+
+    # strictly increasing columns -> every adjacent-column gradient is
+    # positive -> all 64 bits set -> signed int64 -1
+    ramp = np.tile(np.arange(0, 255, 255 // 10, dtype=np.uint8)[None, :, None], (9, 1, 3))
+    assert dhash64(ramp) == -1
+    # strictly decreasing -> no bits set
+    assert dhash64(ramp[:, ::-1]) == 0
+    # a global brightness shift preserves every gradient direction
+    # (compress to [0,127] first so +40 never clips and every strict
+    # inequality survives exactly)
+    img = (_gradient(3) // 2).astype(np.uint8)
+    shifted = (img.astype(np.int32) + 40).astype(np.uint8)
+    assert dhash64(img) == dhash64(shifted)
+
+
+def test_ahash_closed_form():
+    from pic2vec_spark.ops.multimodal import ahash64
+
+    # left half dark, right half bright: bits set exactly where col >= 4
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, 4:] = 200
+    expect = 0
+    for r in range(8):
+        for c in range(4, 8):
+            expect |= 1 << (r * 8 + c)
+    expect = expect - (1 << 64) if expect >= 1 << 63 else expect
+    assert ahash64(img) == expect
+
+
+def test_fused_fingerprints_equal_single_pass(spark):
+    from pic2vec_spark.ops.multimodal import (
+        ahash64,
+        compute_fingerprints,
+        dhash64,
+    )
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, 32, seed=42)
+    fused = (
+        compute_fingerprints(images)
+        .select("image_id", "bytes", "fmt", "phash64", "dhash64", "ahash64", "fp_ok")
+        .toPandas()
+    )
+    single = compute_phash(images).select("image_id", "phash64").toPandas()
+    merged = fused.merge(single, on="image_id", suffixes=("", "_single"))
+    # fused phash == single-pass phash row for row (ok rows)
+    ok = merged[merged.fp_ok]
+    assert (ok.phash64 == ok.phash64_single).all()
+    for _, r in fused.iterrows():
+        try:
+            img = decode_image(bytes(r["bytes"]), r["fmt"] or "")
+        except Exception:
+            assert not r.fp_ok and r.dhash64 == 0 and r.ahash64 == 0
+            continue
+        assert r.fp_ok
+        assert r.dhash64 == dhash64(img)
+        assert r.ahash64 == ahash64(img)

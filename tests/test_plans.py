@@ -116,3 +116,13 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
     """Pure projections must not shuffle at all."""
     plan = _plan(spark, name)
     assert "Exchange" not in plan, name
+
+
+def test_pit_feature_matrix_one_exchange_one_sort(spark):
+    """Six trailing features must share ONE entity exchange and ONE
+    sort: the RANGE frame's (ts_us) ordering is a satisfied prefix of
+    the ROWS frames' (ts_us, event_id) sort — adding a feature costs a
+    frame, never a second shuffle or re-sort."""
+    plan = _plan(spark, "pit_feature_matrix")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
