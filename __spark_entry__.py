@@ -2984,6 +2984,153 @@ def q_fingerprint_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_image_repost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal image repost detection — the axes-A+B cross in one row:
+    for every image OBSERVATION on a user's timeline, find the earlier
+    observations by the SAME user within the trailing 24 h whose image
+    is a perceptual near-duplicate (pHash Hamming <= 4; 'exact' when it
+    is literally the same image id, 'near' otherwise).  The canonical
+    feed-curation question ("is this user re-posting the same picture
+    today?") needs image fingerprints AND windowed point-in-time logic
+    together.  Plan: broadcast-enrich observations with the corpus
+    fingerprints (bounded dim table; a 10^12-row corpus would carry the
+    hash as a column instead), then ops.ranges.range_join — day-bucket
+    replication + (user, bucket) EQUI-join, never a per-user cross
+    product — then the exact window + Hamming filters.  Oracle: DuckDB
+    brute-force self-join over the literal fingerprint table."""
+    from pic2vec_spark.ops.multimodal import compute_fingerprints
+    from pic2vec_spark.ops.ranges import range_join
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    fp = (
+        compute_fingerprints(images)
+        .filter(F.col("fp_ok"))
+        .select("image_id", "phash64")
+    )
+    obs = (
+        _timeline_from_events(spark, sf_dir, N_FLAGSHIP_IMAGES)
+        .filter(F.col("kind") == "feature")
+        .select("entity_id", "row_id", "ts", "image_id")
+        .join(F.broadcast(fp), "image_id")
+    )
+    earlier = obs.select(
+        "entity_id",
+        F.col("row_id").alias("id1"),
+        F.col("ts").alias("ts1"),
+        F.col("image_id").alias("img1"),
+        F.col("phash64").alias("ph1"),
+    )
+    later = obs.select(
+        "entity_id",
+        F.col("row_id").alias("id2"),
+        F.col("ts").alias("ts2"),
+        F.col("image_id").alias("img2"),
+        F.col("phash64").alias("ph2"),
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    pairs = range_join(
+        earlier, later, ts="ts1", start="w_start", end="w_end",
+        on="entity_id", bucket_s=86400.0,
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .select(
+            F.col("entity_id").alias("user_id"),
+            "id1", "id2", "img1", "img2",
+            (_us("ts2") - _us("ts1")).alias("gap_us"),
+            "hamming",
+            F.when(F.col("img1") == F.col("img2"), F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("kind"),
+        )
+    )
+
+
+def q_repost_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free repost FEATURES per observation — the training-side
+    consumer of q_temporal_image_repost: for EVERY image observation on
+    a user's timeline, how many perceptual near-duplicates (pHash
+    Hamming <= 4) did the same user post in the trailing 24 h, how many
+    of those were the literally-identical image, and how long ago was
+    the most recent one.  All three features look strictly BACKWARD
+    (half-open window, ts1 < ts2) — the point-in-time discipline of the
+    as-of flagship applied to fingerprint self-similarity, zero
+    temporal leakage by construction.  Plan: ONE decode (fingerprints
+    broadcast onto the timeline, frame localCheckpointed so the
+    earlier/later/output branches share it instead of re-scanning
+    events + re-decoding), day-bucket range_join for the pair set
+    (never a per-user cross product), map-side-combinable hash
+    aggregate on the later-observation id, then a left join back so
+    observations with no prior repost keep count 0 / NULL recency.  At
+    10^12 rows the checkpoint becomes a persisted snapshot and the
+    join-back shuffles on event id — no step is quadratic.  Oracle:
+    DuckDB brute-force per-user self-join + the same aggregate over the
+    literal fingerprint table."""
+    from pic2vec_spark.ops.multimodal import compute_fingerprints
+    from pic2vec_spark.ops.ranges import range_join
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    fp = (
+        compute_fingerprints(images)
+        .filter(F.col("fp_ok"))
+        .select("image_id", "phash64")
+    )
+    obs = (
+        _timeline_from_events(spark, sf_dir, N_FLAGSHIP_IMAGES)
+        .filter(F.col("kind") == "feature")
+        .select("entity_id", "row_id", "ts", "image_id")
+        .join(F.broadcast(fp), "image_id")
+        .localCheckpoint(eager=True)
+    )
+    earlier = obs.select(
+        "entity_id",
+        F.col("ts").alias("ts1"),
+        F.col("image_id").alias("img1"),
+        F.col("phash64").alias("ph1"),
+    )
+    later = obs.select(
+        "entity_id",
+        F.col("row_id").alias("id2"),
+        F.col("ts").alias("ts2"),
+        F.col("image_id").alias("img2"),
+        F.col("phash64").alias("ph2"),
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    pairs = range_join(
+        earlier, later, ts="ts1", start="w_start", end="w_end",
+        on="entity_id", bucket_s=86400.0,
+    ).filter(F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2"))) <= 4)
+    feats = pairs.groupBy("id2").agg(
+        F.count(F.lit(1)).alias("prior_neardups_24h"),
+        F.sum(
+            F.when(F.col("img1") == F.col("img2"), 1).otherwise(0)
+        ).alias("prior_exact_24h"),
+        F.min(_us("ts2") - _us("ts1")).alias("last_gap_us"),
+    )
+    return (
+        obs.join(feats, obs["row_id"] == feats["id2"], "left")
+        .select(
+            F.col("entity_id").alias("user_id"),
+            F.col("row_id").alias("event_id"),
+            _us("ts").alias("ts_us"),
+            "image_id",
+            F.coalesce("prior_neardups_24h", F.lit(0)).alias(
+                "prior_neardups_24h"
+            ),
+            F.coalesce("prior_exact_24h", F.lit(0)).alias("prior_exact_24h"),
+            "last_gap_us",
+        )
+    )
+
+
 def _flagship_phashes(spark: SparkSession) -> DataFrame:
     """(image_id, phash64, idx) for the deterministic synth corpus —
     the fingerprint input of the persisted Hamming index queries."""
@@ -3616,8 +3763,15 @@ _R05_GATE_WINDOW = [
     # (swapped in for the r02-covered knn_lsh / knn_ivf — r02 artifacts
     # + sf0.1 scale-gate rows stand — union preserved)
     "image_fingerprints", "fingerprint_consensus",
+    # per-user trailing-24h perceptual repost (swapped in for the
+    # r02-covered embedding_neardup — r02 artifact + sf0.1 scale-gate
+    # row stand — union preserved)
+    "temporal_image_repost",
+    # per-observation trailing-24h repost feature matrix (swapped in
+    # for the r02-covered embedding_neardup_lsh — r02 artifact + sf0.1
+    # scale-gate row stand — union preserved)
+    "repost_feature_matrix",
     "snapshot_lineage",
-    "embedding_neardup", "embedding_neardup_lsh",
 ]
 
 
@@ -3766,6 +3920,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "image_fingerprints": q_image_fingerprints,
         "fingerprint_consensus": q_fingerprint_consensus,
+        "temporal_image_repost": q_temporal_image_repost,
+        "repost_feature_matrix": q_repost_feature_matrix,
         "phash_index_pairs": q_phash_index_pairs,
         "phash_index_probe": q_phash_index_probe,
         "image_gate_ingest": q_image_gate_ingest,
@@ -4182,6 +4338,78 @@ def _fingerprint_consensus_sql() -> str:
         FROM pairs
         WHERE CAST(hit_phash AS INT) + CAST(hit_dhash AS INT)
               + CAST(hit_ahash AS INT) >= 2
+    """
+
+
+def _temporal_image_repost_sql() -> str:
+    """Oracle for temporal_image_repost: brute-force per-user self-join
+    with the exact half-open trailing-24h predicate over the literal
+    fingerprint table — independent of the engine's day-bucket
+    replication, so it re-pins range-join recall too."""
+    return f"""
+        WITH fp AS ({_image_fingerprints_sql()}),
+        ok AS (SELECT image_id, phash64 FROM fp WHERE fp_ok),
+        obs AS (
+          SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                 'img_' || lpad(CAST(e.event_id % {N_FLAGSHIP_IMAGES}
+                                     AS VARCHAR), 9, '0') AS image_id
+          FROM events e WHERE e.event_type <> 'purchase'
+        ),
+        enr AS (SELECT o.*, f.phash64 FROM obs o JOIN ok f USING (image_id))
+        SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+               a.image_id AS img1, b.image_id AS img2,
+               b.ts_us - a.ts_us AS gap_us,
+               CAST(bit_count(xor(a.phash64, b.phash64)) AS BIGINT)
+                 AS hamming,
+               CASE WHEN a.image_id = b.image_id THEN 'exact'
+                    ELSE 'near' END AS kind
+        FROM enr a JOIN enr b
+          ON a.user_id = b.user_id
+         AND b.ts_us - 86400000000 <= a.ts_us AND a.ts_us < b.ts_us
+        WHERE bit_count(xor(a.phash64, b.phash64)) <= 4
+    """
+
+
+def _repost_feature_matrix_sql() -> str:
+    """Oracle for repost_feature_matrix: the same brute-force per-user
+    self-join aggregated per later-observation, LEFT-joined back to the
+    full observation set so zero-prior rows are value-pinned too (the
+    engine's COALESCE defaults and NULL recency, not just the matched
+    rows).  COUNT/SUM cast to BIGINT up front — DuckDB SUM yields
+    HUGEINT, which pandas renders as float64 and the driver hash would
+    mis-compare against Spark's int64 (the doc_packing trap)."""
+    return f"""
+        WITH fp AS ({_image_fingerprints_sql()}),
+        ok AS (SELECT image_id, phash64 FROM fp WHERE fp_ok),
+        obs AS (
+          SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                 'img_' || lpad(CAST(e.event_id % {N_FLAGSHIP_IMAGES}
+                                     AS VARCHAR), 9, '0') AS image_id
+          FROM events e WHERE e.event_type <> 'purchase'
+        ),
+        enr AS (SELECT o.*, f.phash64 FROM obs o JOIN ok f USING (image_id)),
+        pairs AS (
+          SELECT b.event_id AS id2,
+                 b.ts_us - a.ts_us AS gap_us,
+                 CASE WHEN a.image_id = b.image_id THEN 1 ELSE 0
+                   END AS is_exact
+          FROM enr a JOIN enr b
+            ON a.user_id = b.user_id
+           AND b.ts_us - 86400000000 <= a.ts_us AND a.ts_us < b.ts_us
+          WHERE bit_count(xor(a.phash64, b.phash64)) <= 4
+        ),
+        agg AS (
+          SELECT id2,
+                 CAST(COUNT(*) AS BIGINT) AS prior_neardups_24h,
+                 CAST(SUM(is_exact) AS BIGINT) AS prior_exact_24h,
+                 CAST(MIN(gap_us) AS BIGINT) AS last_gap_us
+          FROM pairs GROUP BY id2
+        )
+        SELECT o.user_id, o.event_id, o.ts_us, o.image_id,
+               COALESCE(g.prior_neardups_24h, 0) AS prior_neardups_24h,
+               COALESCE(g.prior_exact_24h, 0) AS prior_exact_24h,
+               g.last_gap_us
+        FROM enr o LEFT JOIN agg g ON o.event_id = g.id2
     """
 
 
@@ -5829,6 +6057,11 @@ def oracle_sql() -> dict[str, str]:
     # fused one-decode fingerprint triple + >=2-of-3 consensus vote
     d["image_fingerprints"] = _image_fingerprints_sql()
     d["fingerprint_consensus"] = _fingerprint_consensus_sql()
+    # per-user trailing-24h perceptual repost pairs (range join proof)
+    d["temporal_image_repost"] = _temporal_image_repost_sql()
+    # per-observation trailing-24h repost features (zero-prior rows
+    # value-pinned by the LEFT join in the oracle)
+    d["repost_feature_matrix"] = _repost_feature_matrix_sql()
     # the persisted Hamming index must reproduce the same brute-force
     # pair set (build on even + append odd == full corpus), and the
     # ingest probe the subset with an odd (incoming) side

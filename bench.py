@@ -151,6 +151,8 @@ EXTENDED_R5B = [
     "value_trend",
     "pit_feature_matrix",
     "fingerprint_consensus",
+    "temporal_image_repost",
+    "repost_feature_matrix",
 ]
 
 EXTENDED_GROUPS = [
