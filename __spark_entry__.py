@@ -3131,6 +3131,169 @@ def q_repost_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repost_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user viral spread, point-in-time safe: for every image
+    observation, how many DISTINCT OTHER users had posted a perceptual
+    near-duplicate of the same image (pHash Hamming <= 4 connected
+    component; unpaired images are their own singleton cluster)
+    STRICTLY BEFORE this observation.  The global counterpart of
+    q_repost_feature_matrix's per-user features — "how widely had this
+    picture already spread when the user posted it" is a training
+    feature only if it never peeks forward.  Plan: cluster the bounded
+    fingerprint dim (pigeonhole pair buckets → min-label CC) and
+    broadcast image→cluster onto the timeline; reduce to one FIRST-POST
+    marker per (cluster, user); a single per-cluster cumulative window
+    over the union of markers and observations (markers tie-sorted
+    AFTER observations, so an equal-timestamp first post is not
+    counted — strictly before); subtract the observer's own earlier
+    marker with an equi-join.  One window shuffle on cluster_id, one
+    join — no per-pair blowup; a hub cluster at 10^12 rows is the same
+    skew case as any hot window key (salt or two-pointer range
+    partition).  Oracle: recursive-CTE CC over the literal phash table
+    + brute-force first-post count join in DuckDB."""
+    from pyspark.sql import Window
+
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, neardup_clusters
+    from pic2vec_spark.ops.multimodal import compute_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    ph = (
+        compute_phash(images)
+        .filter(F.col("phash64_ok"))
+        .select("image_id", "phash64")
+    )
+    pairs = hamming_neardup_pairs(
+        ph, "image_id", max_distance=4, sig_col="phash64", bits=64
+    )
+    clusters = neardup_clusters(pairs).withColumnRenamed("doc_id", "image_id")
+    img2cluster = (
+        ph.select("image_id")
+        .join(clusters, "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("cluster_id", "image_id").alias("cluster_id"),
+        )
+    )
+    obs = (
+        _timeline_from_events(spark, sf_dir, N_FLAGSHIP_IMAGES)
+        .filter(F.col("kind") == "feature")
+        .select("entity_id", "row_id", "ts", "image_id")
+        .join(F.broadcast(img2cluster), "image_id")
+        .localCheckpoint(eager=True)
+    )
+    first_posts = obs.groupBy("cluster_id", "entity_id").agg(
+        F.min("ts").alias("ts")
+    )
+    markers = first_posts.select(
+        "cluster_id",
+        "ts",
+        F.lit(1).alias("is_marker"),
+        F.lit(None).cast("long").alias("row_id"),
+        "entity_id",
+        F.lit(None).cast("string").alias("image_id"),
+    )
+    obs_rows = obs.select(
+        "cluster_id", "ts", F.lit(0).alias("is_marker"),
+        "row_id", "entity_id", "image_id",
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy("ts", "is_marker")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        markers.unionByName(obs_rows)
+        .withColumn("cum_markers", F.sum("is_marker").over(w))
+        .filter(F.col("is_marker") == 0)
+    )
+    own = first_posts.select(
+        "cluster_id", "entity_id", F.col("ts").alias("own_fts")
+    )
+    return (
+        cum.join(own, ["cluster_id", "entity_id"])
+        .select(
+            F.col("entity_id").alias("user_id"),
+            F.col("row_id").alias("event_id"),
+            _us("ts").alias("ts_us"),
+            "image_id",
+            "cluster_id",
+            (
+                F.col("cum_markers")
+                - F.when(F.col("own_fts") < F.col("ts"), 1).otherwise(0)
+            ).cast("long").alias("spread_users"),
+        )
+    )
+
+
+def q_cluster_caption_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption consistency per image near-dup cluster — the "same
+    picture, different words" screen at the binary-image level (the
+    documents/embeddings twin is caption_image_conflicts): for every
+    pHash connected component, how many members, how many DISTINCT
+    captions, and the minimum pairwise word-set Jaccard between member
+    captions — low min-Jaccard on a visually-identical cluster is the
+    caption-drift / mislabel signal a curation pipeline screens before
+    training a captioner.  Plan: clusters come from the bounded
+    fingerprint dim (pigeonhole pairs → min-label CC; only paired
+    images are labeled, so every cluster here has >=2 members);
+    captions join WITHOUT decoding (caption is a plain column); the
+    pairwise Jaccard runs within-cluster only (SemDeDup-style bounded
+    cell work — never corpus all-pairs) using JVM-side array_intersect/
+    array_union on distinct token arrays.  Oracle: recursive-CTE CC
+    over all-pairs Hamming brute force + unnest-join token Jaccard over
+    the literal caption table."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, neardup_clusters
+    from pic2vec_spark.ops.multimodal import compute_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    ph = (
+        compute_phash(images)
+        .filter(F.col("phash64_ok"))
+        .select("image_id", "phash64")
+    )
+    pairs = hamming_neardup_pairs(
+        ph, "image_id", max_distance=4, sig_col="phash64", bits=64
+    )
+    clusters = neardup_clusters(pairs).withColumnRenamed("doc_id", "image_id")
+    members = (
+        clusters.join(images.select("image_id", "caption"), "image_id")
+        .withColumn(
+            "toks",
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("caption"))), r"\s+")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = members.select(
+        "cluster_id", F.col("image_id").alias("id1"), F.col("toks").alias("t1")
+    )
+    b = members.select(
+        "cluster_id", F.col("image_id").alias("id2"), F.col("toks").alias("t2")
+    )
+    jac = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "cluster_id",
+            F.round(
+                F.size(F.array_intersect("t1", "t2"))
+                / F.size(F.array_union("t1", "t2")),
+                4,
+            ).alias("j"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.min("j").alias("min_caption_jaccard"))
+    )
+    counts = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("caption").alias("n_captions"),
+    )
+    return counts.join(jac, "cluster_id")
+
+
 def _flagship_phashes(spark: SparkSession) -> DataFrame:
     """(image_id, phash64, idx) for the deterministic synth corpus —
     the fingerprint input of the persisted Hamming index queries."""
@@ -3771,7 +3934,10 @@ _R05_GATE_WINDOW = [
     # for the r02-covered embedding_neardup_lsh — r02 artifact + sf0.1
     # scale-gate row stand — union preserved)
     "repost_feature_matrix",
-    "snapshot_lineage",
+    # PIT-safe cross-user spread count (swapped in for snapshot_lineage
+    # — rows-only by design with r01+r02 artifacts, so a window re-run
+    # cannot add information — union preserved)
+    "repost_spread",
 ]
 
 
@@ -3922,6 +4088,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_consensus": q_fingerprint_consensus,
         "temporal_image_repost": q_temporal_image_repost,
         "repost_feature_matrix": q_repost_feature_matrix,
+        "repost_spread": q_repost_spread,
+        "cluster_caption_profile": q_cluster_caption_profile,
         "phash_index_pairs": q_phash_index_pairs,
         "phash_index_probe": q_phash_index_probe,
         "image_gate_ingest": q_image_gate_ingest,
@@ -4410,6 +4578,137 @@ def _repost_feature_matrix_sql() -> str:
                COALESCE(g.prior_exact_24h, 0) AS prior_exact_24h,
                g.last_gap_us
         FROM enr o LEFT JOIN agg g ON o.event_id = g.id2
+    """
+
+
+def _repost_spread_sql() -> str:
+    """Oracle for repost_spread: recursive-CTE min-label connected
+    components over an ALL-PAIRS Hamming brute force on the literal
+    phash table (independent of the engine's pigeonhole buckets AND its
+    iterative propagation), then per-observation count of distinct
+    other users whose cluster first-post is strictly earlier — a plain
+    first-post join, independent of the engine's cumulative-window
+    formulation."""
+    return f"""
+        WITH RECURSIVE ph AS ({_image_phash_sql()}),
+        ok AS (SELECT image_id, phash64 FROM ph WHERE phash64_ok),
+        pairs AS (
+          SELECT a.image_id AS id1, b.image_id AS id2
+          FROM ok a JOIN ok b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash64, b.phash64)) <= 4
+        ),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs
+        ),
+        reach(v, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.v
+        ),
+        clusters AS (
+          SELECT v AS image_id, MIN(label) AS cluster_id FROM reach GROUP BY v
+        ),
+        i2c AS (
+          SELECT o.image_id, COALESCE(c.cluster_id, o.image_id) AS cluster_id
+          FROM ok o LEFT JOIN clusters c USING (image_id)
+        ),
+        obs AS (
+          SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                 'img_' || lpad(CAST(e.event_id % {N_FLAGSHIP_IMAGES}
+                                     AS VARCHAR), 9, '0') AS image_id
+          FROM events e WHERE e.event_type <> 'purchase'
+        ),
+        enr AS (SELECT o.*, c.cluster_id FROM obs o JOIN i2c c USING (image_id)),
+        fp AS (
+          SELECT cluster_id, user_id, MIN(ts_us) AS fts
+          FROM enr GROUP BY cluster_id, user_id
+        )
+        SELECT o.user_id, o.event_id, o.ts_us, o.image_id, o.cluster_id,
+               CAST(COUNT(f.user_id) AS BIGINT) AS spread_users
+        FROM enr o LEFT JOIN fp f
+          ON f.cluster_id = o.cluster_id
+         AND f.fts < o.ts_us AND f.user_id <> o.user_id
+        GROUP BY o.user_id, o.event_id, o.ts_us, o.image_id, o.cluster_id
+    """
+
+
+@functools.cache
+def _cluster_caption_profile_sql() -> str:
+    """Oracle for cluster_caption_profile: recursive-CTE CC over
+    all-pairs Hamming brute force (independent of pigeonhole buckets
+    and the iterative propagation), then word-set Jaccard via
+    unnest+equi-join token counts over the literal caption table —
+    |A∪B| derived as |A|+|B|−|∩| (equal for sets), independent of the
+    engine's array_intersect/array_union formulation."""
+    caps = ", ".join(
+        "('{}', '{}')".format(
+            r["image_id"], r["caption"].replace("'", "''")
+        )
+        for r in _flagship_synth_rows()
+    )
+    return f"""
+        WITH RECURSIVE ph AS ({_image_phash_sql()}),
+        ok AS (SELECT image_id, phash64 FROM ph WHERE phash64_ok),
+        pairs AS (
+          SELECT a.image_id AS id1, b.image_id AS id2
+          FROM ok a JOIN ok b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash64, b.phash64)) <= 4
+        ),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs
+        ),
+        reach(v, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.v
+        ),
+        clusters AS (
+          SELECT v AS image_id, MIN(label) AS cluster_id FROM reach GROUP BY v
+        ),
+        caps AS (SELECT * FROM (VALUES {caps}) AS c(image_id, caption)),
+        mem AS (
+          SELECT cl.image_id, cl.cluster_id, c.caption
+          FROM clusters cl JOIN caps c USING (image_id)
+        ),
+        tok AS (
+          SELECT image_id, cluster_id,
+                 unnest(list_distinct(
+                   regexp_split_to_array(lower(trim(caption)), '\\s+')
+                 )) AS tk
+          FROM mem
+        ),
+        sz AS (SELECT image_id, COUNT(*) AS n FROM tok GROUP BY image_id),
+        pr AS (
+          SELECT a.cluster_id, a.image_id AS id1, b.image_id AS id2
+          FROM mem a JOIN mem b
+            ON a.cluster_id = b.cluster_id AND a.image_id < b.image_id
+        ),
+        inter AS (
+          SELECT t1.image_id AS id1, t2.image_id AS id2, COUNT(*) AS c
+          FROM tok t1 JOIN tok t2
+            ON t1.tk = t2.tk AND t1.cluster_id = t2.cluster_id
+           AND t1.image_id < t2.image_id
+          GROUP BY t1.image_id, t2.image_id
+        ),
+        jac AS (
+          SELECT pr.cluster_id,
+                 ROUND(COALESCE(i.c, 0)
+                   / CAST(s1.n + s2.n - COALESCE(i.c, 0) AS DOUBLE), 4) AS j
+          FROM pr
+          LEFT JOIN inter i ON pr.id1 = i.id1 AND pr.id2 = i.id2
+          JOIN sz s1 ON pr.id1 = s1.image_id
+          JOIN sz s2 ON pr.id2 = s2.image_id
+        )
+        SELECT m.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT m.caption) AS BIGINT) AS n_captions,
+               j.j AS min_caption_jaccard
+        FROM mem m
+        JOIN (SELECT cluster_id, MIN(j) AS j FROM jac GROUP BY cluster_id) j
+          USING (cluster_id)
+        GROUP BY m.cluster_id, j.j
     """
 
 
@@ -6062,6 +6361,10 @@ def oracle_sql() -> dict[str, str]:
     # per-observation trailing-24h repost features (zero-prior rows
     # value-pinned by the LEFT join in the oracle)
     d["repost_feature_matrix"] = _repost_feature_matrix_sql()
+    # PIT-safe cross-user spread (cluster first-post count join)
+    d["repost_spread"] = _repost_spread_sql()
+    # per-cluster caption consistency (within-cluster word-set Jaccard)
+    d["cluster_caption_profile"] = _cluster_caption_profile_sql()
     # the persisted Hamming index must reproduce the same brute-force
     # pair set (build on even + append odd == full corpus), and the
     # ingest probe the subset with an odd (incoming) side

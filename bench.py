@@ -153,6 +153,8 @@ EXTENDED_R5B = [
     "fingerprint_consensus",
     "temporal_image_repost",
     "repost_feature_matrix",
+    "repost_spread",
+    "cluster_caption_profile",
 ]
 
 EXTENDED_GROUPS = [

@@ -53,6 +53,13 @@ FAMILY = [
     "ohlc_daily", "value_trend",
     # one-sort six-feature PIT matrix over the full fact side
     "pit_feature_matrix",
+    # day-bucket range join over the full 100k-event timeline (the
+    # fingerprint dim is the fixed synth corpus, but the pair set and
+    # the per-observation aggregate scale with events)
+    "temporal_image_repost", "repost_feature_matrix",
+    # cross-user spread: first-post markers + cumulative window over
+    # the full 100k-event timeline
+    "repost_spread",
 ]
 
 
