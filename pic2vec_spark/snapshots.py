@@ -777,25 +777,38 @@ class SnapshotTable:
             fname = f"part-{sid}-{pid:05d}.parquet"
             fpath = os.path.join(data_dir, fname)
             tbl = pa.Table.from_pandas(out, preserve_index=False)
-            # pandas infers an all-NULL object column as Arrow `null`
-            # type, which parquet stores with an INT32 physical type; a
-            # later append where the column HAS values writes string/
-            # int, and Spark's vectorized reader crashes on the mix
-            # (SchemaColumnConvertNotSupportedException). Pin any
-            # null-typed column to the table's declared Spark type.
-            if any(pa.types.is_null(f.type) for f in tbl.schema):
-                from pyspark.sql.pandas.types import to_arrow_schema
-                from pyspark.sql.types import StructType as _ST
+            # The pandas round-trip loses Spark types in two ways that
+            # later crash Spark's vectorized reader on mixed files
+            # (PARQUET_COLUMN_DATA_TYPE_MISMATCH): an all-NULL object
+            # column is inferred as Arrow `null` (INT32 physical), and a
+            # NULLABLE int/long column with any NULL becomes float64
+            # (DOUBLE physical).  Pin every column whose inferred Arrow
+            # type disagrees with the table's declared Spark schema;
+            # NaN→null and lossless value casts via from_pandas
+            # semantics, so a genuinely lossy mismatch still raises.
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _ST
 
-                want = to_arrow_schema(_ST.fromJson(json.loads(schema_json)))
-                for i, f in enumerate(tbl.schema):
-                    if pa.types.is_null(f.type) and f.name in want.names:
-                        tgt = want.field(f.name).type
-                        tbl = tbl.set_column(
-                            i,
-                            pa.field(f.name, tgt),
-                            tbl.column(i).cast(tgt),
-                        )
+            want = to_arrow_schema(_ST.fromJson(json.loads(schema_json)))
+            for i, f in enumerate(tbl.schema):
+                if f.name not in want.names:
+                    continue
+                tgt = want.field(f.name).type
+                if f.type.equals(tgt):
+                    continue
+                if pa.types.is_timestamp(f.type) and pa.types.is_timestamp(tgt):
+                    continue  # coerce_timestamps handles ns→us at write
+                if pa.types.is_null(f.type):
+                    arr = tbl.column(i).cast(tgt)
+                else:
+                    arr = pa.chunked_array(
+                        [
+                            pa.array(c.to_pandas(), type=tgt, from_pandas=True)
+                            for c in tbl.column(i).chunks
+                        ]
+                        or [pa.array([], type=tgt)]
+                    )
+                tbl = tbl.set_column(i, pa.field(f.name, tgt), arr)
             # Spark's parquet reader rejects TIMESTAMP(NANOS); pandas
             # datetime64[ns] must land as microseconds.
             pq.write_table(

@@ -962,3 +962,179 @@ def stream_media_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def repost_gate_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    posts_root: str,
+    flags_root: str,
+    window_s: int = 86400,
+    max_distance: int = 4,
+) -> None:
+    """foreachBatch body for ``stream_repost_gate`` — module-level so
+    replay idempotence is directly testable.
+
+    Each micro-batch of fingerprinted timeline posts
+    ``(user_id, event_id, ts, phash64)`` is flagged against the posts
+    COMMITTED so far plus the EARLIER rows of the same batch: for every
+    incoming post, how many posts by the same user in the trailing
+    ``window_s`` seconds are perceptual near-duplicates
+    (Hamming <= ``max_distance``), how many are bit-identical
+    (Hamming == 0), and the gap to the most recent one — the streaming
+    form of the batch ``repost_feature_matrix``.  Counts are as-of
+    ARRIVAL: a late post ingested after a flag was emitted does not
+    retro-update it (standard streaming semantics; the batch query is
+    the retrospective truth).
+
+    Scale shape: the committed posts scan is PRUNED to the batch's
+    trailing window via the manifest's per-partition ts_us stats
+    (``stats_cols=["ts_us"]`` on every append — the Iceberg-style
+    time-travel prune), the reference ∪ batch is deduped by event_id so
+    a replayed half-committed batch never double-counts itself, and the
+    pair search is ops.ranges.range_join — day-bucket replication +
+    (user, bucket) equi-join, never per-user cross products.
+
+    Replay protocol (same as the index/media sinks): the flags table
+    carries ``gate_last_batch``; a replayed id is a no-op, an id behind
+    the stamp raises (foreign checkpoint).  Commit order: posts append
+    first, flags (with the stamp) last — a crash between them means the
+    replayed batch re-flags against posts that already include it,
+    which the event_id dedup makes value-identical."""
+    from pic2vec_spark.ops.ranges import range_join
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    flags_table = SnapshotTable(flags_root, spark)
+    man = flags_table.manifest()
+    props = (man.get("properties") or {}) if man is not None else {}
+    last = props.get("gate_last_batch")
+    if last is not None and int(batch_id) == int(last):
+        return  # replayed batch (failed mid-commit last run): flagged
+    if last is not None and int(batch_id) < int(last):
+        raise ValueError(
+            f"batch id {int(batch_id)} is behind the flags table's "
+            f"gate_last_batch {int(last)} — this stream's checkpoint "
+            "does not belong to this gate; reuse the original "
+            "checkpoint dir, or point the stream at fresh roots"
+        )
+
+    batch = batch_df.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "phash64",
+    ).localCheckpoint(eager=True)
+
+    posts_table = SnapshotTable(posts_root, spark)
+    bounds = batch.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).collect()[0]
+    window_us = int(window_s) * 1_000_000
+    if posts_table.manifest() is not None:
+        committed = posts_table.scan(
+            min_stats={"ts_us": (bounds["lo"] - window_us, bounds["hi"])}
+        )
+        ref = committed.unionByName(batch).dropDuplicates(["event_id"])
+    else:
+        ref = batch
+    earlier = ref.select(
+        "user_id",
+        F.col("ts_us").alias("ts1"),
+        F.col("phash64").alias("ph1"),
+    )
+    later = batch.select(
+        "user_id",
+        F.col("event_id").alias("id2"),
+        F.col("ts_us").alias("ts2"),
+        F.col("phash64").alias("ph2"),
+        (F.col("ts_us") - F.lit(window_us)).alias("w_start"),
+        F.col("ts_us").alias("w_end"),
+    )
+    pairs = range_join(
+        earlier, later, ts="ts1", start="w_start", end="w_end",
+        on="user_id", bucket_s=float(window_s),
+    ).withColumn(
+        "hamming", F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2")))
+    ).filter(F.col("hamming") <= max_distance)
+    feats = pairs.groupBy("id2").agg(
+        F.count(F.lit(1)).alias("prior_neardups"),
+        F.sum(
+            F.when(F.col("hamming") == 0, 1).otherwise(0)
+        ).alias("prior_exact"),
+        F.min(F.col("ts2") - F.col("ts1")).alias("last_gap_us"),
+    )
+    flags = (
+        batch.join(feats, batch["event_id"] == feats["id2"], "left")
+        .select(
+            "event_id", "user_id", "ts_us",
+            F.coalesce("prior_neardups", F.lit(0)).alias("prior_neardups"),
+            F.coalesce("prior_exact", F.lit(0)).alias("prior_exact"),
+            "last_gap_us",
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
+    )
+
+    # commit order: posts first, stamped flags last (see docstring)
+    if posts_table.manifest() is None:
+        posts_table.write(
+            batch, stats_cols=["ts_us"],
+            properties={"table": "repost_gate_posts"},
+        )
+    else:
+        posts_table.append(batch, stats_cols=["ts_us"])
+    if man is None:
+        flags_table.write(
+            flags,
+            properties={
+                "table": "repost_gate_flags",
+                "gate_last_batch": int(batch_id),
+            },
+        )
+    else:
+        flags_table.append(
+            flags, properties={**props, "gate_last_batch": int(batch_id)}
+        )
+
+
+def stream_repost_gate(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    posts_root: str,
+    flags_root: str,
+    window_s: int = 86400,
+    max_distance: int = 4,
+    available_now: bool = True,
+):
+    """Streaming repost detection: fingerprinted timeline posts arrive
+    as parquet drops ``(user_id, event_id, ts, phash64)``; every
+    micro-batch is flagged with its trailing-window perceptual-repost
+    features against everything ingested so far (committed posts are
+    time-pruned via manifest stats, pairs via the day-bucket range
+    join), then committed to the posts table — the ingest-time feed
+    of the batch ``repost_feature_matrix``/``temporal_image_repost``
+    queries.  Flags land in a queryable snapshot table stamped per
+    batch; replays are no-ops."""
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp, phash64 bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        repost_gate_sink(
+            batch_df, batch_id, posts_root, flags_root,
+            window_s=window_s, max_distance=max_distance,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
