@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re as _re
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -3847,6 +3848,207 @@ def q_event_cross_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# tokenizer-training / vocabulary / batching (round 5)
+# --------------------------------------------------------------------------
+
+BPE_N_MERGES = 12
+
+
+def q_doc_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency table (lowercase alpha runs) — the working
+    set for tokenizer training.  One shuffle; output = |distinct words|."""
+    from pic2vec_spark.ops.text import word_freqs
+
+    return word_freqs(_documents(spark, sf_dir))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016) over the
+    deterministic flagship caption corpus: each merge round is one
+    small shuffle over the WORD-frequency table (never the corpus) plus
+    a 1-row argmax collect.  Oracle (_bpe_merges_sql) is an INDEPENDENT
+    sequential reference implementation run driver-side over the same
+    captions and embedded as literals — it pins merge choice, tie-break
+    order, and pair counts, not just plan parity."""
+    from pic2vec_spark.ops.text import bpe_train
+    from pic2vec_spark.synth import synth_images_df
+
+    caps = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42).select(
+        F.col("caption").alias("text")
+    )
+    return bpe_train(caps, n_merges=BPE_N_MERGES, min_freq=2)
+
+
+def q_doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-V
+    vocabulary: one corpus shuffle builds the vocab, then the re-scan
+    joins against the BROADCAST vocab (bounded at V rows) — no second
+    corpus-sized shuffle."""
+    from pic2vec_spark.ops.text import vocab_coverage
+
+    return vocab_coverage(_documents(spark, sf_dir), vocab_size=10)
+
+
+def q_doc_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved curriculum schedule: per-source quality
+    ntile stages + round-robin rank within (stage, source).  Every
+    window is partitioned (no global sort exists at 100 TB); the
+    training order is the emitted sort key."""
+    from pic2vec_spark.ops.text import curriculum_order
+
+    return curriculum_order(
+        _documents(spark, sf_dir),
+        quality_col="n_chars",
+        source_col="source",
+        id_col="doc_id",
+        n_stages=4,
+    ).select("doc_id", "source", "stage", "rr")
+
+
+def q_doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching with per-batch padding waste:
+    sort-by-length within each source shard, fixed-size cut, report
+    (n_docs, max_len, sum_tokens, pad_frac) per batch."""
+    from pic2vec_spark.ops.text import length_bucketed_batches
+
+    return length_bucketed_batches(
+        _documents(spark, sf_dir),
+        len_col="n_chars",
+        group_col="source",
+        id_col="doc_id",
+        batch_size=32,
+    )
+
+
+def q_bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer loop: TRAIN merges on the deterministic
+    caption corpus (bpe_train), then ENCODE the same corpus with the
+    learned merges (bpe_encode — zero-shuffle narrow projection, the
+    merge list folded in as literals) and report the post-merge token
+    frequency table.  Oracle = the independent sequential reference
+    (train + encode) run driver-side, frequencies embedded as
+    literals — pins the full train→encode round trip, not just the
+    merge table."""
+    from pic2vec_spark.ops.text import bpe_encode, bpe_train
+    from pic2vec_spark.synth import synth_images_df
+
+    caps = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42).select(
+        F.col("caption").alias("text")
+    )
+    merges = [
+        (r["pair_left"], r["pair_right"])
+        for r in bpe_train(caps, n_merges=BPE_N_MERGES, min_freq=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    return (
+        bpe_encode(caps, merges)
+        .select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _py_bpe_reference(
+    texts: list[str], n_merges: int, min_freq: int = 2
+) -> tuple[list[tuple], list[list[str]]]:
+    """Independent sequential BPE (train + encode) — the textbook
+    dict-of-words loop, nothing shared with the distributed
+    Catalyst-fold implementation.  Returns (merges, per-text tokens)."""
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(_re.findall(r"[a-z]+", t.lower()))
+    words: dict[tuple, int] = {}
+    for w, f in wf.items():
+        if len(w) >= 2:
+            words[tuple(w)] = words.get(tuple(w), 0) + f
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_freq:
+            break
+        merges.append((rank, a, b, a + b, n))
+        nxt: dict[tuple, int] = {}
+        for syms, f in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            if len(out) >= 2:
+                key = tuple(out)
+                nxt[key] = nxt.get(key, 0) + f
+        words = nxt
+
+    def enc(word: str) -> list[str]:
+        out = list(word)
+        for _, a, b, _m, _n in merges:
+            nxt2: list[str] = []
+            for x in out:
+                if nxt2 and nxt2[-1] == a and x == b:
+                    nxt2[-1] = a + b
+                else:
+                    nxt2.append(x)
+            out = nxt2
+        return out
+
+    encoded = [
+        [tok for w in _re.findall(r"[a-z]+", t.lower()) for tok in enc(w)]
+        for t in texts
+    ]
+    return merges, encoded
+
+
+@functools.cache
+def _bpe_token_freqs_sql() -> str:
+    """Literal oracle for bpe_token_freqs: sequential train+encode over
+    the same deterministic captions, token frequencies as literals."""
+    from collections import Counter
+
+    texts = [r["caption"] for r in _flagship_synth_rows()]
+    _, encoded = _py_bpe_reference(texts, BPE_N_MERGES)
+    tf: Counter = Counter()
+    for toks in encoded:
+        tf.update(toks)
+    vals = [
+        f"('{t}', CAST({n} AS BIGINT))" for t, n in sorted(tf.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(token, freq)"
+    )
+
+
+@functools.cache
+def _bpe_merges_sql() -> str:
+    """Literal oracle for bpe_merges: an independent SEQUENTIAL BPE
+    (dict-of-words loop, the textbook Sennrich algorithm — nothing
+    shared with the distributed Catalyst-fold implementation) run over
+    the same deterministic captions, merges embedded as literals."""
+    texts = [r["caption"] for r in _flagship_synth_rows()]
+    merges, _ = _py_bpe_reference(texts, BPE_N_MERGES)
+    vals = [
+        f"(CAST({rk} AS BIGINT), '{a}', '{b}', '{m}', CAST({n} AS BIGINT))"
+        for rk, a, b, m, n in merges
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(rank, pair_left, pair_right, merged, freq)"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3906,22 +4108,13 @@ _R05_GATE_WINDOW = [
     # (dedup_jaccard swapped out for image_gate_ingest — it keeps its
     # r02 artifact AND the sf0.1 scale-gate row, so the union holds)
     "image_phash_neardup", "image_thumbnails",
-    # linear-interpolation resample (swapped in for the r02-covered
-    # doc_simhash — its r02 artifact AND its sf0.1 scale-gate row
-    # stand — union preserved)
-    "resample_linear",
-    # per-entity time-weighted average (swapped in for the r02-covered
-    # simhash_neardup — r02 artifact + sf0.1 scale-gate row stand —
-    # union preserved)
-    "twap_value",
-    # OHLC downsample + least-squares trend (swapped in for the
-    # r02-covered neardup_consensus / neardup_clusters — r02 artifacts
-    # + sf0.1 scale-gate rows stand — union preserved)
-    "ohlc_daily", "value_trend",
-    # one-sort multi-feature PIT matrix (swapped in for the
-    # r02-covered dedup_survivors — r02 artifact + sf0.1 scale-gate
-    # row stand — union preserved)
-    "pit_feature_matrix",
+    # tokenizer-training / vocabulary / batching family (registered
+    # last; swapped in for resample_linear, twap_value, ohlc_daily,
+    # value_trend, pit_feature_matrix — each of those five holds a
+    # FULL-ORACLE MATCH row in SCALE_GATE_r05.json at sf0.1, a larger
+    # SF than this driver gate runs, so the union is preserved)
+    "doc_word_freqs", "bpe_merges", "doc_vocab_coverage",
+    "doc_curriculum", "doc_length_batches",
     # fused one-decode fingerprint triple + >=2-of-3 consensus near-dup
     # (swapped in for the r02-covered knn_lsh / knn_ivf — r02 artifacts
     # + sf0.1 scale-gate rows stand — union preserved)
@@ -4110,6 +4303,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_scaled": q_event_value_scaled,
         "lineitem_corr": q_lineitem_corr,
         "event_cross_hash": q_event_cross_hash,
+        "doc_word_freqs": q_doc_word_freqs,
+        "bpe_merges": q_bpe_merges,
+        "doc_vocab_coverage": q_doc_vocab_coverage,
+        "doc_curriculum": q_doc_curriculum,
+        "doc_length_batches": q_doc_length_batches,
+        "bpe_token_freqs": q_bpe_token_freqs,
     }
 
 
@@ -6642,6 +6841,65 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
                    CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) AS fp_int
             FROM documents
+        """,
+        "doc_word_freqs": """
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                  FROM documents)
+            GROUP BY word
+        """,
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_freqs": _bpe_token_freqs_sql(),
+        "doc_vocab_coverage": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents
+            ), vocab AS (
+              SELECT term FROM (
+                SELECT term,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rk
+                FROM toks GROUP BY term
+              ) WHERE rk <= 10
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS in_vocab_tokens,
+                   ROUND(1.0 - SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                               / CAST(COUNT(*) AS DOUBLE), 4) AS oov_frac
+            FROM toks t LEFT JOIN vocab v ON t.term = v.term
+            GROUP BY t.doc_id
+        """,
+        "doc_curriculum": """
+            WITH staged AS (
+              SELECT doc_id, source, n_chars,
+                     NTILE(4) OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS stage
+              FROM documents
+            )
+            SELECT doc_id, source, stage,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY stage, source
+                                           ORDER BY n_chars DESC, doc_id ASC)
+                        AS BIGINT) AS rr
+            FROM staged
+        """,
+        "doc_length_batches": """
+            WITH b AS (
+              SELECT source, n_chars, doc_id,
+                     CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY source
+                                                    ORDER BY n_chars ASC, doc_id ASC)
+                                 - 1) / 32.0) AS BIGINT) AS batch_id
+              FROM documents
+            )
+            SELECT source, batch_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_len,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_tokens,
+                   ROUND(1.0 - SUM(n_chars)
+                               / CAST(COUNT(*) * MAX(n_chars) AS DOUBLE), 4)
+                     AS pad_frac
+            FROM b GROUP BY source, batch_id
         """,
         "dedup_exact": """
             SELECT md5(lower(trim(text))) AS fp_md5,

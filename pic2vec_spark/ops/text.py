@@ -808,3 +808,245 @@ def gopher_quality_flags(
     for name in flags:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("gopher_keep", keep)
+
+
+# --------------------------------------------------------------------------
+# tokenizer training + vocabulary / batching ops (round 5)
+# --------------------------------------------------------------------------
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table over lowercase alpha runs — the
+    working set for tokenizer training.  One shuffle (groupBy word);
+    output size = |distinct words|, far smaller than the corpus."""
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"([a-z]+)"), 1
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of the adjacent symbol
+    pair (a, b) with a+b — the classic BPE merge — as a Catalyst fold
+    (higher-order ``aggregate``), so it runs JVM-side with no UDF."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Learn byte-pair-encoding merges over the corpus (Sennrich 2016),
+    distributed: the iterative state is the *word-frequency* table
+    (|distinct words| rows — orders of magnitude smaller than the
+    corpus), so each merge round is one small shuffle (pair groupBy)
+    plus a 1-row argmax collect, the same driver-loop shape as k-means.
+    Ties break deterministically on (count DESC, left ASC, right ASC).
+
+    Scale notes: the word table is localCheckpointed every round to truncate
+    lineage (fold expressions would otherwise nest); fully-merged
+    single-symbol words are dropped from the working set (they can
+    never participate in a pair again).  Returns the merge table
+    (rank, pair_left, pair_right, merged, freq) — bounded by n_merges.
+    """
+    spark = df.sparkSession
+    words = (
+        word_freqs(df, text_col)
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .select("syms", "freq")
+        .where(F.size("syms") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pair = (
+            words.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pair or pair[0]["n"] < min_freq:
+            break
+        a, b, n = pair[0]["a"], pair[0]["b"], int(pair[0]["n"])
+        merges.append((rank, a, b, a + b, n))
+        words = (
+            words.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+            .where(F.size("syms") >= 2)
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges,
+        schema="rank bigint, pair_left string, pair_right string, "
+        "merged string, freq bigint",
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-V
+    vocabulary.  Two passes over the token stream: (1) build the
+    vocabulary (groupBy term + deterministic top-V on count DESC, term
+    ASC — expressed as orderBy().limit(V), which Catalyst plans as
+    TakeOrderedAndProject: per-partition top-V merged on the driver,
+    NEVER a single-partition global sort over the distinct-term table),
+    (2) re-scan with the vocabulary *broadcast* (bounded at vocab_size
+    rows) — no second corpus-sized shuffle.  Documents with zero alpha
+    tokens drop out (0/0 is undefined)."""
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"([a-z]+)"), 1)
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
+            .cast("bigint")
+            .alias("in_vocab_tokens"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.round(
+                F.lit(1.0) - F.col("in_vocab_tokens") / F.col("n_tokens"), 4
+            ),
+        )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    quality_col: str = "quality",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_stages: int = 10,
+) -> DataFrame:
+    """Source-interleaved curriculum schedule: per SOURCE, rank docs by
+    quality (DESC, id ASC tiebreak) and cut into n_stages equal stages
+    (ntile), then a round-robin rank within (stage, source).  The
+    training order is the sort key (stage, rr, source, id) — emitted as
+    columns rather than materialized as one global row_number, so every
+    window is partitioned (by source, then by stage×source) and the op
+    needs no single-partition global sort at 100 TB; consumers ORDER BY
+    the key or assign positions per shard."""
+    w_src = Window.partitionBy(source_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    staged = df.withColumn("stage", F.ntile(n_stages).over(w_src))
+    w_rr = Window.partitionBy("stage", source_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return staged.withColumn("rr", F.row_number().over(w_rr))
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    len_col: str = "n_tokens",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed dynamic batching: within each group (shard),
+    sort docs by token length and cut into fixed-size batches, then
+    report per-batch padding waste (docs padded to the batch max).
+    Sorting by length before batching is the standard trick that
+    minimizes pad_frac; all windows are partitioned by the group column
+    so no global sort exists at scale."""
+    w = Window.partitionBy(group_col).orderBy(F.asc(len_col), F.asc(id_col))
+    batched = df.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)),
+    )
+    return (
+        batched.groupBy(group_col, "batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max(len_col).cast("bigint").alias("max_len"),
+            F.sum(len_col).cast("bigint").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens") / (F.col("n_docs") * F.col("max_len")),
+                4,
+            ),
+        )
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus: lowercase alpha-run
+    words → character symbols → each merge applied in rank order
+    (left-to-right non-overlapping, the same semantics bpe_train
+    counted with) → per-document flattened token stream.
+
+    The merge list is DRIVER-SIDE data bounded by n_merges (tens of
+    rows — collect it from bpe_train's output); it is folded into the
+    plan as literals, so encoding is a ZERO-SHUFFLE narrow projection
+    over the corpus: per-row cost is O(tokens × merges), JVM-side
+    (nested Catalyst ``aggregate`` folds — no Python UDF), and the
+    stage scales linearly to any corpus size.  Keep n_merges modest
+    (≲64): each merge adds one fold level to the expression tree.
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"([a-z]+)"), 1
+    )
+
+    def encode_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for a, b in merges:
+            syms = _apply_merge(syms, a, b)
+        return syms
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words, encode_word))
+    )
