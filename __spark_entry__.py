@@ -4048,6 +4048,98 @@ def _bpe_merges_sql() -> str:
     )
 
 
+def q_doc_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity under the corpus's own add-1
+    smoothed bigram model (CCNet-style fluency, one order above
+    doc_unigram_logprob).  One corpus scan feeds the checkpointed
+    bigram frame; count tables are vocabulary-sized; per-bigram lp is
+    the order-proof DECIMAL(18,8) sum.  The mean is aliased
+    mean_logprob (not avg_*) so the unique bit-stable doc_id leads the
+    driver's alphabetical sort: the round-6 mean can land on a
+    half-boundary where the engines' last digit differs by 1e-6 —
+    within the value tolerance, but fatal to row alignment if a float
+    column sorts first."""
+    from pic2vec_spark.ops.text import bigram_logprob
+
+    return bigram_logprob(_documents(spark, sf_dir)).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("avg_logprob").alias("mean_logprob"),
+        "ppl",
+    )
+
+
+def q_doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality split over bigram perplexity:
+    tertile thresholds from ONE tiny exact-percentile aggregate
+    broadcast back, bucket = 1 + #{thresholds < ppl} (the parity-proven
+    strictly-less rule from encode.quantile_bins) — no global sort."""
+    from pic2vec_spark.ops.text import bigram_logprob, perplexity_buckets
+
+    ppl = bigram_logprob(_documents(spark, sf_dir))
+    return perplexity_buckets(ppl).select(
+        "doc_id", "ppl", "bucket_id", "bucket"
+    )
+
+
+_BIGRAM_LP_CTE = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), bg0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i]))
+                   AS w1,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i+1]))
+                   AS w2
+          FROM t
+        ), b AS (
+          SELECT * FROM bg0 WHERE length(w1) > 0 AND length(w2) > 0
+        ), cnt AS (
+          SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, SUM(c) AS ctxn FROM cnt GROUP BY 1
+        ), v AS (
+          SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents
+          ) WHERE length(tok) > 0
+        ), lp AS (
+          SELECT b.doc_id,
+                 CAST(ROUND(LN((c.c + 1.0)
+                               / (x.ctxn + 1.0 * (SELECT v FROM v))), 6)
+                      AS DECIMAL(18,8)) AS lp
+          FROM b JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1)
+        ), p AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+                 ROUND(EXP(-ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)), 6)
+                   AS ppl
+          FROM lp GROUP BY 1
+        )
+"""
+
+_DOC_BIGRAM_PPL_SQL = _BIGRAM_LP_CTE + """
+        SELECT doc_id, n_bigrams, avg_logprob AS mean_logprob, ppl FROM p
+"""
+
+_DOC_PPL_BUCKETS_SQL = _BIGRAM_LP_CTE + """
+        , th AS (
+          SELECT quantile_cont(ppl, 1.0/3.0) AS t1,
+                 quantile_cont(ppl, 2.0/3.0) AS t2
+          FROM p
+        )
+        SELECT doc_id, ppl,
+               CAST(1 + (CASE WHEN t1 < ppl THEN 1 ELSE 0 END)
+                      + (CASE WHEN t2 < ppl THEN 1 ELSE 0 END) AS INT)
+                 AS bucket_id,
+               CASE WHEN t2 < ppl THEN 'tail'
+                    WHEN t1 < ppl THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM p, th
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4309,6 +4401,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum": q_doc_curriculum,
         "doc_length_batches": q_doc_length_batches,
         "bpe_token_freqs": q_bpe_token_freqs,
+        "doc_bigram_ppl": q_doc_bigram_ppl,
+        "doc_ppl_buckets": q_doc_ppl_buckets,
     }
 
 
@@ -6850,6 +6944,8 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_freqs": _bpe_token_freqs_sql(),
+        "doc_bigram_ppl": _DOC_BIGRAM_PPL_SQL,
+        "doc_ppl_buckets": _DOC_PPL_BUCKETS_SQL,
         "doc_vocab_coverage": """
             WITH toks AS (
               SELECT doc_id,

@@ -1050,3 +1050,135 @@ def bpe_encode(
     return df.withColumn(
         out_col, F.flatten(F.transform(words, encode_word))
     )
+
+
+# --------------------------------------------------------------------------
+# bigram LM perplexity + CCNet-style quality buckets (round 5)
+# --------------------------------------------------------------------------
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability and perplexity under
+    the corpus's own add-k-smoothed bigram model — the CCNet-style LM
+    fluency screen one order above :func:`unigram_logprob`:
+
+        lp(w2 | w1) = ln( (c(w1,w2) + k) / (ctx(w1) + k·V) )
+
+    with ``ctx(w1) = Σ_w2 c(w1,w2)`` (bigram-left occurrences) and
+    ``V`` the corpus vocabulary size.  Garbled / boilerplate text hits
+    unseen-transition smoothing constantly and scores far below prose;
+    no external LM is needed.
+
+    Per-bigram lp is rounded to 6 decimals and summed as
+    DECIMAL(18,8) — the repo's order-proof-sum pattern — so the
+    per-doc mean is independent of partitioning and engine; perplexity
+    is ``exp(-avg_logprob)`` of that exact mean.
+
+    Plan: one corpus scan builds the exploded (doc, w1, w2) frame,
+    localCheckpointed because it feeds BOTH the count aggregation and
+    the per-doc re-join (otherwise Catalyst re-scans the corpus per
+    branch — the heavy_hitters_cms lesson); the context table derives
+    from the bigram-count table (vocabulary-sized, no second corpus
+    pass), and V is a 1-row distinct-count aggregate broadcast back.
+    The count tables are |distinct bigrams| ≪ corpus, so the re-join
+    broadcasts under AQE for real-language vocabularies.  Documents
+    with fewer than two non-empty tokens drop out (no transition to
+    score)."""
+    toks = tokens(F.col(text_col))
+    bg = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+        .localCheckpoint(eager=False)
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    ctx = cnt.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
+    vocab_size = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .where(F.length("__tok") > 0)
+        .agg(F.count_distinct("__tok").alias("__v"))
+    )
+    lp = (
+        bg.join(cnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("__c") + F.lit(float(k)))
+                    / (F.col("__ctx") + F.lit(float(k)) * F.col("__v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,8)")
+            .alias("__lp"),
+        )
+    )
+    out = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )
+    return out.withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    ppl_col: str = "ppl",
+    fracs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style quality split: bucket documents by corpus
+    perplexity quantiles (head = most fluent; CCNet trains on head,
+    samples middle, drops tail).  Thresholds are ONE tiny global
+    aggregate (exact ``F.percentile`` — the engine-shared
+    interpolation :mod:`ops.encode` relies on; swap for
+    ``percentile_approx`` at unbounded corpus size, same plan shape)
+    broadcast back, and the bucket rule is the parity-proven
+    strictly-less count from ``encode.quantile_bins``:
+    ``bucket_id = 1 + #{thresholds < value}`` — so there is NO global
+    sort: the scan stays narrow at any corpus size."""
+    if len(labels) != len(fracs) + 1:
+        raise ValueError("need len(fracs)+1 labels")
+    th = df.agg(
+        F.percentile(
+            F.col(ppl_col), F.array([F.lit(float(f)) for f in fracs])
+        ).alias("__th")
+    )
+    return (
+        df.crossJoin(F.broadcast(th))
+        .withColumn(
+            "bucket_id",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "__th",
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(t < F.col(ppl_col), 1).otherwise(0),
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array([F.lit(x) for x in labels]), F.col("bucket_id")
+            ),
+        )
+        .drop("__th")
+    )
