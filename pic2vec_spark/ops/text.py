@@ -1104,7 +1104,14 @@ def bigram_logprob(
         .where((F.length("w1") > 0) & (F.length("w2") > 0))
         .localCheckpoint(eager=False)
     )
-    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    # cnt feeds BOTH the broadcast join and ctx: checkpoint it so the
+    # corpus-sized pair shuffle runs once (the heavy_hitters_cms lesson
+    # — Catalyst does not reuse the exchange across the two branches).
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     ctx = cnt.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
     vocab_size = (
         df.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
