@@ -2940,6 +2940,132 @@ def q_image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_tile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-major 2×2 tile pHashes per image, exploded to (image_id,
+    tile_id, tile_phash64, tile_ok) — ONE decode pass; whole-image
+    pHash misses crops, tile hashes survive any crop preserving a full
+    tile.  Full literal oracle (_image_tile_phash_sql): every tile hash
+    of the deterministic synth corpus recomputed driver-side with the
+    same slice+DCT kernels and embedded as BIGINT literals."""
+    from pic2vec_spark.ops.multimodal import compute_tile_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return compute_tile_phash(images).select(
+        "image_id",
+        F.posexplode("tile_phashes").alias("tile_id", "tile_phash64"),
+        "tile_ok",
+    )
+
+
+def q_image_crop_reposts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop-robust repost detection: a deterministic batch of quadrant
+    crops (re-encoded BMP — lossless, so the crop's whole-image pHash
+    equals the source tile's hash bit-for-bit) joined against the
+    corpus's exploded tile-hash table on the exact 64-bit key — a
+    bucketed equi-join, never all-pairs.  Oracle
+    (_image_crop_reposts_sql): both hash sides recomputed driver-side
+    and matched with an INDEPENDENT Python dict join, the full match
+    set embedded as literals — pinning recall (the planted quadrant
+    crops MUST surface) and precision (any extra hash collision appears
+    on both sides identically)."""
+    from pic2vec_spark.ops.multimodal import crop_source_matches
+    from pic2vec_spark.synth import synth_images_df
+
+    corpus = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    crops = spark.createDataFrame(
+        [(r["crop_id"], r["bytes"], r["fmt"]) for r in _crop_rows()],
+        "crop_id string, bytes binary, fmt string",
+    )
+    return crop_source_matches(crops, corpus)
+
+
+@functools.cache
+def _crop_rows() -> list[dict]:
+    """Deterministic quadrant crops for the crop-repost gate: every
+    idx % 10 == 2 decodable synth image is sliced to quadrant
+    ``(idx // 10) % 4`` (row-major, the exact integer-arithmetic tile
+    bounds of tile_phash64s) and re-encoded as lossless BMP.  Pure
+    function of the deterministic corpus; undecodable sources are
+    skipped."""
+    from pic2vec_spark.codecs import decode_image, encode_image
+
+    out = []
+    for i, r in enumerate(_flagship_synth_rows()):
+        if i % 10 != 2:
+            continue
+        try:
+            px = decode_image(r["bytes"], r["fmt"])
+        except Exception:
+            continue
+        q = (i // 10) % 4
+        h, w = px.shape[:2]
+        rr, cc = q // 2, q % 2
+        tile = px[
+            rr * h // 2 : (rr + 1) * h // 2, cc * w // 2 : (cc + 1) * w // 2
+        ]
+        out.append({
+            "crop_id": f"cr{q}_" + r["image_id"],
+            "bytes": encode_image(tile, "bmp"),
+            "fmt": "bmp",
+        })
+    return out
+
+
+@functools.cache
+def _image_tile_phash_sql() -> str:
+    """Literal oracle for image_tile_phash: the 2×2 tile hashes of each
+    deterministic synth image recomputed driver-side with the SAME
+    decode_image + tile_phash64s kernels the executors run."""
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.ops.multimodal import tile_phash64s
+
+    vals = []
+    for r in _flagship_synth_rows():
+        try:
+            hs, ok = tile_phash64s(decode_image(r["bytes"], r["fmt"])), True
+        except Exception:
+            hs, ok = [0, 0, 0, 0], False
+        for t, h in enumerate(hs):
+            vals.append(
+                f"('{r['image_id']}', {t}, CAST({h} AS BIGINT), "
+                f"{'TRUE' if ok else 'FALSE'})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, tile_id, tile_phash64, tile_ok)"
+    )
+
+
+@functools.cache
+def _image_crop_reposts_sql() -> str:
+    """Literal oracle for image_crop_reposts: corpus tile hashes and
+    crop whole-image pHashes recomputed driver-side, matched with an
+    independent Python dict join (hash → [(src, tile)])."""
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.ops.multimodal import phash64, tile_phash64s
+
+    by_hash: dict[int, list[tuple[str, int]]] = {}
+    for r in _flagship_synth_rows():
+        try:
+            hs = tile_phash64s(decode_image(r["bytes"], r["fmt"]))
+        except Exception:
+            continue
+        for t, h in enumerate(hs):
+            by_hash.setdefault(h, []).append((r["image_id"], t))
+    vals = []
+    for c in _crop_rows():
+        ph = phash64(decode_image(c["bytes"], c["fmt"]))
+        for src, t in by_hash.get(ph, []):
+            vals.append(f"('{c['crop_id']}', '{src}', {t})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(crop_id, src_image_id, tile_id)"
+    )
+
+
 def q_fingerprint_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consensus near-duplicate image pairs: a pair is reported only
     when >=2 of the 3 structurally different fingerprints (DCT /
@@ -4403,6 +4529,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_freqs": q_bpe_token_freqs,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "doc_ppl_buckets": q_doc_ppl_buckets,
+        "image_tile_phash": q_image_tile_phash,
+        "image_crop_reposts": q_image_crop_reposts,
     }
 
 
@@ -6946,6 +7074,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "bpe_token_freqs": _bpe_token_freqs_sql(),
         "doc_bigram_ppl": _DOC_BIGRAM_PPL_SQL,
         "doc_ppl_buckets": _DOC_PPL_BUCKETS_SQL,
+        "image_tile_phash": _image_tile_phash_sql(),
+        "image_crop_reposts": _image_crop_reposts_sql(),
         "doc_vocab_coverage": """
             WITH toks AS (
               SELECT doc_id,

@@ -220,6 +220,115 @@ def compute_fingerprints(
     return df.mapInPandas(run, schema=schema)
 
 
+def tile_phash64s(
+    img: np.ndarray,
+    grid: int = 2,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> list:
+    """Row-major grid×grid tile pHashes of a decoded image: tile (r, c)
+    is the exact slice ``img[r·h//g:(r+1)·h//g, c·w//g:(c+1)·w//g]``
+    hashed with the same DCT kernel as the whole image.  Because the
+    slice bounds are pure integer arithmetic, a losslessly re-encoded
+    crop of exactly that region decodes to identical pixels and
+    therefore hashes to the IDENTICAL 64-bit value — the exact-match
+    property crop-robust repost detection joins on."""
+    h, w = img.shape[:2]
+    out = []
+    for r in range(grid):
+        for c in range(grid):
+            tile = img[
+                r * h // grid : (r + 1) * h // grid,
+                c * w // grid : (c + 1) * w // grid,
+            ]
+            out.append(phash64(tile, hash_size, highfreq_factor))
+    return out
+
+
+def compute_tile_phash(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    grid: int = 2,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Attach row-major grid×grid tile pHashes (``tile_phashes:
+    array<long>`` of length grid², ``tile_ok: boolean``) in ONE decode
+    pass — whole-image pHash misses crops entirely (the DCT sees a
+    different global layout), tile hashes survive any crop that
+    preserves a full tile.  Narrow map, no shuffle, no per-row
+    Python."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(
+                "tile_phashes", T.ArrayType(T.LongType(), False), False
+            ),
+            T.StructField("tile_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, oks = [], []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    img = decode_image(data, fmt)
+                    hs.append(
+                        tile_phash64s(img, grid, hash_size, highfreq_factor)
+                    )
+                    oks.append(True)
+                except Exception:
+                    hs.append([0] * (grid * grid))
+                    oks.append(False)
+            out = pdf.copy()
+            out["tile_phashes"] = hs
+            out["tile_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def crop_source_matches(
+    crops: DataFrame,
+    corpus: DataFrame,
+    crop_id_col: str = "crop_id",
+    src_id_col: str = "image_id",
+    grid: int = 2,
+) -> DataFrame:
+    """Crop-robust repost detection: find, for each candidate crop, the
+    corpus images one of whose grid tiles it reproduces.  A lossless
+    crop of an exact tile region decodes to the same pixels as the tile
+    slice, so its WHOLE-image pHash equals that tile's hash bit-for-bit
+    — candidates come from an exact equi-join of the crop's pHash
+    against the corpus's exploded tile hashes: a bucketed shuffle join
+    on a 64-bit key (broadcast when the crop side is small under AQE),
+    NEVER an all-pairs image comparison.  Both sides are one decode
+    pass.  Output: (crop_id, src_image_id, tile_id) — tile_id is the
+    row-major tile index the crop matches.  At 10^12 images the tile
+    table is 4× the corpus in rows but 16 bytes wide; hot hashes (flat
+    single-color tiles) are ordinary join skew, handled by AQE
+    skew-join like any hot key."""
+    tiles = (
+        compute_tile_phash(corpus, grid=grid)
+        .filter(F.col("tile_ok"))
+        .select(
+            F.col(src_id_col).alias("src_image_id"),
+            F.posexplode("tile_phashes").alias("tile_id", "__th"),
+        )
+    )
+    ch = (
+        compute_phash(crops)
+        .filter(F.col("phash64_ok"))
+        .select(crop_id_col, "phash64")
+    )
+    return (
+        ch.join(tiles, ch["phash64"] == tiles["__th"])
+        .select(crop_id_col, "src_image_id", "tile_id")
+    )
+
+
 def _gray_f64(img: np.ndarray) -> np.ndarray:
     from pic2vec_spark.preprocess import to_grayscale
 
