@@ -2260,6 +2260,25 @@ def q_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(base, "doc_id", test_pct=10)
 
 
+def q_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 recipe: every training_corpus_v2 stage (exact dedup
+    → simhash-CC survivors → SemDeDup → Gopher structural rules →
+    repetition keep → deterministic split) PLUS the CCNet perplexity
+    screen — drop the corpus's 'tail' tertile under its own bigram LM
+    and carry the surviving bucket as a mixing key (CCNet trains on
+    head, samples middle).  One more broadcast-threshold semi-stage on
+    top of v2; the oracle composes the member oracles (v2's + the
+    bucket query's), so this cannot drift from the per-stage checks.
+    Output: (doc_id, split, ppl_bucket)."""
+    v2 = q_training_corpus_v2(spark, sf_dir)
+    buckets = q_doc_ppl_buckets(spark, sf_dir).filter(
+        F.col("bucket") != F.lit("tail")
+    )
+    return v2.join(buckets, "doc_id").select(
+        "doc_id", "split", F.col("bucket").alias("ppl_bucket")
+    )
+
+
 def q_neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator composition: near-duplicate document pairs flagged by at
     least 2 of {n-gram Jaccard, MinHash-LSH candidates, SimHash Hamming}
@@ -4491,6 +4510,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,
         "training_corpus_v2": q_training_corpus_v2,
+        "training_corpus_v3": q_training_corpus_v3,
         "caption_image_conflicts": q_caption_image_conflicts,
         "audio_features": q_audio_features,
         "image_phash": q_image_phash,
@@ -6740,6 +6760,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id FROM ({d['doc_repetition']})
                 WHERE repetition_keep
               )
+    """
+    d["training_corpus_v3"] = f"""
+        SELECT v.doc_id, v.split, b.bucket AS ppl_bucket
+        FROM ({d['training_corpus_v2']}) v
+        JOIN ({d['doc_ppl_buckets']}) b ON v.doc_id = b.doc_id
+        WHERE b.bucket <> 'tail'
     """
     d["neardup_consensus"] = f"""
         WITH j AS (SELECT id1, id2, 'jaccard' AS m FROM ({d['dedup_jaccard']})),
