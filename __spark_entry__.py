@@ -3031,6 +3031,135 @@ def _crop_rows() -> list[dict]:
     return out
 
 
+def q_crop_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time CROP gate against a persisted tile-hash Hamming
+    index: the corpus's 2×2 tile pHashes are committed once (pigeonhole
+    chunk buckets, file-pruned scans — the phash_index story), then an
+    incoming batch of quadrant crops — lossless BMP (0-bit) AND lossy
+    JPEG re-encodes (a few bits off their source tile) — is probed
+    within a 6-bit Hamming ball with zero corpus re-decoding.  One
+    pathological tiny tile lands 32 bits away and is missed BY DESIGN
+    (the ball bounds candidate cost); the oracle is the INDEPENDENT
+    all-pairs bit_count(xor) brute force over the literal tile + crop
+    hash tables, so it pins pigeonhole recall at d=6, not just plan
+    parity."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.dedup_store import (
+        build_hamming_dedup_index,
+        probe_hamming_dedup_index,
+    )
+    from pic2vec_spark.ops.multimodal import compute_phash, compute_tile_phash
+    from pic2vec_spark.synth import synth_images_df
+
+    corpus = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    tiles = (
+        compute_tile_phash(corpus)
+        .filter(F.col("tile_ok"))
+        .select(
+            "image_id",
+            F.posexplode("tile_phashes").alias("tile_id", "tile_phash64"),
+        )
+        .select(
+            F.concat_ws("#", "image_id", "tile_id").alias("tile_key"),
+            "tile_phash64",
+        )
+    )
+    crops = spark.createDataFrame(
+        [
+            (r["crop_id"], r["bytes"], r["fmt"])
+            for r in _crop_rows() + _crop_rows_jpeg()
+        ],
+        "crop_id string, bytes binary, fmt string",
+    )
+    ph = (
+        compute_phash(crops)
+        .filter(F.col("phash64_ok"))
+        .select("crop_id", "phash64")
+    )
+    root = tempfile.mkdtemp(prefix="drv_tile_idx_")
+    try:
+        build_hamming_dedup_index(
+            tiles, root, spark,
+            id_col="tile_key", sig_col="tile_phash64", max_distance=6,
+        )
+        pairs = spark.createDataFrame(
+            probe_hamming_dedup_index(
+                root, spark, ph, id_col="crop_id", sig_col="phash64"
+            ).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # keep crop-vs-index hits only (within-batch crop pairs are the
+    # ordinary near-dup gate's business, not crop attribution)
+    one_tile = F.col("id1").contains("#") != F.col("id2").contains("#")
+    tkey = F.when(F.col("id1").contains("#"), F.col("id1")).otherwise(
+        F.col("id2")
+    )
+    cid = F.when(F.col("id1").contains("#"), F.col("id2")).otherwise(
+        F.col("id1")
+    )
+    return pairs.filter(one_tile).select(
+        cid.alias("crop_id"),
+        F.split(tkey, "#").getItem(0).alias("src_image_id"),
+        F.split(tkey, "#").getItem(1).cast("int").alias("tile_id"),
+        "hamming",
+    )
+
+
+@functools.cache
+def _crop_rows_jpeg() -> list[dict]:
+    """Lossy companions of _crop_rows: the same deterministic quadrant
+    slices re-encoded as JPEG — perceptually the source tile, byte- and
+    (usually) hash-distinct, landing a few Hamming bits away."""
+    from pic2vec_spark.codecs import decode_image, encode_image
+
+    out = []
+    for i, r in enumerate(_flagship_synth_rows()):
+        if i % 10 != 2:
+            continue
+        try:
+            px = decode_image(r["bytes"], r["fmt"])
+        except Exception:
+            continue
+        q = (i // 10) % 4
+        h, w = px.shape[:2]
+        rr, cc = q // 2, q % 2
+        tile = px[
+            rr * h // 2 : (rr + 1) * h // 2, cc * w // 2 : (cc + 1) * w // 2
+        ]
+        out.append({
+            "crop_id": f"crj{q}_" + r["image_id"],
+            "bytes": encode_image(tile, "jpeg"),
+            "fmt": "jpeg",
+        })
+    return out
+
+
+@functools.cache
+def _crop_probe_index_sql() -> str:
+    """Literal oracle for crop_probe_index: all crop pHashes (BMP +
+    JPEG batches, recomputed driver-side) brute-forced against the
+    literal tile-hash table with bit_count(xor) <= 6 — independent of
+    the pigeonhole bucket path."""
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.ops.multimodal import phash64
+
+    vals = []
+    for c in _crop_rows() + _crop_rows_jpeg():
+        h = phash64(decode_image(c["bytes"], c["fmt"]))
+        vals.append(f"('{c['crop_id']}', CAST({h} AS BIGINT))")
+    return f"""
+        WITH tiles AS ({_image_tile_phash_sql()}),
+        cr AS (SELECT * FROM (VALUES {", ".join(vals)}) AS c(crop_id, ph))
+        SELECT cr.crop_id, t.image_id AS src_image_id, t.tile_id,
+               bit_count(xor(cr.ph, t.tile_phash64)) AS hamming
+        FROM cr JOIN tiles t
+          ON t.tile_ok AND bit_count(xor(cr.ph, t.tile_phash64)) <= 6
+    """
+
+
 @functools.cache
 def _image_tile_phash_sql() -> str:
     """Literal oracle for image_tile_phash: the 2×2 tile hashes of each
@@ -4551,6 +4680,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "image_tile_phash": q_image_tile_phash,
         "image_crop_reposts": q_image_crop_reposts,
+        "crop_probe_index": q_crop_probe_index,
     }
 
 
@@ -7102,6 +7232,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_ppl_buckets": _DOC_PPL_BUCKETS_SQL,
         "image_tile_phash": _image_tile_phash_sql(),
         "image_crop_reposts": _image_crop_reposts_sql(),
+        "crop_probe_index": _crop_probe_index_sql(),
         "doc_vocab_coverage": """
             WITH toks AS (
               SELECT doc_id,

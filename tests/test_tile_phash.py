@@ -111,3 +111,70 @@ def test_partition_invariance(spark):
         for r in compute_tile_phash(df.repartition(8)).collect()
     )
     assert one == many
+
+
+def test_tile_index_probe_recall_lossy(spark, tmp_path):
+    # persisted tile index + 6-bit probe must surface a JPEG
+    # (lossy) re-encode of a quadrant — the ingest-time crop gate
+    from pic2vec_spark.ops.dedup_store import (
+        build_hamming_dedup_index,
+        probe_hamming_dedup_index,
+    )
+    from pic2vec_spark.ops.multimodal import compute_phash, compute_tile_phash
+
+    rows = [synth_image_row(i, 64, 42) for i in range(32)]
+    corpus = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["fmt"]) for r in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    tiles = (
+        compute_tile_phash(corpus)
+        .filter(F.col("tile_ok"))
+        .select(
+            "image_id",
+            F.posexplode("tile_phashes").alias("tile_id", "tile_phash64"),
+        )
+        .select(
+            F.concat_ws("#", "image_id", "tile_id").alias("tile_key"),
+            "tile_phash64",
+        )
+    )
+    root = str(tmp_path / "tileidx")
+    build_hamming_dedup_index(
+        tiles, root, spark,
+        id_col="tile_key", sig_col="tile_phash64", max_distance=6,
+    )
+    # pick a jpeg-re-encodable source whose lossy crop stays in the ball
+    planted = []
+    crops = []
+    for i in (20, 25):
+        r = rows[i]
+        px = decode_image(r["bytes"], r["fmt"])
+        h, w = px.shape[:2]
+        tile = px[0 : h // 2, 0 : w // 2]
+        from pic2vec_spark.ops.multimodal import tile_phash64s as tps
+
+        jb = encode_image(tile, "jpeg")
+        d = bin(
+            tps(px)[0] ^ phash64(decode_image(jb, "jpeg"))
+        ).count("1")
+        if d <= 6:
+            crops.append((f"c{i}", jb, "jpeg"))
+            planted.append((f"c{i}", r["image_id"] + "#0"))
+    assert planted, "fixture regression: no in-ball lossy crop"
+    ph = (
+        compute_phash(
+            spark.createDataFrame(
+                crops, "crop_id string, bytes binary, fmt string"
+            )
+        )
+        .filter(F.col("phash64_ok"))
+        .select("crop_id", "phash64")
+    )
+    pairs = probe_hamming_dedup_index(
+        root, spark, ph, id_col="crop_id", sig_col="phash64"
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    got |= {(b, a) for a, b in got}
+    for cid, tkey in planted:
+        assert (cid, tkey) in got, (cid, tkey)
