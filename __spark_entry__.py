@@ -2912,6 +2912,99 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.cache
+def _audio_clip_rows() -> list[tuple[int, bytes]]:
+    """Deterministic 2-component clip corpus for the audio fingerprint
+    family: 32 base clips (clip_id i; a carrier tone plus a slowly
+    FM-modulated overtone, rich enough that distinct clips separate to
+    ~16-44 Hamming bits) and, for each, one HALF-VOLUME copy (clip_id
+    100+i) — the canonical audio near-duplicate: difference signs
+    survive scaling, so the copy lands 0-2 bits from its source.
+    One generator shared by both queries and their literal oracles."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_wav
+
+    t = np.arange(4000) / 8000.0
+    out = []
+    for i in range(32):
+        base = 0.4 * np.sin(2 * np.pi * (100 + 25 * i) * t) + 0.1 * np.sin(
+            2 * np.pi * (300 + 40 * i) * t * (1 + 0.1 * np.sin(2 * np.pi * 2 * t))
+        )
+        out.append((i, encode_wav(base, 8000)))
+        out.append((100 + i, encode_wav(0.5 * base, 8000)))
+    return out
+
+
+def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit robust audio fingerprint (Haitsma-Kalker sign-of-band-
+    energy-difference) per WAV clip — one decode, narrow map.  Full
+    literal oracle: every fingerprint recomputed driver-side with the
+    same decode+mel kernels and embedded as BIGINT literals."""
+    from pic2vec_spark.ops.multimodal import compute_audio_fp
+
+    df = spark.createDataFrame(_audio_clip_rows(), "clip_id int, bytes binary")
+    return compute_audio_fp(df).select("clip_id", "fp64", "fp_ok")
+
+
+def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs within 4 Hamming bits of the robust
+    fingerprint — the half-volume copies planted in the corpus MUST
+    surface against their sources.  Reuses the SAME pigeonhole
+    chunk-bucket machinery as image pHash and text SimHash (one
+    Hamming-ball contract across all three modalities).  Oracle: the
+    INDEPENDENT all-pairs bit_count(xor) brute force over the literal
+    fingerprint table — pins bucket recall, not just plan parity."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs
+    from pic2vec_spark.ops.multimodal import compute_audio_fp
+
+    df = spark.createDataFrame(_audio_clip_rows(), "clip_id int, bytes binary")
+    fp = (
+        compute_audio_fp(df)
+        .filter(F.col("fp_ok"))
+        .withColumn("clip", F.col("clip_id").cast("string"))
+    )
+    return hamming_neardup_pairs(
+        fp.select("clip", "fp64"), "clip",
+        max_distance=4, sig_col="fp64", bits=64,
+    )
+
+
+@functools.cache
+def _audio_fp_sql() -> str:
+    """Literal oracle for audio_fingerprints: the fingerprint of each
+    deterministic clip recomputed driver-side with the SAME decode_wav
+    + audio_fp64 kernels the executors run."""
+    from pic2vec_spark.codecs import decode_wav
+    from pic2vec_spark.ops.multimodal import audio_fp64
+
+    vals = []
+    for cid, data in _audio_clip_rows():
+        x, rate = decode_wav(data)
+        h = audio_fp64(x.mean(axis=1), rate)
+        vals.append(f"({cid}, CAST({h} AS BIGINT), TRUE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(clip_id, fp64, fp_ok)"
+    )
+
+
+def _audio_fp_neardup_sql() -> str:
+    """Independent all-pairs Hamming brute force over the literal
+    fingerprints (clip ids compared as STRINGS, matching the Spark
+    side's pair-key normalization)."""
+    return f"""
+        WITH fp AS ({_audio_fp_sql()})
+        SELECT CAST(a.clip_id AS VARCHAR) AS id1,
+               CAST(b.clip_id AS VARCHAR) AS id2,
+               bit_count(xor(a.fp64, b.fp64)) AS hamming
+        FROM fp a JOIN fp b
+          ON CAST(a.clip_id AS VARCHAR) < CAST(b.clip_id AS VARCHAR)
+        WHERE bit_count(xor(a.fp64, b.fp64)) <= 4
+    """
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-derived DCT perceptual hash per image.  Full literal
     oracle (_image_phash_sql): the hash of each deterministic synth
@@ -4681,6 +4774,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_phash": q_image_tile_phash,
         "image_crop_reposts": q_image_crop_reposts,
         "crop_probe_index": q_crop_probe_index,
+        "audio_fingerprints": q_audio_fingerprints,
+        "audio_fp_neardup": q_audio_fp_neardup,
     }
 
 
@@ -7233,6 +7328,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "image_tile_phash": _image_tile_phash_sql(),
         "image_crop_reposts": _image_crop_reposts_sql(),
         "crop_probe_index": _crop_probe_index_sql(),
+        "audio_fingerprints": _audio_fp_sql(),
+        "audio_fp_neardup": _audio_fp_neardup_sql(),
         "doc_vocab_coverage": """
             WITH toks AS (
               SELECT doc_id,

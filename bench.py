@@ -157,6 +157,25 @@ EXTENDED_R5B = [
     "cluster_caption_profile",
 ]
 
+# round-5c additions — tokenizer training / LM scoring, the
+# crop-robust repost family, and the audio fingerprint family
+EXTENDED_R5C = [
+    "doc_word_freqs",
+    "bpe_merges",
+    "bpe_token_freqs",
+    "doc_vocab_coverage",
+    "doc_curriculum",
+    "doc_length_batches",
+    "doc_bigram_ppl",
+    "doc_ppl_buckets",
+    "training_corpus_v3",
+    "image_tile_phash",
+    "image_crop_reposts",
+    "crop_probe_index",
+    "audio_fingerprints",
+    "audio_fp_neardup",
+]
+
 EXTENDED_GROUPS = [
     ("extended_sec", EXTENDED),
     ("extended_r3_sec", EXTENDED_R3),
@@ -166,6 +185,7 @@ EXTENDED_GROUPS = [
     ("extended_r4b_sec", EXTENDED_R4B),
     ("extended_r5_sec", EXTENDED_R5),
     ("extended_r5b_sec", EXTENDED_R5B),
+    ("extended_r5c_sec", EXTENDED_R5C),
 ]
 
 # probe agreement bound: before/after GFLOPS within 5x = the box stayed

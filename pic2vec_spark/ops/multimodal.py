@@ -893,3 +893,70 @@ def audio_features(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def audio_fp64(
+    sig: np.ndarray, rate: int, n_time: int = 9, n_bands: int = 9
+) -> int:
+    """Philips-robust-hash-style 64-bit audio fingerprint (Haitsma &
+    Kalker 2002, the per-frame sub-fingerprint collapsed to one
+    clip-level word): split the mono clip into ``n_time`` equal time
+    blocks, take ``n_bands`` log-mel energies per block, and keep the
+    SIGN of the band-then-time double difference
+
+        bit(t, b) = [(E[t,b+1] − E[t,b]) − (E[t−1,b+1] − E[t−1,b]) > 0]
+
+    → (n_time−1)·(n_bands−1) = 64 bits.  Because only difference signs
+    survive, a volume-scaled or requantized copy lands 0–2 Hamming bits
+    away while distinct content sits near 32 — the same Hamming-ball
+    dedup contract as image pHash, so the SAME pigeonhole machinery
+    (``ops.dedup.hamming_neardup_pairs``, the persisted Hamming index)
+    serves audio unchanged."""
+    x = np.asarray(sig, dtype=np.float64)
+    blocks = np.array_split(x, n_time)
+    eng = np.array(
+        [_mel_energies(b, rate, n_bands) for b in blocks], dtype=np.float64
+    )
+    dd = np.diff(np.diff(eng, axis=1), axis=0)
+    return _pack_bits64((dd > 0).astype(np.uint8).reshape(-1))
+
+
+def compute_audio_fp(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    n_time: int = 9,
+    n_bands: int = 9,
+) -> DataFrame:
+    """Attach the 64-bit robust audio fingerprint (``fp64: long``,
+    ``fp_ok: boolean``) to every PCM-WAV row — narrow map, one decode,
+    no shuffle.  Non-WAV bytes yield ``fp_ok=False`` (fp64=0), the same
+    missing-semantics as the image hash ops."""
+    from pic2vec_spark.codecs import decode_wav
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("fp64", T.LongType(), False),
+            T.StructField("fp_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, oks = [], []
+            for data in pdf[bytes_col]:
+                try:
+                    x, rate = decode_wav(
+                        bytes(data) if data is not None else b""
+                    )
+                    fps.append(audio_fp64(x.mean(axis=1), rate, n_time, n_bands))
+                    oks.append(True)
+                except ValueError:
+                    fps.append(0)
+                    oks.append(False)
+            out = pdf.copy()
+            out["fp64"] = pd.array(fps, dtype="int64")
+            out["fp_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

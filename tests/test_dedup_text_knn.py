@@ -1002,3 +1002,90 @@ def test_semantic_dedup_hand_fixture(spark):
     )
     assert (out3.keep.values == out.keep.values).all()
     assert (out3.cell.values == out.cell.values).all()
+
+
+def test_audio_fp64_volume_invariant_and_separating(spark):
+    """Haitsma-Kalker sign-of-band-difference fingerprint: a
+    half-volume copy of a clip lands within 2 Hamming bits of its
+    source (difference signs survive positive scaling), while distinct
+    clips sit far (>=8 bits here, ~32 expected at random); non-WAV
+    bytes degrade to fp_ok=False, and the Spark column equals the
+    driver-side kernel on the same bytes."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import decode_wav, encode_wav
+    from pic2vec_spark.ops.multimodal import audio_fp64, compute_audio_fp
+
+    t = np.arange(4000) / 8000.0
+    clips = {}
+    for i in range(4):
+        base = 0.4 * np.sin(2 * np.pi * (100 + 25 * i) * t) + 0.1 * np.sin(
+            2 * np.pi * (300 + 40 * i) * t * (1 + 0.1 * np.sin(2 * np.pi * 2 * t))
+        )
+        clips[i] = encode_wav(base, 8000)
+        clips[100 + i] = encode_wav(0.5 * base, 8000)
+    rows = [(k, v) for k, v in clips.items()] + [(999, b"not-a-wav")]
+    df = spark.createDataFrame(rows, "clip_id int, bytes binary")
+    out = {r.clip_id: r for r in compute_audio_fp(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for i in range(4):
+        assert out[i].fp_ok and out[100 + i].fp_ok
+        assert ham(out[i].fp64, out[100 + i].fp64) <= 2
+        for j in range(i + 1, 4):
+            assert ham(out[i].fp64, out[j].fp64) >= 8
+    assert not out[999].fp_ok and out[999].fp64 == 0
+
+    # Spark value == driver kernel on identical bytes
+    x, rate = decode_wav(clips[2])
+    assert out[2].fp64 == audio_fp64(x.mean(axis=1), rate)
+
+
+def test_audio_fp_through_persisted_hamming_index(spark, tmp_path):
+    """The cross-modality claim, executed: audio fingerprints flow
+    through the SAME persisted Hamming index as image pHash / text
+    SimHash — commit the base clips once, probe a batch of half-volume
+    re-encodes, and every copy must gate against its source with zero
+    corpus re-decoding."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_wav
+    from pic2vec_spark.ops.dedup_store import (
+        build_hamming_dedup_index,
+        probe_hamming_dedup_index,
+    )
+    from pic2vec_spark.ops.multimodal import compute_audio_fp
+
+    t = np.arange(4000) / 8000.0
+    base, copies = [], []
+    for i in range(6):
+        sig = 0.4 * np.sin(2 * np.pi * (100 + 25 * i) * t) + 0.1 * np.sin(
+            2 * np.pi * (300 + 40 * i) * t * (1 + 0.1 * np.sin(2 * np.pi * 2 * t))
+        )
+        base.append((f"clip{i}", encode_wav(sig, 8000)))
+        copies.append((f"copy{i}", encode_wav(0.5 * sig, 8000)))
+
+    fp = lambda rows: (
+        compute_audio_fp(
+            spark.createDataFrame(rows, "clip_id string, bytes binary")
+        )
+        .filter(F.col("fp_ok"))
+        .select("clip_id", "fp64")
+    )
+    root = str(tmp_path / "audio_ham")
+    build_hamming_dedup_index(
+        fp(base), root, spark, id_col="clip_id", sig_col="fp64",
+        max_distance=4,
+    )
+    hits = probe_hamming_dedup_index(
+        root, spark, fp(copies), id_col="clip_id", sig_col="fp64"
+    ).collect()
+    gated = {frozenset((r.id1, r.id2)) for r in hits}
+    for i in range(6):
+        assert frozenset((f"clip{i}", f"copy{i}")) in gated
+    # no cross-content false pair at this ball radius on this corpus
+    assert all(
+        len({a[4:] for a in pair}) == 1 for pair in gated
+    ), gated
