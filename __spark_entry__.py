@@ -3005,6 +3005,147 @@ def _audio_fp_neardup_sql() -> str:
     """
 
 
+@functools.cache
+def _video_rows() -> list[tuple[str, bytes]]:
+    """Deterministic MJV1 video corpus: 16 base streams (6 horizontally
+    rolled frames of a decodable synth image each, lossless BMP), plus
+    the two canonical video reposts — a JPEG-requantized copy of every
+    idx % 3 == 0 video (every frame within a few pHash bits, offset-0
+    alignment) and a 2-frame head-trimmed copy of every idx % 3 == 1
+    video (4 surviving frames at a constant -2 alignment).  One
+    generator shared by the queries and their literal oracles."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import (
+        decode_image,
+        encode_image,
+        encode_video,
+    )
+
+    bases = []
+    for r in _flagship_synth_rows():
+        try:
+            bases.append(decode_image(bytes(r["bytes"]), r["fmt"]))
+        except Exception:
+            continue
+        if len(bases) == 16:
+            break
+    rows = []
+    for i, px in enumerate(bases):
+        w = px.shape[1]
+        frames = [np.roll(px, (j * w) // 6, axis=1) for j in range(6)]
+        rows.append((f"v{i:02d}", encode_video(frames, "bmp")))
+        if i % 3 == 0:
+            requant = [
+                decode_image(encode_image(f, "jpeg"), "jpeg") for f in frames
+            ]
+            rows.append((f"v{i:02d}_requant", encode_video(requant, "bmp")))
+        elif i % 3 == 1:
+            rows.append((f"v{i:02d}_trim", encode_video(frames[2:], "bmp")))
+    rows.append(("zz_junk", b"not-an-mjv1-stream"))
+    return rows
+
+
+def q_video_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hashes of every MJV1 video — ONE decode
+    pass per stream (real from-scratch motion-JPEG-style container
+    decode, codecs.decode_video), narrow map, then a posexplode to
+    (video_id, frame_idx, fhash64).  The junk row degrades to
+    video_ok=False / empty arrays and so vanishes from the exploded
+    table, exactly like the oracle.  Full literal oracle: every frame
+    hash recomputed driver-side with the same decode+pHash kernels."""
+    from pic2vec_spark.ops.multimodal import video_frame_phashes
+
+    df = spark.createDataFrame(_video_rows(), "video_id string, bytes binary")
+    return video_frame_phashes(df).select(
+        "video_id",
+        F.col("frame_idxs").alias("__idxs"),
+        F.posexplode("frame_phashes").alias("__pos", "fhash64"),
+    ).select(
+        "video_id",
+        F.element_at(F.col("__idxs"), F.col("__pos") + 1).alias("frame_idx"),
+        "fhash64",
+    )
+
+
+def q_video_reposts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporally-aligned video repost detection: pairs matching >=3
+    frames within 4 Hamming bits at one consistent frame offset — the
+    planted requant copies MUST surface at offset 0 with all 6 frames
+    and the head-trimmed copies at their -2 alignment with 4.  The
+    frame-level candidates come from the SAME pigeonhole chunk-bucket
+    machinery as the other three modalities; the alignment vote is one
+    bounded groupBy + WindowGroupLimit top-1.  Oracle: an INDEPENDENT
+    all-pairs bit_count(xor) brute force + offset vote over the literal
+    frame-hash table — pins bucket recall AND the alignment/tie-break
+    semantics."""
+    from pic2vec_spark.ops.multimodal import (
+        video_frame_phashes,
+        video_repost_pairs,
+    )
+
+    df = spark.createDataFrame(_video_rows(), "video_id string, bytes binary")
+    return video_repost_pairs(
+        video_frame_phashes(df).filter(F.col("video_ok")),
+        max_distance=4,
+        min_frames=3,
+    )
+
+
+@functools.cache
+def _video_frame_hashes_sql() -> str:
+    """Literal oracle for video_frame_hashes: each frame hash
+    recomputed driver-side with the SAME decode_video + phash64
+    kernels the executors run (junk rows decode to nothing and emit no
+    literals, matching the engine's empty-array explode)."""
+    from pic2vec_spark.codecs import decode_video
+    from pic2vec_spark.ops.multimodal import phash64
+
+    vals = []
+    for vid, data in _video_rows():
+        try:
+            frames = decode_video(data)
+        except ValueError:
+            continue
+        for j, f in enumerate(frames):
+            vals.append(f"('{vid}', {j}, CAST({phash64(f)} AS BIGINT))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(video_id, frame_idx, fhash64)"
+    )
+
+
+def _video_reposts_sql() -> str:
+    """Independent brute force for video_reposts: all cross-video frame
+    pairs within 4 bits, counted per (pair, offset), best offset per
+    pair with the matched-desc / offset-asc tie-break, floor 3."""
+    return f"""
+        WITH fh AS ({_video_frame_hashes_sql()}),
+        cand AS (
+          SELECT a.video_id AS vid1, b.video_id AS vid2,
+                 b.frame_idx - a.frame_idx AS off, a.frame_idx AS ia
+          FROM fh a JOIN fh b ON a.video_id < b.video_id
+          WHERE bit_count(xor(a.fhash64, b.fhash64)) <= 4
+        ),
+        votes AS (
+          SELECT vid1, vid2, off, COUNT(DISTINCT ia) AS matched
+          FROM cand GROUP BY vid1, vid2, off
+        ),
+        best AS (
+          SELECT vid1, vid2, off, matched,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vid1, vid2
+                   ORDER BY matched DESC, off ASC
+                 ) AS rn
+          FROM votes
+        )
+        SELECT vid1, vid2, off AS "offset",
+               CAST(matched AS BIGINT) AS matched_frames
+        FROM best WHERE rn = 1 AND matched >= 3
+    """
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-derived DCT perceptual hash per image.  Full literal
     oracle (_image_phash_sql): the hash of each deterministic synth
@@ -4776,6 +4917,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_probe_index": q_crop_probe_index,
         "audio_fingerprints": q_audio_fingerprints,
         "audio_fp_neardup": q_audio_fp_neardup,
+        "video_frame_hashes": q_video_frame_hashes,
+        "video_reposts": q_video_reposts,
     }
 
 
@@ -7330,6 +7473,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "crop_probe_index": _crop_probe_index_sql(),
         "audio_fingerprints": _audio_fp_sql(),
         "audio_fp_neardup": _audio_fp_neardup_sql(),
+        "video_frame_hashes": _video_frame_hashes_sql(),
+        "video_reposts": _video_reposts_sql(),
         "doc_vocab_coverage": """
             WITH toks AS (
               SELECT doc_id,

@@ -174,6 +174,8 @@ EXTENDED_R5C = [
     "crop_probe_index",
     "audio_fingerprints",
     "audio_fp_neardup",
+    "video_frame_hashes",
+    "video_reposts",
 ]
 
 EXTENDED_GROUPS = [

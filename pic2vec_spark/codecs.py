@@ -297,3 +297,56 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     else:  # 8-bit WAV is UNSIGNED per the spec
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     return x.reshape(n, channels), rate
+
+
+# ----------------------------------------------------------- video (MJV1)
+# A motion-JPEG-style stream container: an uncompressed index over
+# per-frame still images, each encoded with the from-scratch codecs
+# above (BMP/PNG lossless, JPEG lossy).  Container formats like AVI-
+# MJPEG are exactly this shape (a RIFF index over JFIF frames) — the
+# only part that needs a codec library is inter-frame compression
+# (H.264 etc.), which stays behind the documented stub in
+# ops/multimodal.py.  Layout: b"MJV1" | u32 n_frames | per frame:
+# 4-byte ascii fmt tag (space-padded) | u32 payload length | payload.
+
+VIDEO_MAGIC = b"MJV1"
+
+
+def encode_video(frames: list, fmt: str = "jpeg") -> bytes:
+    """Encode (H, W, 3) uint8 frames into an MJV1 stream.  ``fmt`` may
+    be a single format for every frame or a per-frame list — mixing
+    lossless (bmp/png) and lossy (jpeg) frames is legal, mirroring
+    keyframe/delta quality differences in real streams."""
+    fmts = [fmt] * len(frames) if isinstance(fmt, str) else list(fmt)
+    if len(fmts) != len(frames):
+        raise ValueError("fmt list length != frame count")
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for img, f in zip(frames, fmts):
+        payload = encode_image(img, f)
+        tag = f.lower().ljust(4)[:4].encode("ascii")
+        parts.append(tag + struct.pack("<I", len(payload)) + payload)
+    return b"".join(parts)
+
+
+def decode_video(data: bytes) -> list:
+    """Decode an MJV1 stream to its list of (H, W, 3) RGB uint8 frames.
+    Raises ValueError on anything that is not a well-formed stream
+    (callers map failure to video_ok=False, the shared
+    missing-semantics of the binary ops)."""
+    data = bytes(data or b"")
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not an MJV1 video stream")
+    (n,) = struct.unpack_from("<I", data, 4)
+    pos = 8
+    frames = []
+    for _ in range(n):
+        if pos + 8 > len(data):
+            raise ValueError("truncated MJV1 stream")
+        fmt = data[pos : pos + 4].decode("ascii", "replace").strip()
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        pos += 8
+        if pos + ln > len(data):
+            raise ValueError("truncated MJV1 frame payload")
+        frames.append(decode_image(data[pos : pos + ln], fmt))
+        pos += ln
+    return frames

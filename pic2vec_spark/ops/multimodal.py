@@ -723,11 +723,19 @@ def video_frame_sample(
     bytes_col: str = "bytes",
     strict: bool = False,
 ) -> DataFrame:
-    """Sample every_n-th frame as a small tensor per row.
+    """Sample n_frames frames as small grayscale tensors per row.
 
-    Real pipeline shape (binary -> array<array<float>> frame features);
-    the frame decode itself is a STUB (see STUB_NOTE). ``strict=True``
-    raises NotImplementedError instead of faking."""
+    MJV1 streams (codecs.encode_video/decode_video — the from-scratch
+    motion-JPEG-style container) decode FOR REAL: frames are uniformly
+    sampled over the stream, resized to ``frame_size`` and converted to
+    grayscale floats in [0, 1].  Any other byte content falls back to
+    the deterministic fake (see STUB_NOTE) — the compressed inter-frame
+    codecs (H.264 etc.) have no decoder in this container.
+    ``strict=True`` raises NotImplementedError on non-MJV1 bytes
+    instead of faking."""
+    from pic2vec_spark.codecs import VIDEO_MAGIC, decode_video
+    from pic2vec_spark.preprocess import to_grayscale
+
     schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("frames", T.ArrayType(T.ArrayType(T.FloatType())), True)]
@@ -735,20 +743,176 @@ def video_frame_sample(
     h, w = frame_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(STUB_NOTE)
         for pdf in batches:
             frames = []
             for data in pdf[bytes_col]:
-                sig = _fake_signal(data, n_frames * h * w)
-                frames.append(
-                    [f.tolist() for f in sig.reshape(n_frames, h * w)]
-                )
+                raw = bytes(data) if data is not None else b""
+                if raw[:4] == VIDEO_MAGIC:
+                    decoded = decode_video(raw)
+                    picks = np.linspace(
+                        0, len(decoded) - 1, n_frames
+                    ).round().astype(int)
+                    frames.append([
+                        (
+                            to_grayscale(
+                                resize_nearest(decoded[i], (h, w))
+                            )[..., 0].astype(np.float32).ravel() / 255.0
+                        ).tolist()
+                        for i in picks
+                    ])
+                elif strict:
+                    raise NotImplementedError(STUB_NOTE)
+                else:
+                    sig = _fake_signal(raw, n_frames * h * w)
+                    frames.append(
+                        [f.tolist() for f in sig.reshape(n_frames, h * w)]
+                    )
             out = pdf.copy()
             out["frames"] = frames
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+_VIDEO_SEP = "\x1f"  # composite (video, frame) key separator
+
+
+def video_frame_phashes(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    max_frames: int = 16,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Attach per-frame perceptual hashes to every MJV1 video row —
+    ``n_frames: int``, ``frame_idxs: array<int>`` (the sampled original
+    frame indexes), ``frame_phashes: array<long>`` and ``video_ok:
+    boolean``.  ONE decode pass per video, narrow map, no shuffle;
+    streams longer than ``max_frames`` are uniformly subsampled so the
+    per-row output stays bounded regardless of clip length.  Non-MJV1
+    bytes yield ``video_ok=False`` (empty arrays) — the shared
+    missing-semantics of the binary ops."""
+    from pic2vec_spark.codecs import decode_video
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("frame_idxs", T.ArrayType(T.IntegerType()), False),
+            T.StructField(
+                "frame_phashes", T.ArrayType(T.LongType(), False), False
+            ),
+            T.StructField("video_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, idxs, hs, oks = [], [], [], []
+            for data in pdf[bytes_col]:
+                try:
+                    frames = decode_video(
+                        bytes(data) if data is not None else b""
+                    )
+                    if not frames:
+                        raise ValueError("empty stream")
+                    picks = sorted(set(
+                        np.linspace(0, len(frames) - 1, max_frames)
+                        .round().astype(int).tolist()
+                    )) if len(frames) > max_frames else list(range(len(frames)))
+                    ns.append(len(frames))
+                    idxs.append([int(i) for i in picks])
+                    hs.append([
+                        phash64(frames[i], hash_size, highfreq_factor)
+                        for i in picks
+                    ])
+                    oks.append(True)
+                except ValueError:
+                    ns.append(0)
+                    idxs.append([])
+                    hs.append([])
+                    oks.append(False)
+            out = pdf.copy()
+            out["n_frames"] = pd.array(ns, dtype="int32")
+            out["frame_idxs"] = idxs
+            out["frame_phashes"] = hs
+            out["video_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def video_repost_pairs(
+    hashes: DataFrame,
+    id_col: str = "video_id",
+    max_distance: int = 4,
+    min_frames: int = 3,
+    idx_col: str = "frame_idxs",
+    hash_col: str = "frame_phashes",
+) -> DataFrame:
+    """Temporally-aligned video repost detection over per-frame
+    perceptual hashes: two videos are a repost pair when at least
+    ``min_frames`` of their frames match within ``max_distance``
+    Hamming bits AT A CONSISTENT FRAME OFFSET (the alignment-voting
+    construction: a requantized copy matches at offset 0, a
+    head-trimmed copy at offset −trim; frame-level hash collisions
+    scattered across offsets never accumulate on one).  Output one row
+    per detected pair: (vid1, vid2, offset, matched_frames) with vid1 <
+    vid2, offset = vid2's frame index − vid1's at the winning
+    alignment, ties broken toward the smallest offset.
+
+    Scale shape: the exploded frame table (rows = Σ sampled frames, 16
+    bytes of key each) goes through the SAME pigeonhole chunk-bucket
+    pair machinery as image pHash / text SimHash / audio fingerprints —
+    candidates are bucket-bounded, never all-pairs over videos or
+    frames; the offset vote is one bounded groupBy over candidate
+    pairs and the winner one WindowGroupLimit top-1."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs
+
+    frames = hashes.select(
+        F.col(id_col).cast("string").alias("__vid"),
+        F.col(idx_col).alias("__idxs"),
+        F.posexplode(hash_col).alias("__pos", "__fh"),
+    ).select(
+        F.concat_ws(
+            _VIDEO_SEP,
+            "__vid",
+            F.element_at(F.col("__idxs"), F.col("__pos") + 1).cast("string"),
+        ).alias("__cid"),
+        "__fh",
+    )
+    pairs = hamming_neardup_pairs(
+        frames, "__cid", max_distance=max_distance, sig_col="__fh", bits=64
+    )
+    parsed = pairs.select(
+        F.substring_index("id1", _VIDEO_SEP, 1).alias("va"),
+        F.substring_index("id1", _VIDEO_SEP, -1).cast("int").alias("ia"),
+        F.substring_index("id2", _VIDEO_SEP, 1).alias("vb"),
+        F.substring_index("id2", _VIDEO_SEP, -1).cast("int").alias("ib"),
+    ).filter(F.col("va") != F.col("vb"))
+    ordered = parsed.select(
+        F.least("va", "vb").alias("vid1"),
+        F.greatest("va", "vb").alias("vid2"),
+        F.when(F.col("va") < F.col("vb"), F.col("ib") - F.col("ia"))
+        .otherwise(F.col("ia") - F.col("ib"))
+        .alias("offset"),
+        F.when(F.col("va") < F.col("vb"), F.col("ia"))
+        .otherwise(F.col("ib"))
+        .alias("i1"),
+    )
+    votes = ordered.groupBy("vid1", "vid2", "offset").agg(
+        F.countDistinct("i1").alias("matched_frames")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vid1", "vid2").orderBy(
+        F.desc("matched_frames"), F.asc("offset")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("matched_frames") >= min_frames))
+        .drop("__rn")
+    )
 
 
 _MEL_N_FFT = 512

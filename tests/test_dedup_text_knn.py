@@ -1089,3 +1089,117 @@ def test_audio_fp_through_persisted_hamming_index(spark, tmp_path):
     assert all(
         len({a[4:] for a in pair}) == 1 for pair in gated
     ), gated
+
+
+def _video_corpus():
+    """Deterministic little video corpus: 6 base MJV1 streams (6 rolled
+    frames of a synth image each), a JPEG-requantized copy of video 0
+    and a 2-frame head-trimmed copy of video 1."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import (
+        decode_image,
+        encode_image,
+        encode_video,
+    )
+    from pic2vec_spark.synth import synth_images_pdf
+
+    pdf = synth_images_pdf(40, seed=42)
+    bases = []
+    for _, r in pdf.iterrows():
+        try:
+            bases.append(decode_image(bytes(r["bytes"]), r["fmt"]))
+        except Exception:
+            continue
+        if len(bases) == 6:
+            break
+    rows = []
+    vids = {}
+    for i, px in enumerate(bases):
+        w = px.shape[1]
+        frames = [np.roll(px, (j * w) // 6, axis=1) for j in range(6)]
+        vids[i] = frames
+        rows.append((f"v{i}", encode_video(frames, "bmp")))
+    requant = [
+        decode_image(encode_image(f, "jpeg"), "jpeg") for f in vids[0]
+    ]
+    rows.append(("v0_requant", encode_video(requant, "bmp")))
+    rows.append(("v1_trim", encode_video(vids[1][2:], "bmp")))
+    rows.append(("junk", b"not-a-video"))
+    return rows
+
+
+def test_video_codec_and_frame_sample_real_path(spark):
+    """MJV1 streams round-trip losslessly (BMP frames) and
+    video_frame_sample decodes them FOR REAL — the sampled grayscale
+    tensors equal the driver-side decode of the same frames; non-MJV1
+    bytes keep the deterministic fake, and strict mode raises on them
+    but NOT on real streams."""
+    import numpy as np
+    import pytest
+
+    from pic2vec_spark.codecs import decode_video, encode_video
+    from pic2vec_spark.ops.multimodal import video_frame_sample
+    from pic2vec_spark.preprocess import resize_nearest, to_grayscale
+
+    rows = _video_corpus()
+    v0 = dict(rows)["v0"]
+    frames = decode_video(v0)
+    assert len(frames) == 6
+
+    df = spark.createDataFrame(
+        [("v0", v0), ("junk", b"zzz")], "vid string, bytes binary"
+    )
+    out = {
+        r.vid: r.frames
+        for r in video_frame_sample(df, n_frames=3, frame_size=(4, 4)).collect()
+    }
+    picks = np.linspace(0, 5, 3).round().astype(int)
+    for k, i in enumerate(picks):
+        expect = (
+            to_grayscale(resize_nearest(frames[i], (4, 4)))[..., 0]
+            .astype(np.float32)
+            .ravel()
+            / 25.5e1
+        )
+        assert np.allclose(out["v0"][k], expect, atol=1e-6)
+    assert len(out["junk"]) == 3 and len(out["junk"][0]) == 16  # fake path
+
+    real_only = spark.createDataFrame([("v0", v0)], "vid string, bytes binary")
+    assert video_frame_sample(real_only, strict=True).count() == 1
+    with pytest.raises(Exception):
+        video_frame_sample(df, strict=True).collect()
+
+
+def test_video_repost_pairs_alignment_voting(spark):
+    """The planted JPEG-requant copy must surface at offset 0 with all
+    6 frames matched; the head-trimmed copy at the consistent -2/+2
+    alignment with its 4 surviving frames; junk bytes degrade to
+    video_ok=False and no self-pairs or cross-content pairs appear for
+    the distinct base videos."""
+    from pic2vec_spark.ops.multimodal import (
+        video_frame_phashes,
+        video_repost_pairs,
+    )
+
+    df = spark.createDataFrame(_video_corpus(), "video_id string, bytes binary")
+    hashed = video_frame_phashes(df)
+    ok = {r.video_id: r for r in hashed.collect()}
+    assert not ok["junk"].video_ok and ok["junk"].frame_phashes == []
+    assert ok["v0"].video_ok and ok["v0"].n_frames == 6
+    assert ok["v0"].frame_idxs == [0, 1, 2, 3, 4, 5]
+
+    pairs = {
+        (r.vid1, r.vid2): r
+        for r in video_repost_pairs(
+            hashed.filter("video_ok"), max_distance=4, min_frames=3
+        ).collect()
+    }
+    req = pairs[("v0", "v0_requant")]
+    assert req.offset == 0 and req.matched_frames == 6
+    # v1_trim frame j == v1 frame j+2  ->  with vid1="v1" (< "v1_trim"),
+    # offset = trim_idx - src_idx = -2, 4 frames survive the trim
+    trim = pairs[("v1", "v1_trim")]
+    assert trim.offset == -2 and trim.matched_frames == 4
+    for (a, b) in pairs:
+        assert {a, b} & {"v0_requant", "v1_trim"} or a[:2] == b[:2], (a, b)
