@@ -3146,6 +3146,76 @@ def _video_reposts_sql() -> str:
     """
 
 
+def q_video_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time VIDEO repost gate against a persisted frame-hash
+    Hamming index: the base videos' per-frame pHashes are committed
+    once (composite video+frame keys, pigeonhole chunk buckets,
+    file-pruned scans), then the incoming batch — the requant + trim
+    copies — is alignment-voted against it with zero corpus
+    re-decoding.  Oracle: the INDEPENDENT brute force + offset vote
+    over the literal frame-hash table, restricted to pairs with at
+    least one batch side (the probe contract: batch-vs-corpus plus
+    batch-internal)."""
+    import shutil
+    import tempfile
+
+    from pic2vec_spark.ops.multimodal import (
+        build_video_repost_index,
+        probe_video_reposts,
+        video_frame_phashes,
+    )
+
+    df = spark.createDataFrame(_video_rows(), "video_id string, bytes binary")
+    hashed = video_frame_phashes(df).filter(F.col("video_ok"))
+    is_batch = F.col("video_id").endswith("_requant") | F.col(
+        "video_id"
+    ).endswith("_trim")
+    root = tempfile.mkdtemp(prefix="drv_video_idx_")
+    try:
+        build_video_repost_index(hashed.filter(~is_batch), root, spark)
+        out = spark.createDataFrame(
+            probe_video_reposts(
+                root, spark, hashed.filter(is_batch), min_frames=3
+            ).toPandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _video_probe_index_sql() -> str:
+    """Brute force + offset vote over the literal frame hashes, batch
+    side required on at least one end of every pair."""
+    return f"""
+        WITH fh AS ({_video_frame_hashes_sql()}),
+        cand AS (
+          SELECT a.video_id AS vid1, b.video_id AS vid2,
+                 b.frame_idx - a.frame_idx AS off, a.frame_idx AS ia
+          FROM fh a JOIN fh b ON a.video_id < b.video_id
+          WHERE bit_count(xor(a.fhash64, b.fhash64)) <= 4
+            AND (a.video_id LIKE '%\\_requant' ESCAPE '\\'
+                 OR a.video_id LIKE '%\\_trim' ESCAPE '\\'
+                 OR b.video_id LIKE '%\\_requant' ESCAPE '\\'
+                 OR b.video_id LIKE '%\\_trim' ESCAPE '\\')
+        ),
+        votes AS (
+          SELECT vid1, vid2, off, COUNT(DISTINCT ia) AS matched
+          FROM cand GROUP BY vid1, vid2, off
+        ),
+        best AS (
+          SELECT vid1, vid2, off, matched,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vid1, vid2
+                   ORDER BY matched DESC, off ASC
+                 ) AS rn
+          FROM votes
+        )
+        SELECT vid1, vid2, off AS "offset",
+               CAST(matched AS BIGINT) AS matched_frames
+        FROM best WHERE rn = 1 AND matched >= 3
+    """
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-derived DCT perceptual hash per image.  Full literal
     oracle (_image_phash_sql): the hash of each deterministic synth
@@ -4919,6 +4989,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": q_audio_fp_neardup,
         "video_frame_hashes": q_video_frame_hashes,
         "video_reposts": q_video_reposts,
+        "video_probe_index": q_video_probe_index,
     }
 
 
@@ -7475,6 +7546,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "audio_fp_neardup": _audio_fp_neardup_sql(),
         "video_frame_hashes": _video_frame_hashes_sql(),
         "video_reposts": _video_reposts_sql(),
+        "video_probe_index": _video_probe_index_sql(),
         "doc_vocab_coverage": """
             WITH toks AS (
               SELECT doc_id,

@@ -176,6 +176,7 @@ EXTENDED_R5C = [
     "audio_fp_neardup",
     "video_frame_hashes",
     "video_reposts",
+    "video_probe_index",
 ]
 
 EXTENDED_GROUPS = [

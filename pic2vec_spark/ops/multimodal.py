@@ -869,7 +869,23 @@ def video_repost_pairs(
     pairs and the winner one WindowGroupLimit top-1."""
     from pic2vec_spark.ops.dedup import hamming_neardup_pairs
 
-    frames = hashes.select(
+    frames = video_frames_cid(hashes, id_col, idx_col, hash_col)
+    pairs = hamming_neardup_pairs(
+        frames, "__cid", max_distance=max_distance, sig_col="__fh", bits=64
+    )
+    return alignment_vote(pairs, min_frames)
+
+
+def video_frames_cid(
+    hashes: DataFrame,
+    id_col: str = "video_id",
+    idx_col: str = "frame_idxs",
+    hash_col: str = "frame_phashes",
+) -> DataFrame:
+    """Explode per-video frame-hash arrays to the flat (composite
+    ``video\\x1f frame_idx`` key, hash) frame the Hamming-ball pair /
+    index machinery consumes — a narrow posexplode, no shuffle."""
+    return hashes.select(
         F.col(id_col).cast("string").alias("__vid"),
         F.col(idx_col).alias("__idxs"),
         F.posexplode(hash_col).alias("__pos", "__fh"),
@@ -881,9 +897,16 @@ def video_repost_pairs(
         ).alias("__cid"),
         "__fh",
     )
-    pairs = hamming_neardup_pairs(
-        frames, "__cid", max_distance=max_distance, sig_col="__fh", bits=64
-    )
+
+
+def alignment_vote(pairs: DataFrame, min_frames: int = 3) -> DataFrame:
+    """Turn frame-level Hamming pairs over composite (video, frame)
+    keys — from ``hamming_neardup_pairs`` or a persisted-index probe —
+    into video repost decisions: group by (video pair, frame offset),
+    count distinct matched source frames, keep the winning offset per
+    pair (ties toward the smallest offset) with at least ``min_frames``
+    matches.  One bounded groupBy over candidates + WindowGroupLimit
+    top-1."""
     parsed = pairs.select(
         F.substring_index("id1", _VIDEO_SEP, 1).alias("va"),
         F.substring_index("id1", _VIDEO_SEP, -1).cast("int").alias("ia"),
@@ -913,6 +936,61 @@ def video_repost_pairs(
         .filter((F.col("__rn") == 1) & (F.col("matched_frames") >= min_frames))
         .drop("__rn")
     )
+
+
+def build_video_repost_index(
+    hashes: DataFrame,
+    table_root: str,
+    spark,
+    id_col: str = "video_id",
+    max_distance: int = 4,
+    idx_col: str = "frame_idxs",
+    hash_col: str = "frame_phashes",
+) -> str:
+    """Commit a corpus's per-frame hashes into the persisted Hamming
+    index (composite video+frame keys) so incoming batches can be
+    repost-gated with ``probe_video_reposts`` at zero corpus
+    re-decoding — the video face of the phash_index / crop_probe_index
+    story.  Growth via ``ops.dedup_store.append_to_hamming_dedup_index``
+    over ``video_frames_cid`` of the new videos."""
+    from pic2vec_spark.ops.dedup_store import build_hamming_dedup_index
+
+    return build_hamming_dedup_index(
+        video_frames_cid(hashes, id_col, idx_col, hash_col),
+        table_root,
+        spark,
+        id_col="__cid",
+        sig_col="__fh",
+        max_distance=max_distance,
+        extra_properties={"video_repost_index": "1"},
+    )
+
+
+def probe_video_reposts(
+    table_root: str,
+    spark,
+    new_hashes: DataFrame,
+    id_col: str = "video_id",
+    min_frames: int = 3,
+    idx_col: str = "frame_idxs",
+    hash_col: str = "frame_phashes",
+) -> DataFrame:
+    """Ingest-time video repost gate: alignment-vote the persisted-
+    index probe of an incoming batch's frames — (vid1, vid2, offset,
+    matched_frames) pairs where at least one side is in the batch
+    (batch-vs-corpus AND batch-internal, the probe contract).  Probe
+    cost ∝ batch frames via file-pruned pigeonhole scans; run BEFORE
+    appending so detected reposts can be dropped."""
+    from pic2vec_spark.ops.dedup_store import probe_hamming_dedup_index
+
+    pairs = probe_hamming_dedup_index(
+        table_root,
+        spark,
+        video_frames_cid(new_hashes, id_col, idx_col, hash_col),
+        id_col="__cid",
+        sig_col="__fh",
+    )
+    return alignment_vote(pairs, min_frames)
 
 
 _MEL_N_FFT = 512

@@ -803,10 +803,13 @@ def stream_index_fingerprints(
     available_now: bool = True,
     id_col: str = "image_id",
     sig_col: str = "phash64",
+    id_type: str = "bigint",
     **family,
 ):
     """Continuously maintained near-dup media index: stream fingerprint
-    parquet drops (image pHash, text SimHash — any <=64-bit signature)
+    parquet drops (image pHash, text SimHash, audio fingerprints — any
+    <=64-bit signature; ``id_type='string'`` admits composite keys like
+    the video repost index's video\\x1fframe ids)
     into the persisted Hamming-ball index — first batch builds, later
     batches append new pfx-partitioned files only (ingest cost ∝ new
     data; see append_to_hamming_dedup_index).  Between micro-batches,
@@ -816,7 +819,7 @@ def stream_index_fingerprints(
     ``neardup_pairs_from_hamming_index`` the full pair set, both
     freshness-inclusive."""
     stream = (
-        spark.readStream.schema(f"{id_col} bigint, {sig_col} bigint")
+        spark.readStream.schema(f"{id_col} {id_type}, {sig_col} bigint")
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )

@@ -1203,3 +1203,43 @@ def test_video_repost_pairs_alignment_voting(spark):
     assert trim.offset == -2 and trim.matched_frames == 4
     for (a, b) in pairs:
         assert {a, b} & {"v0_requant", "v1_trim"} or a[:2] == b[:2], (a, b)
+
+
+def test_probe_video_reposts_equals_one_shot_touching_batch(spark, tmp_path):
+    """Ingest-time video repost gate: commit the base videos' frame
+    hashes once, probe the requant + trim copies — the gate's decisions
+    must equal the one-shot video_repost_pairs over everything,
+    restricted to pairs touching the batch, and the planted copies must
+    surface at their alignments."""
+    from pic2vec_spark.ops.multimodal import (
+        build_video_repost_index,
+        probe_video_reposts,
+        video_frame_phashes,
+        video_repost_pairs,
+    )
+
+    rows = [r for r in _video_corpus() if r[0] != "junk"]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    hashed = video_frame_phashes(df).localCheckpoint(eager=True)
+    is_batch = F.col("video_id").endswith("_requant") | F.col(
+        "video_id"
+    ).endswith("_trim")
+
+    root = str(tmp_path / "vid_idx")
+    build_video_repost_index(hashed.filter(~is_batch), root, spark)
+    gated = probe_video_reposts(
+        root, spark, hashed.filter(is_batch), min_frames=3
+    ).toPandas()
+
+    full = video_repost_pairs(hashed, min_frames=3).toPandas()
+    batch_ids = {"v0_requant", "v1_trim"}
+    touching = full[
+        full.vid1.isin(batch_ids) | full.vid2.isin(batch_ids)
+    ].reset_index(drop=True)
+
+    key = lambda p: sorted(map(tuple, p.values.tolist()))
+    assert key(gated) == key(touching)
+    got = {(r.vid1, r.vid2): (r.offset, r.matched_frames)
+           for _, r in gated.iterrows()}
+    assert got[("v0", "v0_requant")] == (0, 6)
+    assert got[("v1", "v1_trim")] == (-2, 4)

@@ -1161,3 +1161,76 @@ def test_stream_repost_gate_flags_match_brute_force(spark, tmp_path):
     # 15: 13 and 14 are both near (ham 1 / 1) and earlier -> 2 priors,
     # exact 0 (A^0b1 differs from both), gap 1 us to event 14
     assert got3[15] == (2, 0, 1)
+
+
+def test_stream_video_frame_index_with_string_keys(spark, tmp_path):
+    """Streamed VIDEO frame-hash ingest: composite string keys
+    (video\\x1fframe) flow through stream_index_fingerprints with
+    id_type='string'; after two drops (base corpus, then more base
+    videos) the stream-built index gates an incoming requant copy
+    exactly like a batch-built index — alignment vote included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.codecs import decode_image, encode_image, encode_video
+    from pic2vec_spark.ops.multimodal import (
+        probe_video_reposts,
+        video_frame_phashes,
+        video_frames_cid,
+    )
+    from pic2vec_spark.streaming import stream_index_fingerprints
+    from pic2vec_spark.synth import synth_images_pdf
+
+    bases = []
+    for _, r in synth_images_pdf(40, seed=42).iterrows():
+        try:
+            bases.append(decode_image(bytes(r["bytes"]), r["fmt"]))
+        except Exception:
+            continue
+        if len(bases) == 4:
+            break
+    vids = {}
+    for i, px in enumerate(bases):
+        w = px.shape[1]
+        vids[f"v{i}"] = [np.roll(px, (j * w) // 6, axis=1) for j in range(6)]
+    rows = [(k, encode_video(f, "bmp")) for k, f in vids.items()]
+    requant = [
+        decode_image(encode_image(f, "jpeg"), "jpeg") for f in vids["v2"]
+    ]
+    batch_rows = [("v2_requant", encode_video(requant, "bmp"))]
+
+    def hashed(rs):
+        return video_frame_phashes(
+            spark.createDataFrame(rs, "video_id string, bytes binary")
+        ).filter(F.col("video_ok"))
+
+    inp = tmp_path / "vfh"
+    inp.mkdir()
+    video_frames_cid(hashed(rows[:2])).coalesce(1).write.parquet(
+        str(inp / "d1")
+    )
+    video_frames_cid(hashed(rows[2:])).coalesce(1).write.parquet(
+        str(inp / "d2")
+    )
+    root = str(tmp_path / "vid_stream_idx")
+    q = stream_index_fingerprints(
+        spark,
+        input_dir=str(inp) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt_vfh"),
+        table_root=root,
+        id_col="__cid",
+        sig_col="__fh",
+        id_type="string",
+        max_distance=4,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    gated = {
+        (r.vid1, r.vid2): (r.offset, r.matched_frames)
+        for r in probe_video_reposts(
+            root, spark, hashed(batch_rows), min_frames=3
+        ).collect()
+    }
+    assert gated[("v2", "v2_requant")] == (0, 6)
