@@ -3216,6 +3216,163 @@ def _video_probe_index_sql() -> str:
     """
 
 
+def q_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE curation recipe across all four modalities — the capstone of
+    the shared Hamming-ball dedup contract.  Output: the kept asset
+    manifest (modality, asset_id).
+
+    - image+caption: the full multimodal_corpus pipeline (fused
+      one-decode quality screen → pHash CC survivors → caption quality
+      floor);
+    - audio: robust-fingerprint Hamming CC at d=4, keep the min clip
+      per cluster (the half-volume copies planted in the clip corpus
+      collapse onto their sources);
+    - video: temporally-aligned repost pairs at >=3 frames / d=4, drop
+      every pair's vid2 (the requant and trim copies collapse onto
+      their bases).
+
+    Every branch reuses an already-oracled member kernel, and the
+    composed oracle reuses the member LITERAL oracles — the recipe
+    cannot drift from the per-stage gates."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs, neardup_clusters
+    from pic2vec_spark.ops.multimodal import (
+        compute_audio_fp,
+        image_profile,
+        video_frame_phashes,
+        video_repost_pairs,
+    )
+    from pic2vec_spark.ops.text import quality_score
+    from pic2vec_spark.synth import synth_images_df
+
+    # image branch — identical stages to q_multimodal_corpus (sans split)
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    ph = (
+        image_profile(images)
+        .filter(
+            F.col("stats_ok") & (F.col("entropy") >= 1.0)
+            & (F.col("sharpness") >= 1.0) & F.col("phash64_ok")
+        )
+        .select("image_id", "caption", "phash64")
+        .localCheckpoint(eager=False)
+    )
+    img_pairs = hamming_neardup_pairs(
+        ph.select("image_id", "phash64"), "image_id",
+        max_distance=4, sig_col="phash64", bits=64,
+    )
+    img_losers = (
+        neardup_clusters(img_pairs, "id1", "id2")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("image_id"))
+    )
+    img_keep = (
+        quality_score(
+            ph.join(img_losers, "image_id", "left_anti"),
+            text_col="caption",
+        )
+        .filter(
+            F.col("caption").isNotNull()
+            & (F.col("quality") >= CAPTION_QUALITY_FLOOR)
+        )
+        .select(
+            F.lit("image").alias("modality"),
+            F.col("image_id").alias("asset_id"),
+        )
+    )
+
+    # audio branch — fingerprint CC, min-clip survivor (string compare)
+    clips = spark.createDataFrame(
+        _audio_clip_rows(), "clip_id int, bytes binary"
+    )
+    fp = (
+        compute_audio_fp(clips)
+        .filter(F.col("fp_ok"))
+        .select(F.col("clip_id").cast("string").alias("clip"), "fp64")
+        .localCheckpoint(eager=False)
+    )
+    fp_pairs = hamming_neardup_pairs(
+        fp, "clip", max_distance=4, sig_col="fp64", bits=64
+    )
+    fp_losers = (
+        neardup_clusters(fp_pairs, "id1", "id2")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("clip"))
+    )
+    audio_keep = fp.join(fp_losers, "clip", "left_anti").select(
+        F.lit("audio").alias("modality"), F.col("clip").alias("asset_id")
+    )
+
+    # video branch — alignment-voted reposts, drop each pair's vid2
+    vids = spark.createDataFrame(
+        _video_rows(), "video_id string, bytes binary"
+    )
+    hashed = video_frame_phashes(vids).filter(F.col("video_ok")).select(
+        "video_id", "frame_idxs", "frame_phashes"
+    ).localCheckpoint(eager=False)
+    reposts = video_repost_pairs(hashed, max_distance=4, min_frames=3)
+    video_keep = hashed.join(
+        reposts.select(F.col("vid2").alias("video_id")).distinct(),
+        "video_id",
+        "left_anti",
+    ).select(
+        F.lit("video").alias("modality"), F.col("video_id").alias("asset_id")
+    )
+
+    return img_keep.unionByName(audio_keep).unionByName(video_keep).orderBy(
+        "modality", "asset_id"
+    )
+
+
+def _media_corpus_sql() -> str:
+    """Composed 4-modality oracle: the image branch reuses the full
+    multimodal_corpus composition (minus the split), the audio branch a
+    recursive-CTE CC over the literal fingerprint table, the video
+    branch the literal brute-force repost vote — all member literal
+    oracles, zero drift surface."""
+    return f"""
+        WITH RECURSIVE img AS (
+          SELECT image_id FROM ({_multimodal_corpus_sql()}) t
+        ),
+        afp AS (
+          SELECT CAST(clip_id AS VARCHAR) AS clip, fp64
+          FROM ({_audio_fp_sql()}) a WHERE fp_ok
+        ),
+        apairs AS (
+          SELECT a.clip AS id1, b.clip AS id2
+          FROM afp a JOIN afp b ON a.clip < b.clip
+          WHERE bit_count(xor(a.fp64, b.fp64)) <= 4
+        ),
+        aedges AS (
+          SELECT id1 AS src, id2 AS dst FROM apairs
+          UNION SELECT id2, id1 FROM apairs
+        ),
+        areach(v, label) AS (
+          SELECT src, src FROM aedges
+          UNION
+          SELECT e.src, r.label FROM aedges e JOIN areach r ON e.dst = r.v
+        ),
+        aclusters AS (
+          SELECT v AS clip, MIN(label) AS cluster_id FROM areach GROUP BY v
+        ),
+        audio_keep AS (
+          SELECT clip FROM afp
+          WHERE clip NOT IN (
+            SELECT clip FROM aclusters WHERE clip <> cluster_id)
+        ),
+        vrep AS ({_video_reposts_sql()}),
+        video_keep AS (
+          SELECT DISTINCT video_id
+          FROM ({_video_frame_hashes_sql()}) fh
+          WHERE video_id NOT IN (SELECT vid2 FROM vrep)
+        )
+        SELECT 'image' AS modality, image_id AS asset_id FROM img
+        UNION ALL
+        SELECT 'audio', clip FROM audio_keep
+        UNION ALL
+        SELECT 'video', video_id FROM video_keep
+        ORDER BY modality, asset_id
+    """
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-derived DCT perceptual hash per image.  Full literal
     oracle (_image_phash_sql): the hash of each deterministic synth
@@ -4990,6 +5147,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_hashes": q_video_frame_hashes,
         "video_reposts": q_video_reposts,
         "video_probe_index": q_video_probe_index,
+        "media_corpus": q_media_corpus,
     }
 
 
@@ -7547,6 +7705,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "video_frame_hashes": _video_frame_hashes_sql(),
         "video_reposts": _video_reposts_sql(),
         "video_probe_index": _video_probe_index_sql(),
+        "media_corpus": _media_corpus_sql(),
         "doc_vocab_coverage": """
             WITH toks AS (
               SELECT doc_id,

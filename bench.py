@@ -177,6 +177,7 @@ EXTENDED_R5C = [
     "video_frame_hashes",
     "video_reposts",
     "video_probe_index",
+    "media_corpus",
 ]
 
 EXTENDED_GROUPS = [
