@@ -60,6 +60,15 @@ FAMILY = [
     # cross-user spread: first-post markers + cumulative window over
     # the full 100k-event timeline
     "repost_spread",
+    # tokenizer training / LM scoring: every stage scales with the
+    # 5,000-doc corpus (word-frequency working set, merge rounds,
+    # encode projection, bigram-pair shuffle, percentile buckets)
+    "doc_word_freqs", "bpe_merges", "bpe_token_freqs",
+    "doc_vocab_coverage", "doc_curriculum", "doc_length_batches",
+    "doc_bigram_ppl", "doc_ppl_buckets",
+    # five-stage curation recipe incl. the perplexity screen — the
+    # heaviest documents-scaled composition registered
+    "training_corpus_v3",
 ]
 
 
