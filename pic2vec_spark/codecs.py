@@ -184,20 +184,31 @@ def decode_png(data: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """bytes + declared format -> (H, W, 3) RGB uint8. Raises on any
-    invalid/corrupt/unsupported input (caller maps to missing row)."""
+    """bytes + declared format -> (H, W, 3) RGB uint8.  Raises
+    ValueError — and ONLY ValueError — on any invalid/corrupt/
+    unsupported input (caller maps to missing row): adversarial bytes
+    can drive the per-format parsers into struct/zlib/index errors,
+    which MUST NOT escape as executor crashes from an untrusted-ingest
+    decode UDF, so they are normalized here."""
     fmt = (fmt or "").lower()
     if fmt not in VALID_FORMATS:
         raise ValueError(f"invalid format {fmt!r}")
     if not data:
         raise ValueError("empty bytes")
-    if fmt == "bmp":
-        return decode_bmp(bytes(data))
-    if fmt == "png":
-        return decode_png(bytes(data))
-    from pic2vec_spark.jpeg import decode_jpeg
+    try:
+        if fmt == "bmp":
+            return decode_bmp(bytes(data))
+        if fmt == "png":
+            return decode_png(bytes(data))
+        from pic2vec_spark.jpeg import decode_jpeg
 
-    return decode_jpeg(bytes(data))
+        return decode_jpeg(bytes(data))
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"malformed {fmt} image: {type(e).__name__}"
+        ) from e
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
@@ -249,9 +260,20 @@ def encode_wav(
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode RIFF/WAVE PCM (8/16/24/32-bit integer, or 32/64-bit
     IEEE-float fmt=3, any channel count) to (float32 samples scaled to
-    [-1, 1] of shape (n, channels), sample_rate).  Raises ValueError
-    for anything that is not plain PCM WAV (mp3-in-wav, ADPCM, …) —
-    callers treat that as 'needs a real codec' (stub path)."""
+    [-1, 1] of shape (n, channels), sample_rate).  Raises ValueError —
+    and ONLY ValueError (same normalization contract as decode_image) —
+    for anything that is not plain PCM WAV (mp3-in-wav, ADPCM, corrupt
+    chunks, …) — callers treat that as 'needs a real codec' (stub
+    path)."""
+    try:
+        return _decode_wav_impl(bytes(data or b""))
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed WAV: {type(e).__name__}") from e
+
+
+def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not RIFF/WAVE")
     pos, fmt, raw = 12, None, None
@@ -330,11 +352,12 @@ def encode_video(frames: list, fmt: str = "jpeg") -> bytes:
 
 def decode_video(data: bytes) -> list:
     """Decode an MJV1 stream to its list of (H, W, 3) RGB uint8 frames.
-    Raises ValueError on anything that is not a well-formed stream
-    (callers map failure to video_ok=False, the shared
+    Raises ValueError — and ONLY ValueError (same normalization
+    contract as decode_image) — on anything that is not a well-formed
+    stream (callers map failure to video_ok=False, the shared
     missing-semantics of the binary ops)."""
     data = bytes(data or b"")
-    if data[:4] != VIDEO_MAGIC:
+    if len(data) < 8 or data[:4] != VIDEO_MAGIC:
         raise ValueError("not an MJV1 video stream")
     (n,) = struct.unpack_from("<I", data, 4)
     pos = 8

@@ -166,3 +166,58 @@ def test_audio_fp64_scale_invariance_property(seed, gain, carrier, ratio):
 
     d = bin((fp(sig, 1.0) ^ fp(sig, gain)) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert d <= 3, d
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_decoders_raise_only_value_error_on_adversarial_bytes(seed):
+    """Untrusted-ingest contract: decode_image / decode_wav /
+    decode_video either succeed or raise ValueError — never a
+    struct/zlib/index error that would escape the decode UDFs'
+    missing-row handling and crash an executor task.  Fuzz: random
+    garbage, truncations and single-byte corruptions of valid media."""
+    from pic2vec_spark.codecs import (
+        decode_image,
+        decode_video,
+        decode_wav,
+        encode_image,
+        encode_video,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+    wav = encode_wav(np.sin(np.arange(800) / 20.0) * 0.4, 8000)
+    vid = encode_video([img, img[::-1]], ["bmp", "png"])
+
+    cases = []
+    for fmt in ("bmp", "png", "jpeg"):
+        good = encode_image(img, fmt)
+        cut = rng.integers(1, len(good))
+        flip = bytearray(good)
+        flip[rng.integers(0, len(good))] ^= 0xFF
+        cases += [
+            ("img", fmt, bytes(rng.integers(0, 256, 40, dtype=np.uint8))),
+            ("img", fmt, good[:cut]),
+            ("img", fmt, bytes(flip)),
+        ]
+    for kind, good in (("wav", wav), ("vid", vid)):
+        cut = rng.integers(1, len(good))
+        flip = bytearray(good)
+        flip[rng.integers(0, len(good))] ^= 0xFF
+        cases += [
+            (kind, None, good[:cut]),
+            (kind, None, bytes(flip)),
+            (kind, None, good[:8] + bytes(rng.integers(0, 256, 30, dtype=np.uint8))),
+        ]
+
+    for kind, fmt, payload in cases:
+        try:
+            if kind == "img":
+                decode_image(payload, fmt)
+            elif kind == "wav":
+                decode_wav(payload)
+            else:
+                decode_video(payload)
+        except ValueError:
+            pass  # the one permitted failure mode
