@@ -2916,10 +2916,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _audio_clip_rows() -> list[tuple[int, bytes]]:
     """Deterministic 2-component clip corpus for the audio fingerprint
     family: 32 base clips (clip_id i; a carrier tone plus a slowly
-    FM-modulated overtone, rich enough that distinct clips separate to
-    ~16-44 Hamming bits) and, for each, one HALF-VOLUME copy (clip_id
-    100+i) — the canonical audio near-duplicate: difference signs
-    survive scaling, so the copy lands 0-2 bits from its source.
+    FM-modulated overtone — distinct clips separate to ~12-52 Hamming
+    bits) and, for each, one HALF-VOLUME copy (clip_id 100+i) — the
+    canonical audio near-duplicate: the fingerprint's relative-floor
+    log makes it gain-invariant by construction, so the copy lands 0
+    bits from its source.
     One generator shared by both queries and their literal oracles."""
     import numpy as np
 

@@ -1039,6 +1039,12 @@ def _mel_energies(sig: np.ndarray, rate: int, n_mel: int) -> list:
     ~256x512 doubles per row regardless of clip length (an unsampled
     30-min 44.1 kHz clip would otherwise materialize multi-GB frame /
     rfft buffers inside the Arrow worker)."""
+    return np.log1p(_mel_power(sig, rate, n_mel)).astype(np.float32).tolist()
+
+
+def _mel_power(sig: np.ndarray, rate: int, n_mel: int) -> np.ndarray:
+    """Raw (un-logged) mel band powers — the shared kernel behind
+    ``_mel_energies`` (audio_features) and ``audio_fp64``."""
     n_fft = _MEL_N_FFT
     hop = n_fft // 2
     x = np.asarray(sig, dtype=np.float64)
@@ -1055,7 +1061,7 @@ def _mel_energies(sig: np.ndarray, rate: int, n_mel: int) -> list:
     frames = x[idx] * np.hanning(n_fft)
     power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
     fb = _mel_filterbank(n_mel, rate)
-    return np.log1p(fb @ power).astype(np.float32).tolist()
+    return fb @ power
 
 
 def audio_features(
@@ -1148,18 +1154,30 @@ def audio_fp64(
 
         bit(t, b) = [(E[t,b+1] − E[t,b]) − (E[t−1,b+1] − E[t−1,b]) > 0]
 
-    → (n_time−1)·(n_bands−1) = 64 bits.  Because only difference signs
-    survive, a volume-scaled or requantized copy lands 0–2 Hamming bits
-    away while distinct content sits near 32 — the same Hamming-ball
-    dedup contract as image pHash, so the SAME pigeonhole machinery
-    (``ops.dedup.hamming_neardup_pairs``, the persisted Hamming index)
-    serves audio unchanged."""
+    → (n_time−1)·(n_bands−1) = 64 bits.
+
+    GAIN INVARIANCE BY CONSTRUCTION: the band energies enter as
+    ``log(P_band + 1e-4·ΣP + tiny)`` — the floor is RELATIVE to the
+    block's total power, so a volume change scales every term of the
+    log's argument equally and the whole fingerprint is exactly
+    invariant up to 16-bit requantization noise.  (An absolute floor —
+    log1p — is NOT: on sparse tonal content most mel bands sit at the
+    floor where log1p(E) ≈ E scales with gain², and a measured sweep
+    over two-tone signals flipped up to 63/64 bits under a 0.25×
+    volume change.  With the relative floor the same 3000-signal sweep
+    tops out at 2 bits; tests/test_property.py pins ≤3.)  A
+    volume-scaled or requantized copy therefore lands 0–2 Hamming bits
+    away while distinct content sits ~12–52 bits apart (median ~32) —
+    the same Hamming-ball dedup contract as image pHash, so the SAME
+    pigeonhole machinery (``ops.dedup.hamming_neardup_pairs``, the
+    persisted Hamming index) serves audio unchanged."""
     x = np.asarray(sig, dtype=np.float64)
     blocks = np.array_split(x, n_time)
-    eng = np.array(
-        [_mel_energies(b, rate, n_bands) for b in blocks], dtype=np.float64
-    )
-    dd = np.diff(np.diff(eng, axis=1), axis=0)
+    eng = []
+    for b in blocks:
+        p = _mel_power(b, rate, n_bands)
+        eng.append(np.log(p + 1e-4 * p.sum() + 1e-300))
+    dd = np.diff(np.diff(np.array(eng), axis=1), axis=0)
     return _pack_bits64((dd > 0).astype(np.uint8).reshape(-1))
 
 

@@ -142,11 +142,12 @@ def test_audio_fp64_scale_invariance_property(seed, gain, carrier, ratio):
     across the whole audio-like signal family (carrier + FM-modulated
     overtone at arbitrary frequencies/phases/amplitudes): <=3 Hamming
     bits down to quarter volume, against ~32 for distinct content.
-    The contract is deliberately stated for spectrally rich signals —
-    hypothesis showed that SPARSE tones (a handful of sines leaving
-    most mel bands at the quantization floor) flip near-zero band
-    differences under 16-bit requantization, which is why the corpus
-    generators and docstrings pin the rich-signal family."""
+    Hypothesis originally broke the log1p variant of this kernel on
+    SPARSE tones (most mel bands at the absolute floor, where log1p(E)
+    ~ E scales with gain^2 — a measured sweep flipped up to 63/64 bits
+    at 0.5x volume); audio_fp64 now floors each band RELATIVE to the
+    block's total power, which cancels gain exactly up to 16-bit
+    requantization noise (3000-signal sweep worst case: 2 bits)."""
     from pic2vec_spark.codecs import decode_wav, encode_wav
     from pic2vec_spark.ops.multimodal import audio_fp64
 
