@@ -3439,6 +3439,137 @@ def q_image_tile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_aspect_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucket batching over image METADATA
+    only (w, h — the payload column is never read): each image goes to
+    the bucket minimizing |w/h - bw/bh| (exact-integer numerator, one
+    IEEE division, first-lowest-index ties), then deterministic
+    fixed-size batches inside each bucket.  The assignment is a
+    zero-shuffle codegen projection; at 10^12 rows this is the epoch
+    plan a diffusion trainer computes from the catalog before any
+    decode.  Oracle: literal (image_id, w, h) table + the identical
+    argmin/window arithmetic in SQL."""
+    from pic2vec_spark.ops.batching import aspect_bucket_batches
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return aspect_bucket_batches(
+        images.select("image_id", "w", "h"), batch_size=16
+    )
+
+
+def q_image_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style byte-budget shard layout: shard_id =
+    start_offset div budget over the exclusive prefix sum of encoded
+    byte sizes in image_id order.  The global prefix sum is two-phase
+    (per-bucket window cumsum + broadcast bucket-prefix join) — no
+    single-partition window over the fact table; integer DIV keeps
+    offsets exact past 2^53 total bytes.  Oracle: literal (image_id,
+    nbytes) table + one window cumsum in SQL."""
+    from pic2vec_spark.ops.batching import shard_manifest
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    sized = images.filter(F.col("bytes").isNotNull()).select(
+        "image_id",
+        F.octet_length("bytes").cast("long").alias("nbytes"),
+        # order-consistent coarse bucket: the id's embedded index / 32
+        (F.substring("image_id", 5, 9).cast("long") / 32)
+        .cast("long")
+        .alias("bkt"),
+    )
+    return shard_manifest(
+        sized, 65536, id_col="image_id", bytes_col="nbytes", bucket_col="bkt"
+    )
+
+
+@functools.cache
+def _image_nbytes_sql() -> str:
+    """Literal (image_id, nbytes) payload sizes of the deterministic
+    synth corpus for the shard-manifest oracle — rows with a missing
+    payload are omitted (the engine filters bytes IS NOT NULL)."""
+    vals = ", ".join(
+        f"('{r['image_id']}', {len(r['bytes'])})"
+        for r in _flagship_synth_rows()
+        if r["bytes"] is not None
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(image_id, nbytes)"
+
+
+def _image_aspect_batches_sql(batch_size: int = 16) -> str:
+    """Mirrors ops/batching.aspect_bucket_batches: same bucket list,
+    same |w*bh - bw*h|/bh distance (identical exact-int operands, one
+    IEEE double division — bit-equal across engines), same
+    first-lowest-index tie-break, same per-bucket id-order batching."""
+    from pic2vec_spark.ops.batching import DEFAULT_ASPECT_BUCKETS
+
+    buckets = ", ".join(
+        f"({i}, {bw}, {bh})"
+        for i, (bw, bh) in enumerate(DEFAULT_ASPECT_BUCKETS)
+    )
+    return f"""
+        WITH imgs AS (
+          SELECT image_id, w, h FROM ({_image_meta_sql()}) m
+          WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0
+        ),
+        b(bidx, bw, bh) AS (VALUES {buckets}),
+        d AS (
+          SELECT image_id, bidx, bw, bh,
+                 abs(CAST(w AS DOUBLE) * bh - bw * CAST(h AS DOUBLE))
+                   / CAST(bh AS DOUBLE) AS dist
+          FROM imgs CROSS JOIN b
+        ),
+        pick AS (
+          SELECT image_id, bidx, bw, bh,
+                 row_number() OVER (
+                   PARTITION BY image_id ORDER BY dist, bidx) AS rn
+          FROM d
+        ),
+        numbered AS (
+          SELECT image_id, bidx, bw, bh,
+                 row_number() OVER (
+                   PARTITION BY bidx ORDER BY image_id) AS rn2,
+                 count(*) OVER (PARTITION BY bidx) AS cnt
+          FROM pick WHERE rn = 1
+        )
+        SELECT image_id,
+               CAST(bidx AS INTEGER) AS bucket_idx,
+               CAST(bw AS INTEGER) AS bucket_w,
+               CAST(bh AS INTEGER) AS bucket_h,
+               CAST((rn2 - 1) // {batch_size} AS BIGINT) AS batch_idx,
+               ((rn2 - 1) // {batch_size}) < (cnt // {batch_size})
+                 AS batch_full
+        FROM numbered
+        ORDER BY image_id
+    """
+
+
+def _image_shard_manifest_sql(budget: int = 65536) -> str:
+    """Mirrors ops/batching.shard_manifest: exclusive prefix sum of
+    nbytes in image_id order, integer shard split.  Every numeric
+    output is CAST AS BIGINT (the DuckDB HUGEINT->float64 fetchdf
+    trap)."""
+    return f"""
+        WITH sized AS (
+          SELECT image_id, nbytes FROM ({_image_nbytes_sql()}) m
+        ),
+        c AS (
+          SELECT image_id, nbytes,
+                 sum(nbytes) OVER (
+                   ORDER BY image_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - nbytes AS start
+          FROM sized
+        )
+        SELECT image_id,
+               CAST(nbytes AS BIGINT) AS nbytes,
+               CAST(start // {budget} AS BIGINT) AS shard_id,
+               CAST(start % {budget} AS BIGINT) AS shard_offset
+        FROM c
+        ORDER BY image_id
+    """
+
+
 def q_image_crop_reposts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crop-robust repost detection: a deterministic batch of quadrant
     crops (re-encoded BMP — lossless, so the crop's whole-image pHash
@@ -5142,6 +5273,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "image_tile_phash": q_image_tile_phash,
         "image_crop_reposts": q_image_crop_reposts,
+        "image_aspect_batches": q_image_aspect_batches,
+        "image_shard_manifest": q_image_shard_manifest,
         "crop_probe_index": q_crop_probe_index,
         "audio_fingerprints": q_audio_fingerprints,
         "audio_fp_neardup": q_audio_fp_neardup,
@@ -7700,6 +7833,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "doc_ppl_buckets": _DOC_PPL_BUCKETS_SQL,
         "image_tile_phash": _image_tile_phash_sql(),
         "image_crop_reposts": _image_crop_reposts_sql(),
+        "image_aspect_batches": _image_aspect_batches_sql(),
+        "image_shard_manifest": _image_shard_manifest_sql(),
         "crop_probe_index": _crop_probe_index_sql(),
         "audio_fingerprints": _audio_fp_sql(),
         "audio_fp_neardup": _audio_fp_neardup_sql(),
