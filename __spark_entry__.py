@@ -1781,6 +1781,43 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "source", "doc_id", alpha=0.5, total=200)
 
 
+MIXTURE_ALPHA = 0.3
+MIXTURE_BUDGET = 500_000
+
+
+def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain temperature mixture PLAN (ops/sampling.mixture_plan):
+    the LLaMA/Pile-style data-card table — per source: exact token
+    count, natural share, ``n^0.3 / Z`` temperature weight, the token
+    budget that weight implies out of a 500k-token target, and the
+    epoch count (budget / tokens).  One groupBy shuffle with exact
+    integer sums + a one-row broadcast; the plan a 100 TB curation run
+    publishes before its sampling pass."""
+    from pic2vec_spark.ops.sampling import mixture_plan
+    from pic2vec_spark.ops.text import tokens
+
+    docs = _documents(spark, sf_dir).select(
+        "source", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    return mixture_plan(
+        docs, "source", "n_tok", alpha=MIXTURE_ALPHA, budget=MIXTURE_BUDGET
+    )
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (ops/datacard.corpus_datacard): the one-table
+    release summary — size (docs/tokens/chars), per-lang and
+    per-source document shares, exact-dup fraction, token-length
+    profile — computed as ONE shared scan (lazily checkpointed base
+    frame) + a one-row totals broadcast, long-format
+    (section, metric, value)."""
+    from pic2vec_spark.ops.datacard import corpus_datacard
+
+    return corpus_datacard(
+        _documents(spark, sf_dir), domain_cols=("lang", "source")
+    )
+
+
 def q_value_imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group mean imputation (ops/encode.impute): every 11th
     event's value is NULLed (the synthetic column has no organic
@@ -5203,6 +5240,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "calendar_features": q_calendar_features,
         "temperature_sample": q_temperature_sample,
+        "domain_mixture_plan": q_domain_mixture_plan,
+        "corpus_datacard": q_corpus_datacard,
         "value_imputed": q_value_imputed,
         "rfm_features": q_rfm_features,
         "boilerplate_strip": q_boilerplate_strip,
@@ -7007,6 +7046,64 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT r.doc_id, r.source
         FROM r JOIN caps USING (source) WHERE rk <= cap
+    """
+    d["domain_mixture_plan"] = f"""
+        WITH t AS (
+          SELECT source,
+                 CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
+        ),
+        s AS (
+          SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+                 SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) AS z
+          FROM t
+        )
+        SELECT source, n_tokens,
+               ROUND(n_tokens / (SELECT tot FROM s), 6) AS raw_share,
+               ROUND(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})
+                     / (SELECT z FROM s), 6) AS weight,
+               CAST(FLOOR(ROUND({float(MIXTURE_BUDGET)}
+                                * POW(CAST(n_tokens AS DOUBLE),
+                                      {MIXTURE_ALPHA})
+                                / (SELECT z FROM s), 6)) AS BIGINT)
+                 AS target_tokens,
+               ROUND({float(MIXTURE_BUDGET)}
+                     * POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})
+                     / (SELECT z FROM s) / n_tokens, 6) AS epochs
+        FROM t
+    """
+    d["corpus_datacard"] = r"""
+        WITH b AS (
+          SELECT lang, source, md5(text) AS digest,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+                 length(text) AS n_chars
+          FROM documents
+        ),
+        t AS (
+          SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_toks,
+                 SUM(n_chars) AS n_ch, COUNT(DISTINCT digest) AS n_uniq,
+                 MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+          FROM b
+        )
+        SELECT 'size' AS section, 'n_docs' AS metric,
+               CAST(n_docs AS DOUBLE) AS value FROM t
+        UNION ALL SELECT 'size', 'n_tokens', CAST(n_toks AS DOUBLE) FROM t
+        UNION ALL SELECT 'size', 'n_chars', CAST(n_ch AS DOUBLE) FROM t
+        UNION ALL SELECT 'dup', 'exact_dup_frac',
+               ROUND(1.0 - n_uniq / CAST(n_docs AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 'length', 'mean_tokens',
+               ROUND(n_toks / CAST(n_docs AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 'length', 'min_tokens', CAST(min_tok AS DOUBLE) FROM t
+        UNION ALL SELECT 'length', 'max_tokens', CAST(max_tok AS DOUBLE) FROM t
+        UNION ALL
+        SELECT 'lang', lang,
+               ROUND(COUNT(*) / (SELECT CAST(n_docs AS DOUBLE) FROM t), 6)
+        FROM b GROUP BY lang
+        UNION ALL
+        SELECT 'source', source,
+               ROUND(COUNT(*) / (SELECT CAST(n_docs AS DOUBLE) FROM t), 6)
+        FROM b GROUP BY source
     """
     d["calendar_features"] = """
         SELECT event_id,

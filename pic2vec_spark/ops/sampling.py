@@ -331,3 +331,69 @@ def temperature_sample(
         .filter(F.col("__rk") <= F.col("__cap"))
         .drop("__rk", "__cap")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str | None,
+    alpha: float,
+    budget: int,
+) -> DataFrame:
+    """Per-domain temperature mixture PLAN (the LLaMA/Pile data-card
+    table): given a corpus with a domain column and an optional
+    per-row size column (token counts; ``None`` = count rows), emit
+    one row per domain with its natural share, the temperature-scaled
+    mixture weight ``n^alpha / sum(n^alpha)``, the token budget that
+    weight implies, and the resulting epoch count (how many passes
+    over the domain the budget requires — the number every mixture
+    table in the LLaMA/GPT-3 papers reports).
+
+    Unlike :func:`temperature_sample`, which *draws* the rows, this
+    returns the plan itself — the artifact a 100 TB curation run
+    publishes before committing to a sampling pass, and the input a
+    downstream weighted sampler consumes.
+
+    Determinism contract: domain sizes are exact BIGINT sums; the one
+    transcendental (pow) happens on the tiny per-domain aggregate;
+    ``target_tokens`` uses ``floor(round(x, 6))`` so a last-ulp pow
+    difference cannot flip a budget across engines (same guard as
+    ``temperature_sample``); shares/epochs are rounded to 6 decimals.
+
+    Plan shape: one groupBy shuffle on the domain (map-side combined
+    exact integer sums), then a single-row total broadcast back — no
+    second scan, no window.  At 10^12 rows this is one pass + a
+    scalar broadcast.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    n = (
+        F.sum(F.col(weight_col).cast("bigint"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
+    agg = df.groupBy(domain_col).agg(n.cast("bigint").alias("n_tokens"))
+    tot = agg.agg(
+        F.sum("n_tokens").cast("double").alias("__tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        ),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__z")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("raw_share"),
+            F.round(w, 6).alias("weight"),
+            F.floor(F.round(F.lit(float(budget)) * w, 6))
+            .cast("bigint")
+            .alias("target_tokens"),
+            F.round(F.lit(float(budget)) * w / F.col("n_tokens"), 6).alias(
+                "epochs"
+            ),
+        )
+    )

@@ -152,3 +152,40 @@ class TestRuleFunnel:
 
         with pytest.raises(ValueError, match="at least one rule"):
             rule_funnel(ruled, [])
+
+
+def test_corpus_datacard_closed_form(spark):
+    """Four docs, one exact dup pair: every section checked against
+    hand arithmetic, and the report is partition-invariant."""
+    from pic2vec_spark.ops.datacard import corpus_datacard
+
+    rows = [
+        (0, "a b c", "en", "web"),
+        (1, "a b c", "en", "web"),
+        (2, "x y", "de", "web"),
+        (3, "p q r s", "en", "code"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    out = {
+        (r["section"], r["metric"]): r["value"]
+        for r in corpus_datacard(df).collect()
+    }
+    assert out[("size", "n_docs")] == 4.0
+    assert out[("size", "n_tokens")] == 12.0
+    assert out[("size", "n_chars")] == 5 + 5 + 3 + 7
+    assert abs(out[("dup", "exact_dup_frac")] - 0.25) < 1e-9
+    assert abs(out[("length", "mean_tokens")] - 3.0) < 1e-9
+    assert out[("length", "min_tokens")] == 2.0
+    assert out[("length", "max_tokens")] == 4.0
+    assert abs(out[("lang", "en")] - 0.75) < 1e-9
+    assert abs(out[("lang", "de")] - 0.25) < 1e-9
+    assert abs(out[("source", "web")] - 0.75) < 1e-9
+    assert abs(out[("source", "code")] - 0.25) < 1e-9
+    # partition invariance
+    out7 = {
+        (r["section"], r["metric"]): r["value"]
+        for r in corpus_datacard(df.repartition(7)).collect()
+    }
+    assert out7 == out

@@ -119,3 +119,51 @@ def test_kfold_assign_deterministic_and_grouped(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kfold_assign(df, "key", k=1)
+
+
+def test_mixture_plan_closed_form(spark):
+    """Two domains with 300 / 100 tokens at alpha=0.5 and a 1000-token
+    budget: weights = sqrt(n)/Z with Z = sqrt(300)+sqrt(100), epochs =
+    budget*w/n — checked against the closed form to 1e-6."""
+    import math
+
+    from pic2vec_spark.ops.sampling import mixture_plan
+
+    rows = [(i, "web", 30) for i in range(10)] + [
+        (i + 10, "code", 25) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+    out = {
+        r["source"]: r
+        for r in mixture_plan(
+            df, "source", "n_tok", alpha=0.5, budget=1000
+        ).collect()
+    }
+    z = math.sqrt(300) + math.sqrt(100)
+    for dom, n in (("web", 300), ("code", 100)):
+        w = math.sqrt(n) / z
+        assert out[dom]["n_tokens"] == n
+        assert abs(out[dom]["raw_share"] - round(n / 400, 6)) < 1e-9
+        assert abs(out[dom]["weight"] - w) < 1e-6
+        assert out[dom]["target_tokens"] == math.floor(round(1000 * w, 6))
+        assert abs(out[dom]["epochs"] - 1000 * w / n) < 1e-6
+    # alpha=1 keeps natural proportions: epochs equal across domains
+    nat = {
+        r["source"]: r["epochs"]
+        for r in mixture_plan(
+            df, "source", "n_tok", alpha=1.0, budget=1000
+        ).collect()
+    }
+    assert abs(nat["web"] - nat["code"]) < 1e-9
+    # weight_col=None counts rows instead of summing tokens
+    cnt = {
+        r["source"]: r["n_tokens"]
+        for r in mixture_plan(
+            df, "source", None, alpha=1.0, budget=1000
+        ).collect()
+    }
+    assert cnt == {"web": 10, "code": 4}
+    with pytest.raises(ValueError):
+        mixture_plan(df, "source", "n_tok", alpha=2.0, budget=10)
+    with pytest.raises(ValueError):
+        mixture_plan(df, "source", "n_tok", alpha=0.5, budget=0)
