@@ -3184,6 +3184,119 @@ def _video_reposts_sql() -> str:
     """
 
 
+SCENE_CUT_BITS = 12
+
+
+@functools.cache
+def _video_scene_rows() -> list[tuple[str, bytes]]:
+    """Deterministic multi-shot MJV1 corpus for scene segmentation: 8
+    videos, each cutting between 2–3 DISTINCT base images (shots of
+    3 / 2 / 3 frames); within a shot, frames drift by a deterministic
+    exposure offset (+4 intensity per frame — pHash median-thresholds
+    the DCT block, so uniform brightness shifts cost ~0 bits), across
+    a cut the base changes entirely (tens of bits).  One generator
+    shared by the query and its literal oracle."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import decode_image, encode_video
+
+    bases = []
+    for r in _flagship_synth_rows():
+        try:
+            bases.append(decode_image(bytes(r["bytes"]), r["fmt"]))
+        except Exception:
+            continue
+        if len(bases) == 24:
+            break
+    rows = []
+    for i in range(8):
+        shots = [bases[(3 * i + k) % len(bases)] for k in range(3)]
+        n_shots = 2 + (i % 2)
+        frames = []
+        for k in range(n_shots):
+            n_frames = 3 if k != 1 else 2
+            frames.extend(
+                np.clip(shots[k].astype(np.int16) + 4 * j, 0, 255).astype(
+                    np.uint8
+                )
+                for j in range(n_frames)
+            )
+        rows.append((f"sv{i:02d}", encode_video(frames, "bmp")))
+    return rows
+
+
+def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary scene segmentation (ops/multimodal.video_scenes):
+    consecutive-frame pHash Hamming distance over the multi-shot synth
+    corpus, cut threshold 12 bits — 1-px within-shot rolls stay under
+    it, base-image cuts jump far above.  One decode pass, one
+    per-video window, one (video, scene) groupBy; no joins.  Oracle:
+    the same lag / running-sum segmentation computed INDEPENDENTLY in
+    SQL over the literal frame-hash table."""
+    from pic2vec_spark.ops.multimodal import video_frame_phashes, video_scenes
+
+    df = spark.createDataFrame(
+        _video_scene_rows(), "video_id string, bytes binary"
+    )
+    return video_scenes(
+        video_frame_phashes(df).filter(F.col("video_ok")),
+        threshold=SCENE_CUT_BITS,
+    )
+
+
+@functools.cache
+def _video_scene_hashes_sql() -> str:
+    """Literal frame-hash table for the scene corpus (same
+    driver-side recompute contract as _video_frame_hashes_sql)."""
+    from pic2vec_spark.codecs import decode_video
+    from pic2vec_spark.ops.multimodal import phash64
+
+    vals = []
+    for vid, data in _video_scene_rows():
+        for j, f in enumerate(decode_video(data)):
+            vals.append(f"('{vid}', {j}, CAST({phash64(f)} AS BIGINT))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(video_id, frame_idx, fhash64)"
+    )
+
+
+def _video_scenes_sql() -> str:
+    """Independent SQL segmentation over the literal frame hashes:
+    lag + bit_count(xor) boundary flags + a running-sum scene id."""
+    return f"""
+        WITH fh AS ({_video_scene_hashes_sql()}),
+        l AS (
+          SELECT video_id, frame_idx, fhash64,
+                 LAG(fhash64) OVER (
+                   PARTITION BY video_id ORDER BY frame_idx
+                 ) AS prev
+          FROM fh
+        ),
+        b AS (
+          SELECT video_id, frame_idx,
+                 CASE WHEN prev IS NULL
+                        OR bit_count(xor(fhash64, prev)) > {SCENE_CUT_BITS}
+                      THEN 1 ELSE 0 END AS is_b
+          FROM l
+        ),
+        s AS (
+          SELECT video_id, frame_idx,
+                 SUM(is_b) OVER (
+                   PARTITION BY video_id ORDER BY frame_idx
+                   ROWS UNBOUNDED PRECEDING
+                 ) - 1 AS scene_id
+          FROM b
+        )
+        SELECT video_id, CAST(scene_id AS BIGINT) AS scene_id,
+               MIN(frame_idx) AS start_frame,
+               MAX(frame_idx) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM s GROUP BY video_id, scene_id
+    """
+
+
 def q_video_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time VIDEO repost gate against a persisted frame-hash
     Hamming index: the base videos' per-frame pHashes are committed
@@ -5319,6 +5432,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": q_audio_fp_neardup,
         "video_frame_hashes": q_video_frame_hashes,
         "video_reposts": q_video_reposts,
+        "video_scenes": q_video_scenes,
         "video_probe_index": q_video_probe_index,
         "media_corpus": q_media_corpus,
     }
@@ -7937,6 +8051,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "audio_fp_neardup": _audio_fp_neardup_sql(),
         "video_frame_hashes": _video_frame_hashes_sql(),
         "video_reposts": _video_reposts_sql(),
+        "video_scenes": _video_scenes_sql(),
         "video_probe_index": _video_probe_index_sql(),
         "media_corpus": _media_corpus_sql(),
         "doc_vocab_coverage": """

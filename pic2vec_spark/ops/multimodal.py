@@ -1220,3 +1220,56 @@ def compute_audio_fp(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def video_scenes(
+    hashes: DataFrame,
+    id_col: str = "video_id",
+    idx_col: str = "frame_idxs",
+    hash_col: str = "frame_phashes",
+    threshold: int = 12,
+) -> DataFrame:
+    """Shot-boundary scene segmentation over per-frame perceptual
+    hashes (the output of :func:`video_frame_phashes`): a new scene
+    starts wherever the Hamming distance between consecutive frame
+    pHashes exceeds ``threshold`` bits — small within-shot motion
+    (pans, rolls, requantization) stays under it, a cut to different
+    content jumps far above.  Output one row per scene:
+    ``(video_id, scene_id, start_frame, end_frame, n_frames)`` with
+    ``scene_id`` 0-based in frame order and frame numbers in ORIGINAL
+    frame indexes (the ``frame_idxs`` the sampler kept).
+
+    Plan shape: one narrow posexplode, one per-video window (lag +
+    running boundary sum — partitions are single videos, frame counts
+    bounded by the sampler's ``max_frames``), one (video, scene)
+    groupBy.  No joins, no candidate generation; at 10^12 frames the
+    work is two bounded shuffles on the video key.
+    """
+    from pyspark.sql import Window
+
+    z = hashes.select(
+        F.col(id_col).alias("video_id"),
+        F.col(idx_col).alias("__idxs"),
+        F.posexplode(hash_col).alias("__pos", "__fh"),
+    ).select(
+        "video_id",
+        F.col("__pos"),
+        F.element_at(F.col("__idxs"), F.col("__pos") + 1).alias("frame_idx"),
+        "__fh",
+    )
+    w = Window.partitionBy("video_id").orderBy("__pos")
+    prev = F.lag("__fh").over(w)
+    boundary = (
+        prev.isNull()
+        | (F.bit_count(F.col("__fh").bitwiseXOR(prev)) > threshold)
+    ).cast("int")
+    scenes = z.withColumn(
+        "scene_id",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.lit(1),
+    )
+    return scenes.groupBy("video_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )

@@ -1243,3 +1243,32 @@ def test_probe_video_reposts_equals_one_shot_touching_batch(spark, tmp_path):
            for _, r in gated.iterrows()}
     assert got[("v0", "v0_requant")] == (0, 6)
     assert got[("v1", "v1_trim")] == (-2, 4)
+
+
+def test_video_scenes_segments_at_cuts(spark):
+    """Three shots of 2 identical frames each over distinct bases →
+    exactly 3 scenes with the right frame ranges; a threshold above
+    the cut distance collapses everything to one scene."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_video
+    from pic2vec_spark.ops.multimodal import video_frame_phashes, video_scenes
+
+    rng = np.random.default_rng(7)
+    bases = [
+        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    frames = [b for b in bases for _ in range(2)]
+    df = spark.createDataFrame(
+        [("v0", bytearray(encode_video(frames, "bmp")))],
+        "video_id string, bytes binary",
+    )
+    hashes = video_frame_phashes(df)
+    out = sorted(
+        (r["scene_id"], r["start_frame"], r["end_frame"], r["n_frames"])
+        for r in video_scenes(hashes, threshold=12).collect()
+    )
+    assert out == [(0, 0, 1, 2), (1, 2, 3, 2), (2, 4, 5, 2)]
+    one = video_scenes(hashes, threshold=64).collect()
+    assert len(one) == 1 and one[0]["n_frames"] == 6
