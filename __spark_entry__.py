@@ -5222,8 +5222,14 @@ _R05_GATE_WINDOW = [
     # value_trend, pit_feature_matrix — each of those five holds a
     # FULL-ORACLE MATCH row in SCALE_GATE_r05.json at sf0.1, a larger
     # SF than this driver gate runs, so the union is preserved)
-    "doc_word_freqs", "bpe_merges", "doc_vocab_coverage",
-    "doc_curriculum", "doc_length_batches",
+    "bpe_merges", "doc_vocab_coverage",
+    # late round-5 additions (mixture plan / data card / scene
+    # segmentation; swapped in for doc_word_freqs, doc_curriculum,
+    # doc_length_batches — each of those three holds a FULL-ORACLE
+    # MATCH row in SCALE_GATE_r05.json at sf0.1, a larger SF than this
+    # driver gate runs, plus a GATE_FULL_r05.json row at HEAD, so the
+    # union is preserved)
+    "domain_mixture_plan", "corpus_datacard", "video_scenes",
     # fused one-decode fingerprint triple + >=2-of-3 consensus near-dup
     # (swapped in for the r02-covered knn_lsh / knn_ivf — r02 artifacts
     # + sf0.1 scale-gate rows stand — union preserved)
