@@ -3297,6 +3297,65 @@ def _video_scenes_sql() -> str:
     """
 
 
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene keyframe extraction (ops/multimodal.scene_keyframes): the
+    temporally middle frame of every detected scene in the multi-shot
+    corpus, hash riding along for downstream dedup — the decode-once /
+    featurize-one-frame-per-shot reduction.  Same two video-keyed
+    shuffles as video_scenes plus one per-scene window.  Oracle: the
+    independent SQL segmentation + ROW_NUMBER middle pick."""
+    from pic2vec_spark.ops.multimodal import scene_keyframes, video_frame_phashes
+
+    df = spark.createDataFrame(
+        _video_scene_rows(), "video_id string, bytes binary"
+    )
+    return scene_keyframes(
+        video_frame_phashes(df).filter(F.col("video_ok")),
+        threshold=SCENE_CUT_BITS,
+    )
+
+
+def _video_keyframes_sql() -> str:
+    """Independent keyframe oracle: the scene segmentation re-derived
+    in SQL with fhash64 carried through, then the floor((n-1)/2)
+    middle row per (video, scene)."""
+    return f"""
+        WITH fh AS ({_video_scene_hashes_sql()}),
+        l AS (
+          SELECT video_id, frame_idx, fhash64,
+                 LAG(fhash64) OVER (
+                   PARTITION BY video_id ORDER BY frame_idx
+                 ) AS prev
+          FROM fh
+        ),
+        s AS (
+          SELECT video_id, frame_idx, fhash64,
+                 SUM(CASE WHEN prev IS NULL
+                            OR bit_count(xor(fhash64, prev))
+                               > {SCENE_CUT_BITS}
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY video_id ORDER BY frame_idx
+                   ROWS UNBOUNDED PRECEDING
+                 ) - 1 AS scene_id
+          FROM l
+        ),
+        r AS (
+          SELECT video_id, scene_id, frame_idx, fhash64,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY video_id, scene_id ORDER BY frame_idx
+                 ) AS rn,
+                 COUNT(*) OVER (
+                   PARTITION BY video_id, scene_id
+                 ) AS n_frames
+          FROM s
+        )
+        SELECT video_id, CAST(scene_id AS BIGINT) AS scene_id,
+               frame_idx AS keyframe_idx, fhash64,
+               CAST(n_frames AS BIGINT) AS n_frames
+        FROM r WHERE rn - 1 = FLOOR((n_frames - 1) / 2.0)
+    """
+
+
 def q_video_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time VIDEO repost gate against a persisted frame-hash
     Hamming index: the base videos' per-frame pHashes are committed
@@ -5439,6 +5498,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_hashes": q_video_frame_hashes,
         "video_reposts": q_video_reposts,
         "video_scenes": q_video_scenes,
+        "video_keyframes": q_video_keyframes,
         "video_probe_index": q_video_probe_index,
         "media_corpus": q_media_corpus,
     }
@@ -8058,6 +8118,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "video_frame_hashes": _video_frame_hashes_sql(),
         "video_reposts": _video_reposts_sql(),
         "video_scenes": _video_scenes_sql(),
+        "video_keyframes": _video_keyframes_sql(),
         "video_probe_index": _video_probe_index_sql(),
         "media_corpus": _media_corpus_sql(),
         "doc_vocab_coverage": """

@@ -1245,6 +1245,25 @@ def video_scenes(
     groupBy.  No joins, no candidate generation; at 10^12 frames the
     work is two bounded shuffles on the video key.
     """
+    scenes = _scene_frames(hashes, id_col, idx_col, hash_col, threshold)
+    return scenes.groupBy("video_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+
+
+def _scene_frames(
+    hashes: DataFrame,
+    id_col: str,
+    idx_col: str,
+    hash_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Frame-level scene labeling shared by :func:`video_scenes` and
+    :func:`scene_keyframes`: posexplode + per-video lag window +
+    running boundary sum → (video_id, __pos, frame_idx, __fh,
+    scene_id)."""
     from pyspark.sql import Window
 
     z = hashes.select(
@@ -1263,13 +1282,49 @@ def video_scenes(
         prev.isNull()
         | (F.bit_count(F.col("__fh").bitwiseXOR(prev)) > threshold)
     ).cast("int")
-    scenes = z.withColumn(
+    return z.withColumn(
         "scene_id",
         F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
         - F.lit(1),
     )
-    return scenes.groupBy("video_id", "scene_id").agg(
-        F.min("frame_idx").alias("start_frame"),
-        F.max("frame_idx").alias("end_frame"),
-        F.count(F.lit(1)).alias("n_frames"),
+
+
+def scene_keyframes(
+    hashes: DataFrame,
+    id_col: str = "video_id",
+    idx_col: str = "frame_idxs",
+    hash_col: str = "frame_phashes",
+    threshold: int = 12,
+) -> DataFrame:
+    """One representative KEYFRAME per detected scene — the standard
+    video-preprocessing reduction (decode once per clip, keep one
+    frame per shot, featurize only those): the temporally middle
+    sampled frame of each scene, ``floor((n-1)/2)`` into the scene in
+    frame order, so a 1-frame scene keeps its only frame and drift
+    within a shot never changes the pick.  Output
+    ``(video_id, scene_id, keyframe_idx, fhash64, n_frames)`` — the
+    hash rides along so downstream dedup / repost machinery can run
+    on keyframes without re-decoding.
+
+    Plan shape: the shared frame-level scene labeling plus ONE
+    (video, scene) window (row_number + count) — same two bounded
+    video-keyed shuffles as :func:`video_scenes`, no joins."""
+    from pyspark.sql import Window
+
+    scenes = _scene_frames(hashes, id_col, idx_col, hash_col, threshold)
+    ws = Window.partitionBy("video_id", "scene_id").orderBy("__pos")
+    wc = Window.partitionBy("video_id", "scene_id")
+    return (
+        scenes.withColumn("__rn", F.row_number().over(ws))
+        .withColumn("n_frames", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("__rn") - 1 == F.floor((F.col("n_frames") - 1) / 2)
+        )
+        .select(
+            "video_id",
+            "scene_id",
+            F.col("frame_idx").alias("keyframe_idx"),
+            F.col("__fh").alias("fhash64"),
+            "n_frames",
+        )
     )

@@ -1272,3 +1272,38 @@ def test_video_scenes_segments_at_cuts(spark):
     assert out == [(0, 0, 1, 2), (1, 2, 3, 2), (2, 4, 5, 2)]
     one = video_scenes(hashes, threshold=64).collect()
     assert len(one) == 1 and one[0]["n_frames"] == 6
+
+
+def test_scene_keyframes_middle_pick(spark):
+    """Scenes of 3 / 2 / 3 identical-ish frames → keyframes at the
+    middle sampled frame of each scene (floor((n-1)/2) in), with the
+    scene's hash and size riding along."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_video
+    from pic2vec_spark.ops.multimodal import (
+        scene_keyframes,
+        video_frame_phashes,
+    )
+
+    rng = np.random.default_rng(11)
+    bases = [
+        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    frames = (
+        [bases[0]] * 3 + [bases[1]] * 2 + [bases[2]] * 3
+    )
+    df = spark.createDataFrame(
+        [("v0", bytearray(encode_video(frames, "bmp")))],
+        "video_id string, bytes binary",
+    )
+    out = sorted(
+        (r["scene_id"], r["keyframe_idx"], r["n_frames"])
+        for r in scene_keyframes(
+            video_frame_phashes(df), threshold=12
+        ).collect()
+    )
+    # scene 0 = frames 0-2 (middle 1), scene 1 = frames 3-4 (middle 3),
+    # scene 2 = frames 5-7 (middle 6)
+    assert out == [(0, 1, 3), (1, 3, 2), (2, 6, 3)]
