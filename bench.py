@@ -180,6 +180,15 @@ EXTENDED_R5C = [
     "media_corpus",
 ]
 
+# round-5d additions — the mixture plan / data card release artifacts
+# and pHash scene segmentation + keyframe extraction
+EXTENDED_R5D = [
+    "domain_mixture_plan",
+    "corpus_datacard",
+    "video_scenes",
+    "video_keyframes",
+]
+
 EXTENDED_GROUPS = [
     ("extended_sec", EXTENDED),
     ("extended_r3_sec", EXTENDED_R3),
@@ -190,6 +199,7 @@ EXTENDED_GROUPS = [
     ("extended_r5_sec", EXTENDED_R5),
     ("extended_r5b_sec", EXTENDED_R5B),
     ("extended_r5c_sec", EXTENDED_R5C),
+    ("extended_r5d_sec", EXTENDED_R5D),
 ]
 
 # probe agreement bound: before/after GFLOPS within 5x = the box stayed
