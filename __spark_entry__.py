@@ -4555,6 +4555,65 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image COLOR metrics (ops/multimodal.image_color_stats):
+    channel means, mean HSV saturation, Hasler–Süsstrunk colorfulness,
+    and the is_grayscale verdict — the de-saturated / monochrome-scan
+    screen the grayscale quality stats can't express.  One vectorized
+    decode pass, narrow map, no shuffle.  Full literal oracle
+    (driver-side recompute with the same kernel, round-6)."""
+    from pic2vec_spark.ops.multimodal import image_color_stats
+    from pic2vec_spark.synth import synth_images_df
+
+    images = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    return image_color_stats(images).select(
+        "image_id", "fmt", "color_ok",
+        "mean_r", "mean_g", "mean_b", "mean_sat", "colorfulness",
+        # NULL booleans render asymmetrically across engines (None vs
+        # NaN) in the driver's string compare; undecodable rows carry
+        # color_ok=False as the mask, so pin the verdict itself FALSE
+        F.coalesce("is_grayscale", F.lit(False)).alias("is_grayscale"),
+    )
+
+
+@functools.cache
+def _image_color_stats_sql() -> str:
+    """Literal oracle for image_color_stats: the color kernel
+    recomputed driver-side over the same deterministic synth corpus,
+    embedded as round-6 DOUBLE literals (decode failures embed NULL
+    metrics + color_ok=FALSE, NULL verdict)."""
+    from pic2vec_spark.codecs import decode_image
+    from pic2vec_spark.ops.multimodal import (
+        _COLOR_COLS,
+        GRAYSCALE_SAT_FLOOR,
+        image_color_metrics,
+    )
+
+    vals = []
+    for r in _flagship_synth_rows():
+        fmt = "NULL" if r["fmt"] is None else f"'{r['fmt']}'"
+        try:
+            s = image_color_metrics(decode_image(r["bytes"], r["fmt"]))
+            metrics = ", ".join(repr(round(s[c], 6)) for c in _COLOR_COLS)
+            gray = (
+                "TRUE"
+                if round(s["mean_sat"], 6) < GRAYSCALE_SAT_FLOOR
+                else "FALSE"
+            )
+            ok = "TRUE"
+        except Exception:
+            metrics = ", ".join(["CAST(NULL AS DOUBLE)"] * len(_COLOR_COLS))
+            gray = "FALSE"
+            ok = "FALSE"
+        vals.append(f"('{r['image_id']}', {fmt}, {ok}, {metrics}, {gray})")
+    cols = ", ".join(_COLOR_COLS)
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + f") AS t(image_id, fmt, color_ok, {cols}, is_grayscale)"
+    )
+
+
 def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-row augmentation (md5-keyed op choice —
     reproducible under retries/repartitioning).  Full literal oracle
@@ -5465,6 +5524,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gate_ingest": q_image_gate_ingest,
         "image_thumbnails": q_image_thumbnails,
         "image_stats": q_image_stats,
+        "image_color_stats": q_image_color_stats,
         "image_profile": q_image_profile,
         "image_quality_rules": q_image_quality_rules,
         "image_neardup_survivors": q_image_neardup_survivors,
@@ -7792,6 +7852,7 @@ def oracle_sql() -> dict[str, str]:
     # promoting both from rows-only to full-oracle rows
     d["image_phash"] = _image_phash_sql()
     d["image_stats"] = _image_stats_sql()
+    d["image_color_stats"] = _image_color_stats_sql()
     d["image_profile"] = _image_profile_sql()
     d["image_quality_rules"] = _image_quality_rules_sql()
     d["image_neardup_survivors"] = _image_neardup_survivors_sql()

@@ -369,6 +369,83 @@ def image_quality_stats(img: np.ndarray) -> dict:
 _STAT_COLS = ("brightness", "contrast", "dyn_range", "entropy", "sharpness")
 
 
+def image_color_metrics(img: np.ndarray) -> dict:
+    """Pure-NumPy per-image COLOR metrics — the axis the grayscale
+    quality screens can't see: channel means, mean HSV-style
+    saturation ((max-min)/max per pixel, 0 where max=0 — so a
+    grayscale scan or a black frame reads 0), and the
+    Hasler–Süsstrunk colorfulness metric
+    ``sqrt(var(rg)+var(yb)) + 0.3*sqrt(mean(rg)^2+mean(yb)^2)`` over
+    the opponent axes rg=R−G, yb=(R+G)/2−B — the standard screen for
+    de-saturated / monochrome-rescan content in image corpora."""
+    px = img.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    mx = px.max(axis=2)
+    mn = px.min(axis=2)
+    sat = np.where(mx > 0, (mx - mn) / np.where(mx > 0, mx, 1.0), 0.0)
+    rg = r - g
+    yb = 0.5 * (r + g) - b
+    colorfulness = float(
+        np.sqrt(rg.var() + yb.var())
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    return {
+        "mean_r": float(r.mean()),
+        "mean_g": float(g.mean()),
+        "mean_b": float(b.mean()),
+        "mean_sat": float(sat.mean()),
+        "colorfulness": colorfulness,
+    }
+
+
+_COLOR_COLS = ("mean_r", "mean_g", "mean_b", "mean_sat", "colorfulness")
+GRAYSCALE_SAT_FLOOR = 0.02
+
+
+def image_color_stats(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Attach per-image color metrics + an ``is_grayscale`` verdict
+    (mean saturation under GRAYSCALE_SAT_FLOOR) in one vectorized
+    decode pass — narrow map, no shuffle, same missing semantics as
+    image_stats (decode failures → NULL metrics, color_ok=False)."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType(), True) for c in _COLOR_COLS]
+        + [
+            T.StructField("is_grayscale", T.BooleanType(), True),
+            T.StructField("color_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in _COLOR_COLS}
+            grays, oks = [], []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    s = image_color_metrics(decode_image(data, fmt))
+                    for c in _COLOR_COLS:
+                        cols[c].append(round(s[c], 6))
+                    grays.append(
+                        bool(round(s["mean_sat"], 6) < GRAYSCALE_SAT_FLOOR)
+                    )
+                    oks.append(True)
+                except Exception:
+                    for c in _COLOR_COLS:
+                        cols[c].append(None)
+                    grays.append(None)
+                    oks.append(False)
+            out = pdf.copy()
+            for c in _COLOR_COLS:
+                out[c] = pd.array(cols[c], dtype="float64")
+            out["is_grayscale"] = pd.array(grays, dtype="boolean")
+            out["color_ok"] = oks
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def image_stats(
     df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
 ) -> DataFrame:

@@ -285,3 +285,48 @@ class TestImageSurvivors:
         assert a == b
         kept = [r for r in a if r["kept"]]
         assert 0 < len(kept) <= len(a)
+
+
+def test_image_color_metrics_closed_form():
+    """Solid colors and pure gray have closed-form color metrics."""
+    import numpy as np
+
+    from pic2vec_spark.ops.multimodal import image_color_metrics
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[..., 0] = 200
+    s = image_color_metrics(red)
+    assert s["mean_r"] == 200.0 and s["mean_g"] == 0.0 and s["mean_b"] == 0.0
+    assert abs(s["mean_sat"] - 1.0) < 1e-12          # (max-min)/max = 1
+    # rg = 200, yb = 100 everywhere: var 0, colorfulness = 0.3*sqrt(200^2+100^2)
+    assert abs(s["colorfulness"] - 0.3 * (200**2 + 100**2) ** 0.5) < 1e-9
+
+    gray = np.full((8, 8, 3), 77, dtype=np.uint8)
+    s = image_color_metrics(gray)
+    assert s["mean_sat"] == 0.0 and s["colorfulness"] == 0.0
+
+    black = np.zeros((8, 8, 3), dtype=np.uint8)
+    assert image_color_metrics(black)["mean_sat"] == 0.0  # max=0 guard
+
+
+def test_image_color_stats_grayscale_verdict(spark):
+    """A saturated PNG reads is_grayscale=False, a gray PNG True, and
+    junk bytes degrade to NULL metrics + color_ok=False."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_png
+    from pic2vec_spark.ops.multimodal import image_color_stats
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[..., 0] = 200
+    gray = np.full((8, 8, 3), 77, dtype=np.uint8)
+    rows = [
+        ("color", bytearray(encode_png(red)), "png"),
+        ("gray", bytearray(encode_png(gray)), "png"),
+        ("junk", bytearray(b"nope"), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r["image_id"]: r for r in image_color_stats(df).collect()}
+    assert out["color"]["color_ok"] and not out["color"]["is_grayscale"]
+    assert out["gray"]["color_ok"] and out["gray"]["is_grayscale"]
+    assert not out["junk"]["color_ok"] and out["junk"]["mean_r"] is None
