@@ -1783,6 +1783,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIXTURE_ALPHA = 0.3
 MIXTURE_BUDGET = 500_000
+MIXTURE_SAMPLE_BUDGET = 5_000  # small enough to force real prefix cuts at sf0.01
 
 
 def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1802,6 +1803,31 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(
         docs, "source", "n_tok", alpha=MIXTURE_ALPHA, budget=MIXTURE_BUDGET
     )
+
+
+def q_mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable end of the mixture story
+    (ops/sampling.token_budget_sample composing mixture_plan): per
+    source, documents in deterministic md5 rank order are kept while
+    the running token total stays within the source's temperature
+    budget (alpha=0.3, 500k target) — greedy fill, no document
+    splitting, RNG-free.  One broadcast join for the tiny plan + one
+    per-source cumulative-sum window.  Oracle: the plan CTE re-derived
+    in SQL feeding the same ranked running-sum prefix."""
+    from pic2vec_spark.ops.sampling import mixture_plan, token_budget_sample
+    from pic2vec_spark.ops.text import tokens
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    plan = mixture_plan(
+        docs, "source", "n_tok",
+        alpha=MIXTURE_ALPHA, budget=MIXTURE_SAMPLE_BUDGET,
+    )
+    return token_budget_sample(
+        docs, "source", "n_tok", "doc_id", plan
+    ).select("doc_id", "source", "n_tok")
 
 
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5479,6 +5505,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "domain_mixture_plan": q_domain_mixture_plan,
         "corpus_datacard": q_corpus_datacard,
+        "mixture_sampled_corpus": q_mixture_sampled_corpus,
         "value_imputed": q_value_imputed,
         "rfm_features": q_rfm_features,
         "boilerplate_strip": q_boilerplate_strip,
@@ -7312,6 +7339,42 @@ def oracle_sql() -> dict[str, str]:
                      * POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})
                      / (SELECT z FROM s) / n_tokens, 6) AS epochs
         FROM t
+    """
+    d["mixture_sampled_corpus"] = rf"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        t AS (
+          SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM d GROUP BY 1
+        ),
+        s AS (
+          SELECT SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) AS z
+          FROM t
+        ),
+        plan AS (
+          SELECT source,
+                 CAST(FLOOR(ROUND({float(MIXTURE_SAMPLE_BUDGET)}
+                                  * POW(CAST(n_tokens AS DOUBLE),
+                                        {MIXTURE_ALPHA})
+                                  / (SELECT z FROM s), 6)) AS BIGINT)
+                   AS budget
+          FROM t
+        ),
+        r AS (
+          SELECT d.doc_id, d.source, d.n_tok,
+                 SUM(d.n_tok) OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('budget' || d.doc_id::VARCHAR), d.doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS run,
+                 p.budget
+          FROM d JOIN plan p USING (source)
+        )
+        SELECT doc_id, source, n_tok FROM r WHERE run <= budget
     """
     d["corpus_datacard"] = r"""
         WITH b AS (

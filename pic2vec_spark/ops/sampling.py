@@ -397,3 +397,49 @@ def mixture_plan(
             ),
         )
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    key_col: str,
+    budgets: DataFrame,
+    budget_col: str = "target_tokens",
+    salt: str = "budget",
+) -> DataFrame:
+    """Execute a mixture plan: per domain, take documents in the
+    deterministic md5 rank order (same contract as quota_sample /
+    temperature_sample) while the RUNNING token total stays within the
+    domain's budget — the largest prefix whose cumulative ``token_col``
+    is <= budget, i.e. greedy fill without splitting documents.
+    ``budgets`` is a tiny (domain, budget) frame — typically
+    :func:`mixture_plan` output — broadcast into the scan.
+
+    Epochs above 1 are the SAMPLER'S caller's loop (a budget larger
+    than the domain's total simply keeps every row); this op never
+    duplicates rows, so output is a subset of input and exactly-once
+    semantics survive retries.
+
+    Plan shape: one broadcast hash join (no shuffle of the corpus for
+    the budget), one per-domain rank window (cumulative BIGINT sum —
+    exact arithmetic, RNG-free, partition-invariant).  At 10^12 rows
+    the only wide operation is the per-domain sort the window needs —
+    the same cost envelope as every other md5-ranked split here.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.col(token_col).cast("bigint")).over(w)
+    b = budgets.select(
+        domain_col, F.col(budget_col).cast("bigint").alias("__budget")
+    )
+    return (
+        df.join(F.broadcast(b), domain_col)
+        .withColumn("__run", run)
+        .filter(F.col("__run") <= F.col("__budget"))
+        .drop("__run", "__budget")
+    )

@@ -167,3 +167,28 @@ def test_mixture_plan_closed_form(spark):
         mixture_plan(df, "source", "n_tok", alpha=2.0, budget=10)
     with pytest.raises(ValueError):
         mixture_plan(df, "source", "n_tok", alpha=0.5, budget=0)
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    """Budget fills in md5-rank order without splitting docs: the kept
+    set is the largest rank prefix whose token sum fits, per domain;
+    a budget >= the domain total keeps everything; the pick is
+    partition-invariant."""
+    from pic2vec_spark.ops.sampling import token_budget_sample
+
+    rows = [(i, "a", 10) for i in range(10)] + [(i + 10, "b", 7) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+    budgets = spark.createDataFrame(
+        [("a", 35), ("b", 1000)], "source string, target_tokens bigint"
+    )
+    out = token_budget_sample(df, "source", "n_tok", "doc_id", budgets)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert got == {"a": 3, "b": 4}  # floor(35/10)=3 docs; b keeps all
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(
+            df.repartition(5), "source", "n_tok", "doc_id", budgets
+        ).collect()
+    )
+    assert a == b
