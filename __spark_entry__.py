@@ -5334,7 +5334,7 @@ _R05_GATE_WINDOW = [
     # round-5 fixes / promotions / flagship
     "doc_packing", "heavy_hitters_cms", "caption_image_conflicts",
     "image_phash", "image_stats", "image_augment", "audio_features",
-    "multimodal_corpus", "pit_featurize_asof", "pit_asof_alignment",
+    "multimodal_corpus", "pit_featurize_asof",
     # round-5 persisted-dedup-index additions (registered after the
     # window was first frozen; swapped in for seven r02-covered anchors
     # — doc_fingerprint, dedup_exact, doc_tfidf, train_test_split,
@@ -5366,14 +5366,17 @@ _R05_GATE_WINDOW = [
     # value_trend, pit_feature_matrix — each of those five holds a
     # FULL-ORACLE MATCH row in SCALE_GATE_r05.json at sf0.1, a larger
     # SF than this driver gate runs, so the union is preserved)
-    "bpe_merges", "doc_vocab_coverage",
-    # late round-5 additions (mixture plan / data card / scene
-    # segmentation; swapped in for doc_word_freqs, doc_curriculum,
-    # doc_length_batches — each of those three holds a FULL-ORACLE
-    # MATCH row in SCALE_GATE_r05.json at sf0.1, a larger SF than this
-    # driver gate runs, plus a GATE_FULL_r05.json row at HEAD, so the
-    # union is preserved)
+    # late round-5 additions (mixture plan + its executable sampler /
+    # data card / color screen / scene segmentation + keyframes;
+    # swapped in for doc_word_freqs, doc_curriculum,
+    # doc_length_batches, bpe_merges, doc_vocab_coverage — each of
+    # those five holds a FULL-ORACLE MATCH row in SCALE_GATE_r05.json
+    # at sf0.1, a larger SF than this driver gate runs, plus a
+    # GATE_FULL_r05.json row at HEAD — and for pit_asof_alignment,
+    # which holds its r04 full-oracle driver artifact and is untouched
+    # this round, so the union is preserved)
     "domain_mixture_plan", "corpus_datacard", "video_scenes",
+    "video_keyframes", "image_color_stats", "mixture_sampled_corpus",
     # fused one-decode fingerprint triple + >=2-of-3 consensus near-dup
     # (swapped in for the r02-covered knn_lsh / knn_ivf — r02 artifacts
     # + sf0.1 scale-gate rows stand — union preserved)

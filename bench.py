@@ -184,7 +184,9 @@ EXTENDED_R5C = [
 # and pHash scene segmentation + keyframe extraction
 EXTENDED_R5D = [
     "domain_mixture_plan",
+    "mixture_sampled_corpus",
     "corpus_datacard",
+    "image_color_stats",
     "video_scenes",
     "video_keyframes",
 ]
