@@ -69,6 +69,10 @@ FAMILY = [
     # five-stage curation recipe incl. the perplexity screen — the
     # heaviest documents-scaled composition registered
     "training_corpus_v3",
+    # mixture planning + its executable token-budget sampler and the
+    # corpus data card: per-source token sums, the running-sum prefix
+    # fill, and the shared-scan report all scale with documents
+    "domain_mixture_plan", "mixture_sampled_corpus", "corpus_datacard",
 ]
 
 
