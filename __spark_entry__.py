@@ -3382,6 +3382,82 @@ def _video_keyframes_sql() -> str:
     """
 
 
+def q_video_image_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL video→image repost links: which corpus still images
+    appear as frames of which videos — the missing edge between the
+    image pHash family and the video frame-hash family (the repost
+    corpus's base frames are rolls of flagship images, so base and
+    requant videos MUST link to their source image).  Video frame
+    hashes (composite video␟frame keys) and image pHashes go through
+    ONE shared pigeonhole Hamming pair pass; cross-type pairs are then
+    parsed and aggregated per (video, image): matched frame count +
+    best distance.  Oracle: an INDEPENDENT all-pairs bit_count(xor)
+    brute force across the two literal hash tables."""
+    from pic2vec_spark.ops.dedup import hamming_neardup_pairs
+    from pic2vec_spark.ops.multimodal import (
+        _VIDEO_SEP,
+        compute_phash,
+        video_frame_phashes,
+        video_frames_cid,
+    )
+    from pic2vec_spark.synth import synth_images_df
+
+    vids = spark.createDataFrame(_video_rows(), "video_id string, bytes binary")
+    frames = video_frames_cid(
+        video_frame_phashes(vids).filter(F.col("video_ok"))
+    ).select(F.col("__cid").alias("key"), F.col("__fh").alias("sig"))
+    images = (
+        compute_phash(synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42))
+        .filter(F.col("phash64_ok"))
+        .select(F.col("image_id").alias("key"), F.col("phash64").alias("sig"))
+    )
+    pairs = hamming_neardup_pairs(
+        frames.unionByName(images), "key",
+        max_distance=4, sig_col="sig", bits=64,
+    )
+    is_v1 = F.col("id1").contains(_VIDEO_SEP)
+    is_v2 = F.col("id2").contains(_VIDEO_SEP)
+    cross = pairs.filter(is_v1 != is_v2).select(
+        F.when(is_v1, F.col("id1")).otherwise(F.col("id2")).alias("__vkey"),
+        F.when(is_v1, F.col("id2")).otherwise(F.col("id1")).alias("image_id"),
+        "hamming",
+    )
+    return (
+        cross.select(
+            F.substring_index("__vkey", _VIDEO_SEP, 1).alias("video_id"),
+            F.substring_index("__vkey", _VIDEO_SEP, -1)
+            .cast("int")
+            .alias("__frame"),
+            "image_id",
+            "hamming",
+        )
+        .groupBy("video_id", "image_id")
+        .agg(
+            F.countDistinct("__frame").alias("n_frames_matched"),
+            F.min("hamming").alias("best_hamming"),
+        )
+    )
+
+
+def _video_image_matches_sql() -> str:
+    """Independent cross-modal brute force: every (frame, image) hash
+    pair within 4 bits, aggregated per (video, image)."""
+    return f"""
+        WITH fh AS ({_video_frame_hashes_sql()}),
+        ph AS ({_image_phash_sql()}),
+        cand AS (
+          SELECT f.video_id, f.frame_idx, p.image_id,
+                 bit_count(xor(f.fhash64, p.phash64)) AS hamming
+          FROM fh f JOIN ph p ON p.phash64_ok
+          WHERE bit_count(xor(f.fhash64, p.phash64)) <= 4
+        )
+        SELECT video_id, image_id,
+               CAST(COUNT(DISTINCT frame_idx) AS BIGINT) AS n_frames_matched,
+               CAST(MIN(hamming) AS BIGINT) AS best_hamming
+        FROM cand GROUP BY video_id, image_id
+    """
+
+
 def q_video_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time VIDEO repost gate against a persisted frame-hash
     Hamming index: the base videos' per-frame pHashes are committed
@@ -5589,6 +5665,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_reposts": q_video_reposts,
         "video_scenes": q_video_scenes,
         "video_keyframes": q_video_keyframes,
+        "video_image_matches": q_video_image_matches,
         "video_probe_index": q_video_probe_index,
         "media_corpus": q_media_corpus,
     }
@@ -8246,6 +8323,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "video_reposts": _video_reposts_sql(),
         "video_scenes": _video_scenes_sql(),
         "video_keyframes": _video_keyframes_sql(),
+        "video_image_matches": _video_image_matches_sql(),
         "video_probe_index": _video_probe_index_sql(),
         "media_corpus": _media_corpus_sql(),
         "doc_vocab_coverage": """

@@ -189,6 +189,7 @@ EXTENDED_R5D = [
     "image_color_stats",
     "video_scenes",
     "video_keyframes",
+    "video_image_matches",
 ]
 
 EXTENDED_GROUPS = [
