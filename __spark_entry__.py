@@ -1539,6 +1539,26 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(q_simhash_neardup(spark, sf_dir))
 
 
+DEDUP_N_SHARDS = 8
+
+
+def q_dedup_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware sharding (ops/dedup.cluster_coherent_shards):
+    every document shards on its cluster representative, so no
+    near-dup cluster ever straddles a shard — the invariant that makes
+    per-shard survivor selection equal global selection (pinned by
+    pytest) and keeps the 100 TB dedup map-side.  Oracle: the
+    recursive-CTE cluster labels + the portable md5-bucket
+    expression."""
+    from pic2vec_spark.ops.dedup import cluster_coherent_shards
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    clusters = q_neardup_clusters(spark, sf_dir)
+    return cluster_coherent_shards(
+        docs, "doc_id", clusters, n_shards=DEDUP_N_SHARDS
+    ).select("doc_id", "shard_id")
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup recipe: keep ONE document per near-dup
     cluster (the min doc_id) plus every unpaired document — an
@@ -5557,6 +5577,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "neardup_consensus": q_neardup_consensus,
         "neardup_clusters": q_neardup_clusters,
+        "dedup_shard_assign": q_dedup_shard_assign,
         "dedup_survivors": q_dedup_survivors,
         "cluster_safe_split": q_cluster_safe_split,
         "dedup_containment": q_dedup_containment,
@@ -7245,6 +7266,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY v
     """
     d["neardup_clusters"] = cc
+    d["dedup_shard_assign"] = f"""
+        WITH cc AS ({cc})
+        SELECT d.doc_id,
+               CAST('0x' || substr(md5('shard'
+                      || CAST(COALESCE(cc.cluster_id, d.doc_id)
+                              AS VARCHAR)), 1, 8) AS BIGINT)
+                 % {DEDUP_N_SHARDS} AS shard_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """
     d["dedup_survivors"] = f"""
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (

@@ -190,6 +190,7 @@ EXTENDED_R5D = [
     "video_scenes",
     "video_keyframes",
     "video_image_matches",
+    "dedup_shard_assign",
 ]
 
 EXTENDED_GROUPS = [

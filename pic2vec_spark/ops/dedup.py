@@ -643,3 +643,43 @@ def neardup_clusters(
             "star-contraction variant"
         )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_coherent_shards(
+    df: DataFrame,
+    key_col: str,
+    clusters: DataFrame,
+    cluster_col: str = "cluster_id",
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Near-dup-aware sharding: every document lands in the shard of
+    its CLUSTER representative (singletons: of its own key), so a
+    whole near-dup cluster always lives in ONE shard.  That is the
+    invariant that lets the expensive global steps run shard-locally
+    at 100 TB — per-shard survivor selection, per-shard pair
+    re-ranking, per-shard contrastive batch construction all equal
+    their global counterparts because no cluster ever straddles a
+    shard boundary (pinned by the pytest shard-local == global
+    survivor equality).
+
+    Shard id is the deterministic md5 bucket of the cluster label
+    (``sampling._hash_bucket`` contract — portable to the SQL oracle),
+    RNG-free and stable under append: new members of an existing
+    cluster join its shard.  Plan: one key-equi join against the
+    assignment frame (AQE picks broadcast when the cluster table is
+    small) + a narrow hash projection — no extra shuffle beyond the
+    join."""
+    from pic2vec_spark.ops.sampling import _hash_bucket
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    a = clusters.select(
+        F.col(key_col).alias("__k"), F.col(cluster_col).alias("__c")
+    )
+    rep = F.coalesce(F.col("__c"), F.col(key_col))
+    return (
+        df.join(a, df[key_col] == a["__k"], "left")
+        .withColumn("shard_id", _hash_bucket(rep, salt, n_shards))
+        .drop("__k", "__c")
+    )

@@ -1307,3 +1307,52 @@ def test_scene_keyframes_middle_pick(spark):
     # scene 0 = frames 0-2 (middle 1), scene 1 = frames 3-4 (middle 3),
     # scene 2 = frames 5-7 (middle 6)
     assert out == [(0, 1, 3), (1, 3, 2), (2, 6, 3)]
+
+
+def test_cluster_coherent_shards_local_equals_global(spark):
+    """The sharding invariant: clusters never straddle shards, so
+    survivor selection run independently inside each shard equals the
+    global selection — the property that keeps 100 TB dedup map-side."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.dedup import cluster_coherent_shards
+
+    # 12 docs in 4 clusters of 3 (labels = min member), 6 singletons
+    rows = []
+    for c in range(4):
+        for m in range(3):
+            rows.append((c * 3 + m, c * 3))
+    clusters = spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
+    docs = spark.createDataFrame(
+        [(i,) for i in range(18)], "doc_id bigint"
+    )
+    sharded = cluster_coherent_shards(docs, "doc_id", clusters, n_shards=4)
+    out = sharded.collect()
+    assert len(out) == 18
+    # every cluster maps to exactly one shard
+    per_cluster = (
+        sharded.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("shard_id").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_cluster)
+    # shard-local survivor selection == global survivor selection
+    labeled = sharded.join(clusters, "doc_id", "left").withColumn(
+        "rep", F.coalesce("cluster_id", "doc_id")
+    )
+    global_surv = sorted(
+        r["doc_id"]
+        for r in labeled.groupBy("rep").agg(F.min("doc_id").alias("doc_id")).collect()
+    )
+    local_surv = sorted(
+        r["doc_id"]
+        for r in labeled.groupBy("shard_id", "rep")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    )
+    assert local_surv == global_surv
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cluster_coherent_shards(docs, "doc_id", clusters, n_shards=0)
