@@ -3020,6 +3020,106 @@ def _audio_clip_rows() -> list[tuple[int, bytes]]:
     return out
 
 
+@functools.cache
+def _audio_span_rows() -> list[tuple[int, bytes]]:
+    """Deterministic speech-shaped clip corpus for activity
+    segmentation: 12 clips alternating tone bursts and true silence
+    (segment lengths vary by clip id), plus a half-volume copy of
+    clip 0 (gain invariance: must segment identically) and a junk
+    row."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_wav
+
+    rate = 8000
+    out = []
+    for i in range(12):
+        segs = []
+        on = True
+        for k in range(4 + i % 3):
+            dur = 0.12 + 0.04 * ((i + k) % 4)
+            n = int(rate * dur)
+            t = np.arange(n) / rate
+            segs.append(
+                0.5 * np.sin(2 * np.pi * (150 + 30 * i + 10 * k) * t)
+                if on
+                else np.zeros(n)
+            )
+            on = not on
+        x = np.concatenate(segs)
+        out.append((i, encode_wav(x, rate)))
+        if i == 0:
+            out.append((100, encode_wav(0.5 * x, rate)))
+    out.append((999, b"not-a-wav"))
+    return out
+
+
+def q_audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation (ops/multimodal.
+    audio_activity_spans): tone bursts and silences merge into
+    alternating spans against the gain-invariant relative energy
+    floor — clip 100 (half-volume copy of clip 0) MUST segment
+    identically, and the junk row vanishes.  One decode pass + the
+    clip-keyed window/groupBy shape of video_scenes.  Oracle: the
+    per-frame verdicts recomputed driver-side with the same kernel,
+    segmented independently in SQL."""
+    from pic2vec_spark.ops.multimodal import audio_activity_spans
+
+    df = spark.createDataFrame(_audio_span_rows(), "clip_id int, bytes binary")
+    return audio_activity_spans(df)
+
+
+@functools.cache
+def _audio_activity_sql() -> str:
+    """Literal oracle for audio_activity: frame verdicts recomputed
+    driver-side (same decode_wav + audio_frame_activity kernels), then
+    the lag/running-sum span segmentation done independently in SQL."""
+    from pic2vec_spark.codecs import decode_wav
+    from pic2vec_spark.ops.multimodal import audio_frame_activity
+
+    vals = []
+    for cid, data in _audio_span_rows():
+        try:
+            x, rate = decode_wav(data)
+        except Exception:
+            continue
+        act = audio_frame_activity(x.mean(axis=1), rate)
+        for j, a in enumerate(act):
+            vals.append(f"({cid}, {j}, {'TRUE' if a else 'FALSE'})")
+    lits = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(clip_id, frame_idx, is_active)"
+    )
+    return f"""
+        WITH fr AS ({lits}),
+        l AS (
+          SELECT clip_id, frame_idx, is_active,
+                 LAG(is_active) OVER (
+                   PARTITION BY clip_id ORDER BY frame_idx
+                 ) AS prev
+          FROM fr
+        ),
+        s AS (
+          SELECT clip_id, frame_idx, is_active,
+                 SUM(CASE WHEN prev IS NULL OR prev <> is_active
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY clip_id ORDER BY frame_idx
+                   ROWS UNBOUNDED PRECEDING
+                 ) - 1 AS span_id
+          FROM l
+        )
+        SELECT clip_id, CAST(span_id AS BIGINT) AS span_id,
+               BOOL_OR(is_active) AS is_active,
+               MIN(frame_idx) AS start_frame,
+               MAX(frame_idx) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               ROUND(MIN(frame_idx) * 0.02, 6) AS start_s,
+               ROUND((MAX(frame_idx) + 1) * 0.02, 6) AS end_s
+        FROM s GROUP BY clip_id, span_id
+    """
+
+
 def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit robust audio fingerprint (Haitsma-Kalker sign-of-band-
     energy-difference) per WAV clip — one decode, narrow map.  Full
@@ -5681,6 +5781,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_shard_manifest": q_image_shard_manifest,
         "crop_probe_index": q_crop_probe_index,
         "audio_fingerprints": q_audio_fingerprints,
+        "audio_activity": q_audio_activity,
         "audio_fp_neardup": q_audio_fp_neardup,
         "video_frame_hashes": q_video_frame_hashes,
         "video_reposts": q_video_reposts,
@@ -8348,6 +8449,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "image_shard_manifest": _image_shard_manifest_sql(),
         "crop_probe_index": _crop_probe_index_sql(),
         "audio_fingerprints": _audio_fp_sql(),
+        "audio_activity": _audio_activity_sql(),
         "audio_fp_neardup": _audio_fp_neardup_sql(),
         "video_frame_hashes": _video_frame_hashes_sql(),
         "video_reposts": _video_reposts_sql(),

@@ -191,6 +191,7 @@ EXTENDED_R5D = [
     "video_keyframes",
     "video_image_matches",
     "dedup_shard_assign",
+    "audio_activity",
 ]
 
 EXTENDED_GROUPS = [

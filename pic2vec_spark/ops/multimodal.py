@@ -1405,3 +1405,109 @@ def scene_keyframes(
             "n_frames",
         )
     )
+
+
+def audio_frame_activity(
+    x: np.ndarray,
+    rate: int,
+    frame_ms: int = 20,
+    active_frac: float = 0.1,
+) -> np.ndarray:
+    """Per-frame activity verdicts for a mono float signal: frame RMS
+    against a RELATIVE floor — ``active_frac`` of the clip's loudest
+    frame — so the verdict is gain-invariant (the same contract that
+    makes the audio fingerprint volume-proof; a half-volume copy
+    segments identically).  Tail samples that don't fill a frame are
+    dropped.  Pure NumPy; shared by the executor UDF and the
+    driver-side literal oracle."""
+    frame_len = max(1, (rate * frame_ms) // 1000)
+    n = (len(x) // frame_len) * frame_len
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    frames = x[:n].reshape(-1, frame_len)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    return rms > active_frac * rms.max()
+
+
+def audio_activity_spans(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    frame_ms: int = 20,
+    active_frac: float = 0.1,
+) -> DataFrame:
+    """Voice-activity-style segmentation — the audio mirror of video
+    scene detection: decode each WAV once, frame it, mark frames
+    active/silent against the gain-invariant relative floor, then
+    merge consecutive same-state frames into spans.  The trim-silence
+    preprocessing every speech/audio training pipeline runs before
+    featurizing.  Output one row per span: ``(clip span_id, is_active,
+    start_frame, end_frame, n_frames, start_s, end_s)`` (seconds
+    rounded to 6).
+
+    Plan shape: ONE MapInPandas decode pass emitting the bounded
+    per-frame verdict array, a narrow posexplode, one per-clip lag
+    window + running state-change sum, one (clip, span) groupBy — the
+    exact shape of video_scenes, shuffles keyed by clip only.
+    Undecodable rows vanish (audio_ok=False, empty array), matching
+    the binary-op missing semantics."""
+    from pic2vec_spark.codecs import decode_wav
+    from pyspark.sql import Window
+
+    id_fields = list(df.schema.fields)
+    schema = T.StructType(
+        [f for f in id_fields if f.name != bytes_col]
+        + [
+            T.StructField("frame_active", T.ArrayType(T.BooleanType()), False),
+            T.StructField("audio_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acts, oks = [], []
+            for data in pdf[bytes_col]:
+                try:
+                    x, rate = decode_wav(
+                        bytes(data) if data is not None else b""
+                    )
+                    act = audio_frame_activity(
+                        x.mean(axis=1), rate, frame_ms, active_frac
+                    )
+                    acts.append([bool(b) for b in act])
+                    oks.append(True)
+                except Exception:
+                    acts.append([])
+                    oks.append(False)
+            out = pdf.drop(columns=[bytes_col])
+            out["frame_active"] = acts
+            out["audio_ok"] = oks
+            yield out
+
+    frames = (
+        df.mapInPandas(run, schema=schema)
+        .filter(F.col("audio_ok"))
+        .select(
+            *[f.name for f in id_fields if f.name != bytes_col],
+            F.posexplode("frame_active").alias("frame_idx", "is_active"),
+        )
+    )
+    key = [f.name for f in id_fields if f.name != bytes_col][0]
+    w = Window.partitionBy(key).orderBy("frame_idx")
+    changed = (
+        F.lag("is_active").over(w).isNull()
+        | (F.lag("is_active").over(w) != F.col("is_active"))
+    ).cast("int")
+    sec = frame_ms / 1000.0
+    spans = frames.withColumn(
+        "span_id",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.lit(1),
+    )
+    return spans.groupBy(key, "span_id").agg(
+        F.first("is_active").alias("is_active"),
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.min("frame_idx") * F.lit(sec), 6).alias("start_s"),
+        F.round((F.max("frame_idx") + 1) * F.lit(sec), 6).alias("end_s"),
+    )

@@ -1356,3 +1356,35 @@ def test_cluster_coherent_shards_local_equals_global(spark):
 
     with _pytest.raises(ValueError):
         cluster_coherent_shards(docs, "doc_id", clusters, n_shards=0)
+
+
+def test_audio_activity_spans_gain_invariant(spark):
+    """Tone–silence–tone segments to exactly 3 alternating spans with
+    the right frame ranges; a half-volume copy segments identically
+    (relative floor); junk bytes vanish."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_wav
+    from pic2vec_spark.ops.multimodal import audio_activity_spans
+
+    rate = 8000
+    tone = 0.5 * np.sin(2 * np.pi * 200 * np.arange(1600) / rate)  # 0.2 s
+    sil = np.zeros(800)  # 0.1 s
+    x = np.concatenate([tone, sil, tone])
+    rows = [
+        (0, bytearray(encode_wav(x, rate))),
+        (1, bytearray(encode_wav(0.5 * x, rate))),
+        (9, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "clip_id int, bytes binary")
+    out = audio_activity_spans(df).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["clip_id"], []).append(
+            (r["span_id"], r["is_active"], r["start_frame"], r["end_frame"])
+        )
+    # 0.2s tone = 10 frames, 0.1s silence = 5 frames at 20ms
+    expect = [(0, True, 0, 9), (1, False, 10, 14), (2, True, 15, 24)]
+    assert sorted(spans[0]) == expect
+    assert sorted(spans[1]) == expect  # gain invariance
+    assert 9 not in spans  # undecodable row dropped
