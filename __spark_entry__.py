@@ -1850,6 +1850,44 @@ def q_mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tok")
 
 
+def _datacard_sql(where: str) -> str:
+    """Corpus data-card oracle over the documents rows matching
+    ``where`` — parametrized so the release-diff oracle composes two
+    instances without copying the section arithmetic."""
+    return r"""
+        WITH b AS (
+          SELECT lang, source, md5(text) AS digest,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+                 length(text) AS n_chars
+          FROM documents WHERE {where}
+        ),
+        t AS (
+          SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_toks,
+                 SUM(n_chars) AS n_ch, COUNT(DISTINCT digest) AS n_uniq,
+                 MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+          FROM b
+        )
+        SELECT 'size' AS section, 'n_docs' AS metric,
+               CAST(n_docs AS DOUBLE) AS value FROM t
+        UNION ALL SELECT 'size', 'n_tokens', CAST(n_toks AS DOUBLE) FROM t
+        UNION ALL SELECT 'size', 'n_chars', CAST(n_ch AS DOUBLE) FROM t
+        UNION ALL SELECT 'dup', 'exact_dup_frac',
+               ROUND(1.0 - n_uniq / CAST(n_docs AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 'length', 'mean_tokens',
+               ROUND(n_toks / CAST(n_docs AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 'length', 'min_tokens', CAST(min_tok AS DOUBLE) FROM t
+        UNION ALL SELECT 'length', 'max_tokens', CAST(max_tok AS DOUBLE) FROM t
+        UNION ALL
+        SELECT 'lang', lang,
+               ROUND(COUNT(*) / (SELECT CAST(n_docs AS DOUBLE) FROM t), 6)
+        FROM b GROUP BY lang
+        UNION ALL
+        SELECT 'source', source,
+               ROUND(COUNT(*) / (SELECT CAST(n_docs AS DOUBLE) FROM t), 6)
+        FROM b GROUP BY source
+    """.replace("{where}", where)
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (ops/datacard.corpus_datacard): the one-table
     release summary — size (docs/tokens/chars), per-lang and
@@ -1861,6 +1899,22 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return corpus_datacard(
         _documents(spark, sf_dir), domain_cols=("lang", "source")
+    )
+
+
+def q_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release drift (ops/datacard.datacard_diff): the
+    data cards of two synthetic releases (even vs odd doc_id) aligned
+    on (section, metric) with a full outer join — absent entries read
+    0 — and the per-metric delta.  Both cards are tiny report frames,
+    so the diff join broadcasts regardless of corpus size.  Oracle:
+    two instances of the parametrized data-card SQL FULL JOINed."""
+    from pic2vec_spark.ops.datacard import corpus_datacard, datacard_diff
+
+    docs = _documents(spark, sf_dir)
+    return datacard_diff(
+        corpus_datacard(docs.filter(F.col("doc_id") % 2 == 0)),
+        corpus_datacard(docs.filter(F.col("doc_id") % 2 == 1)),
     )
 
 
@@ -5706,6 +5760,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_plan": q_domain_mixture_plan,
         "corpus_datacard": q_corpus_datacard,
         "mixture_sampled_corpus": q_mixture_sampled_corpus,
+        "datacard_diff": q_datacard_diff,
         "value_imputed": q_value_imputed,
         "rfm_features": q_rfm_features,
         "boilerplate_strip": q_boilerplate_strip,
@@ -7587,37 +7642,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, n_tok FROM r WHERE run <= budget
     """
-    d["corpus_datacard"] = r"""
-        WITH b AS (
-          SELECT lang, source, md5(text) AS digest,
-                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-                 length(text) AS n_chars
-          FROM documents
-        ),
-        t AS (
-          SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_toks,
-                 SUM(n_chars) AS n_ch, COUNT(DISTINCT digest) AS n_uniq,
-                 MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
-          FROM b
-        )
-        SELECT 'size' AS section, 'n_docs' AS metric,
-               CAST(n_docs AS DOUBLE) AS value FROM t
-        UNION ALL SELECT 'size', 'n_tokens', CAST(n_toks AS DOUBLE) FROM t
-        UNION ALL SELECT 'size', 'n_chars', CAST(n_ch AS DOUBLE) FROM t
-        UNION ALL SELECT 'dup', 'exact_dup_frac',
-               ROUND(1.0 - n_uniq / CAST(n_docs AS DOUBLE), 6) FROM t
-        UNION ALL SELECT 'length', 'mean_tokens',
-               ROUND(n_toks / CAST(n_docs AS DOUBLE), 6) FROM t
-        UNION ALL SELECT 'length', 'min_tokens', CAST(min_tok AS DOUBLE) FROM t
-        UNION ALL SELECT 'length', 'max_tokens', CAST(max_tok AS DOUBLE) FROM t
-        UNION ALL
-        SELECT 'lang', lang,
-               ROUND(COUNT(*) / (SELECT CAST(n_docs AS DOUBLE) FROM t), 6)
-        FROM b GROUP BY lang
-        UNION ALL
-        SELECT 'source', source,
-               ROUND(COUNT(*) / (SELECT CAST(n_docs AS DOUBLE) FROM t), 6)
-        FROM b GROUP BY source
+    d["corpus_datacard"] = _datacard_sql("TRUE")
+    d["datacard_diff"] = f"""
+        WITH a AS ({_datacard_sql("doc_id % 2 = 0")}),
+        b AS ({_datacard_sql("doc_id % 2 = 1")})
+        SELECT COALESCE(a.section, b.section) AS section,
+               COALESCE(a.metric, b.metric) AS metric,
+               ROUND(COALESCE(a.value, 0.0), 6) AS value_a,
+               ROUND(COALESCE(b.value, 0.0), 6) AS value_b,
+               ROUND(COALESCE(b.value, 0.0) - COALESCE(a.value, 0.0), 6)
+                 AS delta
+        FROM a FULL OUTER JOIN b
+          ON a.section = b.section AND a.metric = b.metric
     """
     d["calendar_features"] = """
         SELECT event_id,

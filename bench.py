@@ -192,6 +192,7 @@ EXTENDED_R5D = [
     "video_image_matches",
     "dedup_shard_assign",
     "audio_activity",
+    "datacard_diff",
 ]
 
 EXTENDED_GROUPS = [

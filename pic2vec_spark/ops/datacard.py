@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from pic2vec_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard"]
+__all__ = ["corpus_datacard", "datacard_diff"]
 
 
 def corpus_datacard(
@@ -103,3 +103,37 @@ def corpus_datacard(
         )
         out = out.unionByName(share)
     return out
+
+
+def datacard_diff(card_a: DataFrame, card_b: DataFrame) -> DataFrame:
+    """Release-over-release corpus drift: align two data cards on
+    (section, metric) with a full outer join — a language or source
+    present in only one release reads 0 in the other — and report
+    ``value_a``, ``value_b`` and ``delta = round(b − a, 6)``.  The
+    diff a curation run publishes next to each new snapshot so
+    composition shifts (a crawl dump doubling its share, dup rate
+    creeping up) are one table, diffable further upstream.
+
+    Both inputs are tiny report frames (sections × domain
+    cardinality), so the join is a broadcast regardless of corpus
+    size — the heavy work happened inside the two card passes."""
+    a = card_a.select(
+        "section", "metric", F.col("value").alias("value_a")
+    )
+    b = card_b.select(
+        "section", "metric", F.col("value").alias("value_b")
+    )
+    return (
+        a.join(b, ["section", "metric"], "full_outer")
+        .select(
+            "section",
+            "metric",
+            F.round(F.coalesce("value_a", F.lit(0.0)), 6).alias("value_a"),
+            F.round(F.coalesce("value_b", F.lit(0.0)), 6).alias("value_b"),
+            F.round(
+                F.coalesce("value_b", F.lit(0.0))
+                - F.coalesce("value_a", F.lit(0.0)),
+                6,
+            ).alias("delta"),
+        )
+    )

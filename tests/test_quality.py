@@ -189,3 +189,26 @@ def test_corpus_datacard_closed_form(spark):
         for r in corpus_datacard(df.repartition(7)).collect()
     }
     assert out7 == out
+
+
+def test_datacard_diff_alignment_and_zero_fill(spark):
+    """A metric present in only one card reads 0 on the other side and
+    its delta carries the sign; matched metrics subtract exactly."""
+    from pic2vec_spark.ops.datacard import datacard_diff
+
+    a = spark.createDataFrame(
+        [("size", "n_docs", 4.0), ("lang", "de", 0.25)],
+        "section string, metric string, value double",
+    )
+    b = spark.createDataFrame(
+        [("size", "n_docs", 6.0), ("lang", "fr", 0.5)],
+        "section string, metric string, value double",
+    )
+    out = {
+        (r["section"], r["metric"]): (r["value_a"], r["value_b"], r["delta"])
+        for r in datacard_diff(a, b).collect()
+    }
+    assert out[("size", "n_docs")] == (4.0, 6.0, 2.0)
+    assert out[("lang", "de")] == (0.25, 0.0, -0.25)
+    assert out[("lang", "fr")] == (0.0, 0.5, 0.5)
+    assert len(out) == 3
