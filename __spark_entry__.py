@@ -2022,6 +2022,46 @@ def q_asof_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DIM = 64
+
+
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene screen (ops/quality.embedding_quality) over a
+    corpus with PLANTED defects (the synth embeddings are clean):
+    every 13th vector NULLed, every 17th all-NaN, every 19th zeroed,
+    every 23rd truncated — the screen must flag each class and pass
+    the rest.  Entirely JVM-side array expressions, no UDF, no
+    shuffle.  Oracle: the same defect plan + list-function arithmetic
+    in SQL."""
+    from pic2vec_spark.ops.quality import embedding_quality
+
+    v = F.col("embedding")
+    defected = (
+        F.when(F.col("vec_id") % 13 == 0, F.lit(None).cast(
+            "array<double>"
+        ))
+        .when(
+            F.col("vec_id") % 17 == 0,
+            F.transform(v, lambda x: F.lit(float("nan"))),
+        )
+        .when(F.col("vec_id") % 19 == 0, F.transform(v, lambda x: F.lit(0.0)))
+        .when(
+            F.col("vec_id") % 23 == 0,
+            F.expr(
+                "cast(slice(embedding, 1, size(embedding) - 2)"
+                " as array<double>)"
+            ),
+        )
+        .otherwise(v.cast("array<double>"))
+    )
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", defected.alias("embedding")
+    )
+    return embedding_quality(emb, expected_dim=EMBED_DIM).select(
+        "vec_id", "dim", "norm", "has_nan", "is_zero_norm", "dim_ok", "vec_ok"
+    )
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space curation screen (ops/knn.centroid_outliers):
     per-label decimal-exact centroids, cosine of every vector to its
@@ -5751,6 +5791,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_expiry": q_snapshot_expiry,
         "decontamination": q_decontamination,
         "embedding_outliers": q_embedding_outliers,
+        "embedding_quality": q_embedding_quality,
         "asof_staleness": q_asof_staleness,
         "key_skew_profile": q_key_skew_profile,
         "source_quota_sample": q_source_quota_sample,
@@ -7835,6 +7876,41 @@ def oracle_sql() -> dict[str, str]:
     # centroid components: double -> DECIMAL(25,8) -> exact SUM -> one
     # double division (the order-proof-sum pattern); cosine = sequential
     # double folds on both engines, rounded to 6
+    d["embedding_quality"] = f"""
+        WITH d AS (
+          SELECT vec_id,
+                 CASE
+                   WHEN vec_id % 13 = 0 THEN NULL
+                   WHEN vec_id % 17 = 0 THEN
+                     list_transform(embedding, x -> 'NaN'::DOUBLE)
+                   WHEN vec_id % 19 = 0 THEN
+                     list_transform(embedding, x -> 0.0)
+                   WHEN vec_id % 23 = 0 THEN
+                     list_transform(embedding[1:len(embedding)-2],
+                                    x -> CAST(x AS DOUBLE))
+                   ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 END AS ve
+          FROM embeddings
+        ),
+        m AS (
+          SELECT vec_id, ve,
+                 ROUND(sqrt(list_dot_product(ve, ve)), 6) AS norm,
+                 COALESCE(len(list_filter(ve, x -> isnan(x))) > 0, FALSE)
+                   AS has_nan
+          FROM d
+        )
+        SELECT vec_id,
+               CAST(CASE WHEN ve IS NULL THEN -1 ELSE len(ve) END AS INT)
+                 AS dim,
+               norm,
+               has_nan,
+               COALESCE(norm = 0.0, FALSE) AS is_zero_norm,
+               COALESCE(len(ve) = {EMBED_DIM}, FALSE) AS dim_ok,
+               ve IS NOT NULL AND COALESCE(len(ve) = {EMBED_DIM}, FALSE)
+                 AND NOT has_nan AND NOT COALESCE(norm = 0.0, FALSE)
+                 AS vec_ok
+        FROM m
+    """
     d["embedding_outliers"] = """
         WITH ex AS (
           SELECT label,

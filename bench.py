@@ -193,6 +193,7 @@ EXTENDED_R5D = [
     "dedup_shard_assign",
     "audio_activity",
     "datacard_diff",
+    "embedding_quality",
 ]
 
 EXTENDED_GROUPS = [

@@ -180,3 +180,54 @@ def rule_funnel(df: DataFrame, rule_cols: list[str]) -> DataFrame:
             "survive_rate"
         ),
     )
+
+
+def embedding_quality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Vector-column hygiene screen — the validation an embedding
+    pipeline runs before any ANN index build, because one NaN or
+    ragged vector inside a 10^12-row corpus otherwise surfaces as a
+    crash deep inside a kernel (the failure mode the PQ encoders had
+    to be hardened against).  Adds per-row verdict columns:
+
+    - ``dim`` — vector length (−1 for NULL vectors, so the column
+      stays NULL-free for exact comparison),
+    - ``norm`` — round-6 L2 norm of the vector as stored (NaN
+      components propagate to a NaN norm),
+    - ``has_nan`` / ``is_zero_norm`` / ``dim_ok`` — individual screens,
+    - ``vec_ok`` — the conjunction: non-NULL, right dimension, finite,
+      non-zero.
+
+    Entirely JVM-side array expressions (exists/aggregate) — no UDF,
+    no shuffle, whole-stage-codegen narrow projection; at any scale
+    this is a free rider on the first pass over the table."""
+    v = F.col(vec_col)
+    dim = F.when(v.isNull(), F.lit(-1)).otherwise(F.size(v)).cast("int")
+    acc = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    norm = F.round(F.sqrt(acc), 6)
+    has_nan = F.coalesce(
+        F.exists(v, lambda x: F.isnan(x.cast("double"))), F.lit(False)
+    )
+    is_zero = F.coalesce(norm == 0.0, F.lit(False))
+    dim_ok = (
+        F.lit(True)
+        if expected_dim is None
+        else F.coalesce(F.size(v) == expected_dim, F.lit(False))
+    )
+    return df.withColumns(
+        {
+            "dim": dim,
+            "norm": norm,
+            "has_nan": has_nan,
+            "is_zero_norm": is_zero,
+            "dim_ok": dim_ok,
+            "vec_ok": v.isNotNull() & dim_ok & ~has_nan & ~is_zero,
+        }
+    )

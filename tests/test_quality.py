@@ -212,3 +212,27 @@ def test_datacard_diff_alignment_and_zero_fill(spark):
     assert out[("lang", "de")] == (0.25, 0.0, -0.25)
     assert out[("lang", "fr")] == (0.0, 0.5, 0.5)
     assert len(out) == 3
+
+
+def test_embedding_quality_verdicts(spark):
+    """Each defect class gets exactly its own flags; clean unit-ish
+    vectors pass; the screen never throws on NULL/ragged input."""
+    from pic2vec_spark.ops.quality import embedding_quality
+
+    rows = [
+        (0, [3.0, 4.0]),          # clean: norm 5
+        (1, None),                # NULL vector
+        (2, [float("nan"), 1.0]), # NaN component
+        (3, [0.0, 0.0]),          # zero norm
+        (4, [1.0]),               # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_quality(df, expected_dim=2).collect()}
+    assert out[0]["vec_ok"] and out[0]["norm"] == 5.0 and out[0]["dim"] == 2
+    assert not out[1]["vec_ok"] and out[1]["dim"] == -1
+    assert out[2]["has_nan"] and not out[2]["vec_ok"]
+    assert out[3]["is_zero_norm"] and not out[3]["vec_ok"]
+    assert not out[4]["dim_ok"] and not out[4]["vec_ok"]
+    # no UDF: the plan is pure JVM expressions
+    plan = embedding_quality(df, expected_dim=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
