@@ -2711,6 +2711,66 @@ def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 8
+PCA_SAMPLE = 2000
+
+
+@functools.cache
+def _pca_artifact(sf_dir: str):
+    """PCA mean + components + explained-variance ratio fitted on the
+    deterministic bounded sample (smallest vec_ids) — the pretrained
+    artifact shared by the Spark query and the oracle, same contract
+    as _ivf_centroids / _pq_codebooks."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pic2vec_spark.ops.knn import pca_fit_np
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    x = np.array(
+        t.column("embedding").to_pylist()[:PCA_SAMPLE], dtype=np.float64
+    )
+    return pca_fit_np(x, PCA_K)
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PCA projection (ops/knn.pca_project): 64-dim embeddings
+    onto the top-8 principal components fitted on the deterministic
+    bounded sample (ORACLE_SF_DIR artifact, sign-fixed eigenvectors) —
+    the exact companion of the JL projection for whitening /
+    reconstruction-aware compression.  Long-form output; projection =
+    fold(x·c) − fold(mu·c) with the same left-to-right IEEE sequence
+    as the oracle's list_dot_product − literal."""
+    from pic2vec_spark.ops.knn import pca_project
+
+    mu, comps, _ = _pca_artifact(ORACLE_SF_DIR)
+    return pca_project(_embeddings(spark, sf_dir), mu, comps)
+
+
+def _pca_project_sql() -> str:
+    """Oracle for embedding_pca: the SAME fitted components embedded
+    as literal arrays, list_dot_product per output dimension minus the
+    sequential-fold mean-dot constant."""
+    from pic2vec_spark.ops.knn import _seq_sum
+
+    mu, comps, _ = _pca_artifact(ORACLE_SF_DIR)
+    dim = comps.shape[1]
+    selects = []
+    for j in range(comps.shape[0]):
+        lits = ", ".join(repr(float(x)) for x in comps[j])
+        mudot = _seq_sum(float(mu[i]) * float(comps[j][i]) for i in range(dim))
+        selects.append(
+            f"SELECT vec_id, {j} AS dim_idx, "
+            f"ROUND(list_dot_product(list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)), [{lits}]) - {mudot!r}, 6) AS value "
+            f"FROM embeddings WHERE embedding IS NOT NULL "
+            f"AND len(embedding) >= {dim}"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion (ops/rank.rrf_fuse):
     fuse an embedding ranking (cosine top-10) with a lexical ranking
@@ -5819,6 +5879,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "hybrid_rrf": q_hybrid_rrf,
         "embedding_jl_project": q_embedding_jl_project,
+        "embedding_pca": q_embedding_pca,
         "lineage_reconcile": q_lineage_reconcile,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -8807,6 +8868,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, rk FROM r WHERE rk <= {KNN_K}
         """,
         "embedding_jl_project": _jl_project_sql(),
+        "embedding_pca": _pca_project_sql(),
         "hybrid_rrf": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

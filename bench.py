@@ -194,6 +194,7 @@ EXTENDED_R5D = [
     "audio_activity",
     "datacard_diff",
     "embedding_quality",
+    "embedding_pca",
 ]
 
 EXTENDED_GROUPS = [

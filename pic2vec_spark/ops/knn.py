@@ -950,6 +950,107 @@ def random_projection_sql(
     return " UNION ALL ".join(selects)
 
 
+# ------------------------------------------------------------------ PCA
+
+def pca_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_train: int = 2000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact PCA fit on the deterministic bounded training sample (the
+    SAME ``sample_vectors`` contract centroid/PQ training uses — the
+    n smallest ids, order-stable under any partitioning, so two fits
+    on the same corpus are bit-identical; at 10^12 rows swap in a
+    uniform sample, PCA training never needs the full corpus).
+    Returns ``(mean (dim,), components (k, dim), explained_var_ratio
+    (k,))`` with the deterministic sign convention: each component's
+    largest-|coefficient| entry is positive (np.argmax ties break to
+    the first index), so eigenvector sign ambiguity cannot flip
+    projections between runs.
+
+    The exact companion of :func:`random_projection`: JL preserves
+    pairwise distances obliviously; PCA concentrates variance for
+    reconstruction / whitening / visualization — both compress the
+    embedding column before ANN state at scale."""
+    x = sample_vectors(df, n_train, id_col, vec_col)
+    return pca_fit_np(x, k)
+
+
+def pca_fit_np(x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The pure-NumPy fit kernel behind :func:`pca_fit` — shared with
+    the driver-side oracle artifact (same contract as
+    kmeans_centroids / pq_train: one kernel, two callers, parity by
+    construction)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if x.shape[0] < 2:
+        raise ValueError("pca_fit needs at least 2 training vectors")
+    if k > x.shape[1]:
+        raise ValueError(f"k={k} exceeds dim={x.shape[1]}")
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = (xc.T @ xc) / (x.shape[0] - 1)
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()        # (k, dim)
+    for i in range(k):
+        if comps[i, int(np.argmax(np.abs(comps[i])))] < 0:
+            comps[i] = -comps[i]
+    total = float(w.sum())
+    evr = (w[order] / total) if total > 0 else np.zeros(k)
+    return mu, comps, np.asarray(evr, dtype=np.float64)
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every embedding onto fitted PCA components — LONG form
+    ``(id_col, dim_idx, value)``, the same engine-comparable shape as
+    :func:`random_projection`.  Projection is computed as
+    ``fold(x·c) − fold(mu·c)``: the Arrow UDF accumulates the data dot
+    dimension-at-a-time (identical left-to-right IEEE sequence to
+    DuckDB's list_dot_product) and subtracts the plan-constant mean
+    dot computed with the same sequential fold — bit-parity by
+    construction, not by tolerance.  NULL / short vectors are dropped;
+    narrow map, zero shuffle."""
+    dim = int(components.shape[1])
+    cmat = np.ascontiguousarray(components, dtype=np.float64)
+    mudots = np.array(
+        [_seq_sum(float(mean[i]) * float(c[i]) for i in range(dim)) for c in cmat],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("array<double>")
+    def proj(v):
+        n = len(v)
+        res = [None] * n
+        ok = np.array([x is not None and len(x) >= dim for x in v], dtype=bool)
+        if ok.any():
+            e = np.zeros((int(ok.sum()), dim), dtype=np.float64)
+            for r, x in enumerate(v[ok]):
+                e[r, :] = x[:dim]
+            dots = np.zeros((e.shape[0], cmat.shape[0]), dtype=np.float64)
+            for i in range(dim):  # left-to-right per-row sums (parity)
+                dots += e[:, i][:, None] * cmat[None, :, i]
+            dots -= mudots[None, :]
+            for r, idx in enumerate(np.nonzero(ok)[0]):
+                res[int(idx)] = dots[r]
+        return pd.Series(res)
+
+    return (
+        df.select(id_col, proj(F.col(vec_col)).alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .select(id_col, F.posexplode("__p").alias("dim_idx", "__v"))
+        .select(id_col, "dim_idx", F.round("__v", 6).alias("value"))
+    )
+
+
 # ------------------------------------------------------------------- PQ
 
 def pq_train(

@@ -1388,3 +1388,43 @@ def test_audio_activity_spans_gain_invariant(spark):
     assert sorted(spans[0]) == expect
     assert sorted(spans[1]) == expect  # gain invariance
     assert 9 not in spans  # undecodable row dropped
+
+
+def test_pca_fit_recovers_principal_axis(spark):
+    """Data stretched along a known direction: the first component
+    matches it (sign-fixed), explained variance concentrates there,
+    and Spark projections equal the NumPy oracle to 1e-6."""
+    import numpy as np
+
+    from pic2vec_spark.ops.knn import pca_fit, pca_fit_np, pca_project
+
+    rng = np.random.default_rng(3)
+    axis = np.array([0.6, 0.8, 0.0, 0.0])
+    x = (
+        rng.normal(0, 5.0, size=(200, 1)) * axis[None, :]
+        + rng.normal(0, 0.1, size=(200, 4))
+        + np.array([1.0, -2.0, 0.5, 3.0])
+    )
+    rows = [(i, [float(v) for v in x[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    mu, comps, evr = pca_fit(df, k=2, n_train=200)
+    # sample_vectors keeps id order, so the fit equals the direct kernel
+    mu2, comps2, evr2 = pca_fit_np(x, 2)
+    assert np.allclose(mu, mu2) and np.allclose(comps, comps2)
+    assert abs(abs(float(comps[0] @ axis)) - 1.0) < 1e-2
+    assert evr[0] > 0.99
+    # sign convention: largest-|coeff| entry positive
+    assert comps[0, int(np.argmax(np.abs(comps[0])))] > 0
+    got = (
+        pca_project(df, mu, comps)
+        .filter("vec_id = 7")
+        .orderBy("dim_idx")
+        .collect()
+    )
+    want = (x[7] - mu) @ comps.T
+    assert np.allclose([r["value"] for r in got], np.round(want, 6), atol=1e-6)
+    # short vectors are dropped, never crash
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert pca_project(bad, mu, comps).count() == 0
