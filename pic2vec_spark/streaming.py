@@ -1141,3 +1141,254 @@ def stream_repost_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def datacard_state_delta(
+    batch_df: DataFrame,
+    text_col: str = "text",
+    domain_cols: tuple[str, ...] = ("lang", "source"),
+    kmv_k: int = 1024,
+) -> DataFrame:
+    """One micro-batch's contribution to the streaming data-card state:
+    a tiny keyed frame of MERGEABLE statistics —
+
+    - ``__totals__``: doc / token / char sums + token min/max,
+    - one row per (domain column, value): doc count,
+    - ``__kmv__``: the <=k smallest distinct 60-bit digest hashes
+      (``sampling.md5_uniform60`` of the content digest — the KMV
+      sketch from ops/rollup, the mergeable stand-in for the batch
+      card's exact countDistinct; exact while distinct count < k).
+
+    Every statistic is associative/commutative, so state merge is
+    order-free — the property that makes the card maintainable from a
+    stream at all."""
+    from pic2vec_spark.ops.sampling import md5_uniform60
+    from pic2vec_spark.ops.text import tokens
+
+    base = batch_df.select(
+        *[F.col(c) for c in domain_cols],
+        md5_uniform60(F.md5(F.col(text_col))).alias("__h"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("__n_tok"),
+        F.length(F.col(text_col)).cast("bigint").alias("__n_chars"),
+    ).localCheckpoint(eager=True)
+
+    empty_arr = F.lit(None).cast("array<double>")
+    totals = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("__n_tok").cast("double").alias("n_toks"),
+        F.sum("__n_chars").cast("double").alias("n_chars"),
+        F.min("__n_tok").cast("double").alias("min_tok"),
+        F.max("__n_tok").cast("double").alias("max_tok"),
+    ).select(
+        F.lit("__totals__").alias("__k"),
+        "n_docs", "n_toks", "n_chars", "min_tok", "max_tok",
+        empty_arr.alias("arr"),
+    )
+    kmv = base.agg(
+        F.slice(
+            F.array_sort(F.collect_set("__h")), 1, kmv_k
+        ).alias("arr")
+    ).select(
+        F.lit("__kmv__").alias("__k"),
+        F.lit(None).cast("double").alias("n_docs"),
+        F.lit(None).cast("double").alias("n_toks"),
+        F.lit(None).cast("double").alias("n_chars"),
+        F.lit(None).cast("double").alias("min_tok"),
+        F.lit(None).cast("double").alias("max_tok"),
+        "arr",
+    )
+    out = totals.unionByName(kmv)
+    for c in domain_cols:
+        dom = (
+            base.groupBy(c)
+            .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+            .select(
+                F.concat_ws("\x1f", F.lit(c), F.col(c).cast("string")).alias(
+                    "__k"
+                ),
+                "n_docs",
+                F.lit(None).cast("double").alias("n_toks"),
+                F.lit(None).cast("double").alias("n_chars"),
+                F.lit(None).cast("double").alias("min_tok"),
+                F.lit(None).cast("double").alias("max_tok"),
+                empty_arr.alias("arr"),
+            )
+        )
+        out = out.unionByName(dom)
+    return out
+
+
+def merge_datacard_states(
+    a: DataFrame, b: DataFrame, kmv_k: int = 1024
+) -> DataFrame:
+    """Key-wise merge of two data-card state frames: sums add, min/max
+    fold, KMV arrays union-sort-truncate to k — associative and
+    commutative, so replay ORDER never matters (replay IDENTITY is the
+    sink's batch-stamp guard, as in stream_agg_view)."""
+    cols = ["n_docs", "n_toks", "n_chars", "min_tok", "max_tok", "arr"]
+    aa = a.select("__k", *[F.col(c).alias(f"a_{c}") for c in cols])
+    bb = b.select("__k", *[F.col(c).alias(f"b_{c}") for c in cols])
+    j = aa.join(bb, "__k", "full_outer")
+    return j.select(
+        "__k",
+        F.when(
+            F.col("a_n_docs").isNotNull() | F.col("b_n_docs").isNotNull(),
+            F.coalesce("a_n_docs", F.lit(0.0))
+            + F.coalesce("b_n_docs", F.lit(0.0)),
+        ).alias("n_docs"),
+        F.when(
+            F.col("a_n_toks").isNotNull() | F.col("b_n_toks").isNotNull(),
+            F.coalesce("a_n_toks", F.lit(0.0))
+            + F.coalesce("b_n_toks", F.lit(0.0)),
+        ).alias("n_toks"),
+        F.when(
+            F.col("a_n_chars").isNotNull() | F.col("b_n_chars").isNotNull(),
+            F.coalesce("a_n_chars", F.lit(0.0))
+            + F.coalesce("b_n_chars", F.lit(0.0)),
+        ).alias("n_chars"),
+        F.least("a_min_tok", "b_min_tok").alias("min_tok"),
+        F.greatest("a_max_tok", "b_max_tok").alias("max_tok"),
+        F.when(
+            F.col("a_arr").isNotNull() | F.col("b_arr").isNotNull(),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce("a_arr", F.array()),
+                            F.coalesce("b_arr", F.array()),
+                        )
+                    )
+                ),
+                1,
+                kmv_k,
+            ),
+        ).alias("arr"),
+    )
+
+
+def datacard_from_state(state: DataFrame, kmv_k: int = 1024) -> DataFrame:
+    """Finalize a data-card state frame into the SAME long-format
+    ``(section, metric, value)`` report ``ops/datacard.corpus_datacard``
+    emits — size / dup / length / per-domain share sections — so batch
+    and streaming cards are directly diffable (and equal while the
+    corpus's distinct-digest count stays under the sketch's k; beyond
+    it the dup row becomes the KMV estimate ``(k-1)/h_k``, every other
+    row stays exact)."""
+    tot = state.filter(F.col("__k") == "__totals__").localCheckpoint(
+        eager=False
+    )
+    kmv = state.filter(F.col("__k") == "__kmv__").select(
+        F.size("arr").alias("__n_h"), F.element_at("arr", -1).alias("__h_k")
+    )
+    docs_d = F.col("n_docs")
+    size = tot.select(
+        F.expr(
+            "stack(3, 'n_docs', n_docs, 'n_tokens', n_toks,"
+            " 'n_chars', n_chars) AS (metric, value)"
+        )
+    ).select(F.lit("size").alias("section"), "metric", "value")
+    length = tot.select(
+        F.expr(
+            "stack(3, 'mean_tokens', ROUND(n_toks / n_docs, 6),"
+            " 'min_tokens', min_tok, 'max_tokens', max_tok)"
+            " AS (metric, value)"
+        )
+    ).select(F.lit("length").alias("section"), "metric", "value")
+    distinct_est = F.when(
+        F.col("__n_h") < kmv_k, F.col("__n_h").cast("double")
+    ).otherwise(F.round((F.lit(float(kmv_k)) - 1.0) / F.col("__h_k"), 2))
+    dup = (
+        kmv.crossJoin(F.broadcast(tot.select("n_docs")))
+        .select(
+            F.lit("dup").alias("section"),
+            F.lit("exact_dup_frac").alias("metric"),
+            F.round(F.lit(1.0) - distinct_est / docs_d, 6).alias("value"),
+        )
+    )
+    shares = (
+        state.filter(~F.col("__k").isin("__totals__", "__kmv__"))
+        .crossJoin(F.broadcast(tot.select(F.col("n_docs").alias("__t"))))
+        .select(
+            F.substring_index("__k", "\x1f", 1).alias("section"),
+            F.substring_index("__k", "\x1f", -1).alias("metric"),
+            F.round(F.col("n_docs") / F.col("__t"), 6).alias("value"),
+        )
+    )
+    return size.unionByName(dup).unionByName(length).unionByName(shares)
+
+
+def stream_datacard(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_root: str,
+    schema,
+    text_col: str = "text",
+    domain_cols: tuple[str, ...] = ("lang", "source"),
+    kmv_k: int = 1024,
+    files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Streaming corpus data card: a file-source stream of document
+    parquet drops keeps the mergeable card STATE (datacard_state_delta)
+    continuously folded into the SnapshotTable at ``table_root`` —
+    the release report is then one ``datacard_from_state`` call away
+    at ANY point in the stream, without ever rescanning the corpus
+    (per-trigger cost ∝ delta; the state table is sections × domain
+    cardinality + one k-row sketch).
+
+    Exactly-once: state addition is not idempotent, so the sink reuses
+    stream_agg_view's batch-stamp guard (``datacard_last_batch`` in
+    the manifest; replayed batch ids are skipped, fresh-checkpoint
+    restarts against a populated table raise rather than double-count).
+    Returns the started query."""
+    table = SnapshotTable(table_root, spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = datacard_state_delta(
+            batch_df, text_col, domain_cols, kmv_k
+        )
+        man = table.manifest()
+        if man is None:
+            if int(batch_id) != 0:
+                raise ValueError(
+                    "fresh datacard state but stream batch id "
+                    f"{batch_id} != 0: checkpoint was reset against an "
+                    "empty table — refusing to undercount"
+                )
+            table.write(
+                delta, properties={"datacard_last_batch": int(batch_id)}
+            )
+            return
+        props = dict(man.get("properties") or {})
+        last = props.get("datacard_last_batch")
+        if last is None:
+            raise ValueError(
+                "datacard state table exists without a batch stamp — "
+                "not this stream's table; refusing to fold into it"
+            )
+        if int(batch_id) <= int(last):
+            return  # replayed batch: already folded
+        merged = merge_datacard_states(
+            table.scan(), delta, kmv_k
+        ).localCheckpoint(eager=True)
+        # copy-on-write: a fresh snapshot holding the merged state (the
+        # state table is tiny — sections x domain cardinality + one
+        # k-row sketch — so a full rewrite is cheaper than keyed merge)
+        table.write(
+            merged, properties={**props, "datacard_last_batch": int(batch_id)}
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

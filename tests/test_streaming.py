@@ -1234,3 +1234,63 @@ def test_stream_video_frame_index_with_string_keys(spark, tmp_path):
         ).collect()
     }
     assert gated[("v2", "v2_requant")] == (0, 6)
+
+
+def test_stream_datacard_equals_batch_card(spark, tmp_path):
+    """Documents streamed in three drops: the finalized streaming card
+    equals the batch corpus_datacard row-for-row (the KMV dup row is
+    exact below k), and a replayed batch id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.datacard import corpus_datacard
+    from pic2vec_spark.snapshots import SnapshotTable
+    from pic2vec_spark.streaming import (
+        datacard_from_state,
+        stream_datacard,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+    )
+    in_dir = str(tmp_path / "in")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    q = stream_datacard(
+        spark,
+        in_dir,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "card"),
+        schema=docs.schema,
+        files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    table = SnapshotTable(str(tmp_path / "card"), spark)
+    got = {
+        (r["section"], r["metric"]): r["value"]
+        for r in datacard_from_state(table.scan()).collect()
+    }
+    want = {
+        (r["section"], r["metric"]): r["value"]
+        for r in corpus_datacard(docs).collect()
+    }
+    assert got == want
+    # replay guard: re-running the same backlog folds nothing twice
+    stamp = table.manifest()["properties"]["datacard_last_batch"]
+    q2 = stream_datacard(
+        spark,
+        in_dir,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "card"),
+        schema=docs.schema,
+        files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["section"], r["metric"]): r["value"]
+        for r in datacard_from_state(table.scan()).collect()
+    }
+    assert got2 == want
+    assert table.manifest()["properties"]["datacard_last_batch"] == stamp
