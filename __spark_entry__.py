@@ -2732,7 +2732,12 @@ def _pca_artifact(sf_dir: str):
     x = np.array(
         t.column("embedding").to_pylist()[:PCA_SAMPLE], dtype=np.float64
     )
-    return pca_fit_np(x, PCA_K)
+    mu, comps, evr = pca_fit_np(x, PCA_K)
+    # per-component variances of the training projections (the
+    # eigenvalues), for whitened / Mahalanobis scoring downstream
+    proj = (x - mu) @ comps.T
+    lam = proj.var(axis=0, ddof=1)
+    return mu, comps, evr, lam
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2745,7 +2750,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the oracle's list_dot_product − literal."""
     from pic2vec_spark.ops.knn import pca_project
 
-    mu, comps, _ = _pca_artifact(ORACLE_SF_DIR)
+    mu, comps, _, _ = _pca_artifact(ORACLE_SF_DIR)
     return pca_project(_embeddings(spark, sf_dir), mu, comps)
 
 
@@ -2755,7 +2760,7 @@ def _pca_project_sql() -> str:
     sequential-fold mean-dot constant."""
     from pic2vec_spark.ops.knn import _seq_sum
 
-    mu, comps, _ = _pca_artifact(ORACLE_SF_DIR)
+    mu, comps, _, _ = _pca_artifact(ORACLE_SF_DIR)
     dim = comps.shape[1]
     selects = []
     for j in range(comps.shape[0]):
@@ -2769,6 +2774,58 @@ def _pca_project_sql() -> str:
             f"AND len(embedding) >= {dim}"
         )
     return " UNION ALL ".join(selects)
+
+
+MAHA_THRESHOLD = 3.0
+
+
+def q_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened (Mahalanobis-in-subspace) outlier scores: each
+    embedding's PCA projections divided by their component variances —
+    ``score = sqrt(Σ proj_j² / λ_j)`` over the top-8 components, the
+    covariance-aware complement of the centroid-cosine outlier screen
+    (a point can be near the centroid yet far in a low-variance
+    direction).  Composes pca_project + a literal eigenvalue array;
+    one vec_id groupBy.  Oracle: the same arithmetic over the
+    projection SQL with the identical λ literals."""
+    mu, comps, _, lam = _pca_artifact(ORACLE_SF_DIR)
+    from pic2vec_spark.ops.knn import pca_project
+
+    lam_arr = F.array(*[F.lit(float(v)) for v in lam])
+    proj = pca_project(_embeddings(spark, sf_dir), mu, comps)
+    return (
+        proj.withColumn(
+            "__w",
+            F.col("value")
+            * F.col("value")
+            / F.element_at(lam_arr, F.col("dim_idx") + 1),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sqrt(F.sum("__w")), 6).alias("maha"))
+        .select(
+            "vec_id",
+            "maha",
+            (F.col("maha") > MAHA_THRESHOLD).alias("is_outlier"),
+        )
+    )
+
+
+def _maha_sql() -> str:
+    """Oracle for embedding_mahalanobis: the projection oracle as a
+    CTE, the same λ literals indexed per dim, one GROUP BY."""
+    _, _, _, lam = _pca_artifact(ORACLE_SF_DIR)
+    lam_lits = ", ".join(repr(float(v)) for v in lam)
+    return f"""
+        WITH p AS ({_pca_project_sql()})
+        SELECT vec_id,
+               ROUND(sqrt(SUM(value * value
+                              / list_extract([{lam_lits}], dim_idx + 1))), 6)
+                 AS maha,
+               ROUND(sqrt(SUM(value * value
+                              / list_extract([{lam_lits}], dim_idx + 1))), 6)
+                 > {MAHA_THRESHOLD} AS is_outlier
+        FROM p GROUP BY vec_id
+    """
 
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5880,6 +5937,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "embedding_jl_project": q_embedding_jl_project,
         "embedding_pca": q_embedding_pca,
+        "embedding_mahalanobis": q_embedding_mahalanobis,
         "lineage_reconcile": q_lineage_reconcile,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
@@ -8869,6 +8927,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "embedding_jl_project": _jl_project_sql(),
         "embedding_pca": _pca_project_sql(),
+        "embedding_mahalanobis": _maha_sql(),
         "hybrid_rrf": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -195,6 +195,7 @@ EXTENDED_R5D = [
     "datacard_diff",
     "embedding_quality",
     "embedding_pca",
+    "embedding_mahalanobis",
 ]
 
 EXTENDED_GROUPS = [
