@@ -1918,6 +1918,26 @@ def q_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (ops/funnel.
+    touch_attribution): every purchase credits the first and the last
+    preceding non-purchase event type of its user (strict (ts,
+    event_id) order, '(none)' when no prior touch), rolled up per
+    channel with exact-decimal value sums.  ONE per-user window pass —
+    no self-join.  Oracle: the OPPOSITE formulation (conversion×touch
+    join + ROW_NUMBER argmin/argmax), so the window semantics are
+    pinned independently."""
+    from pic2vec_spark.ops.funnel import attribution_summary, touch_attribution
+
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    att = touch_attribution(
+        ev, "user_id", "ts", "event_type", "value", "purchase"
+    ).localCheckpoint(eager=False)
+    return attribution_summary(att, "value", "first").unionByName(
+        attribution_summary(att, "value", "last")
+    )
+
+
 def q_value_imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group mean imputation (ops/encode.impute): every 11th
     event's value is NULLed (the synthetic column has no organic
@@ -5919,6 +5939,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "mixture_sampled_corpus": q_mixture_sampled_corpus,
         "datacard_diff": q_datacard_diff,
+        "touch_attribution": q_touch_attribution,
         "value_imputed": q_value_imputed,
         "rfm_features": q_rfm_features,
         "boilerplate_strip": q_boilerplate_strip,
@@ -7803,6 +7824,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, n_tok FROM r WHERE run <= budget
     """
     d["corpus_datacard"] = _datacard_sql("TRUE")
+    d["touch_attribution"] = """
+        WITH c AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL
+        ),
+        t AS (
+          SELECT user_id, ts, event_id, event_type FROM events
+          WHERE event_type <> 'purchase' AND ts IS NOT NULL
+        ),
+        j AS (
+          SELECT c.event_id AS cid, t.event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY t.ts ASC, t.event_id ASC) AS rf,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY t.ts DESC, t.event_id DESC) AS rl
+          FROM c JOIN t ON t.user_id = c.user_id
+           AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+        ),
+        att AS (
+          SELECT c.event_id, c.value,
+                 COALESCE(f.event_type, '(none)') AS first_touch,
+                 COALESCE(l.event_type, '(none)') AS last_touch
+          FROM c
+          LEFT JOIN (SELECT cid, event_type FROM j WHERE rf = 1) f
+            ON f.cid = c.event_id
+          LEFT JOIN (SELECT cid, event_type FROM j WHERE rl = 1) l
+            ON l.cid = c.event_id
+        )
+        SELECT first_touch AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                 AS attributed_value,
+               'first' AS model
+        FROM att GROUP BY first_touch
+        UNION ALL
+        SELECT last_touch, CAST(COUNT(*) AS BIGINT),
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6),
+               'last'
+        FROM att GROUP BY last_touch
+    """
     d["datacard_diff"] = f"""
         WITH a AS ({_datacard_sql("doc_id % 2 = 0")}),
         b AS ({_datacard_sql("doc_id % 2 = 1")})

@@ -196,6 +196,7 @@ EXTENDED_R5D = [
     "embedding_quality",
     "embedding_pca",
     "embedding_mahalanobis",
+    "touch_attribution",
 ]
 
 EXTENDED_GROUPS = [

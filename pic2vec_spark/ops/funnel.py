@@ -103,3 +103,76 @@ def event_transitions(
     )
     w_prev = F.sum("n").over(Window.partitionBy("prev_type"))
     return pairs.withColumn("p", F.round(F.col("n") / w_prev, 6))
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First- AND last-touch attribution over entity timelines: for
+    every conversion event, which earlier event type (the "channel")
+    gets the credit — the standard product-analytics allocation of
+    conversion value to preceding touches.  "Earlier" is the strict
+    deterministic order ``(ts, tiebreak_col)``; touches are all
+    non-conversion events of the same user; a conversion with no prior
+    touch credits the ``(none)`` channel.
+
+    Output: one row per conversion — ``(user, ts, value,
+    first_touch, last_touch)`` — aggregate with
+    :func:`attribution_summary`.
+
+    Plan shape: ONE per-user window pass (``first``/``last`` with
+    ignorenulls over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) — no
+    self-join, no per-conversion probe; the single shuffle is the
+    entity key, the same partitioning every other timeline op here
+    reuses.  (The oracle deliberately uses the OPPOSITE formulation —
+    a conversion×touch join with ROW_NUMBER argmin/argmax — so the
+    window semantics are pinned independently.)"""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != conversion_type, F.col(type_col)
+    )
+    out = (
+        df.withColumn("__first", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("__last", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    return out.select(
+        user_col,
+        ts_col,
+        tiebreak_col,
+        value_col,
+        F.coalesce("__first", F.lit("(none)")).alias("first_touch"),
+        F.coalesce("__last", F.lit("(none)")).alias("last_touch"),
+    )
+
+
+def attribution_summary(
+    attributed: DataFrame, value_col: str, model: str = "first"
+) -> DataFrame:
+    """Per-channel rollup of :func:`touch_attribution` output:
+    conversion count + exact-decimal attributed value (round-6), for
+    ``model`` in {'first', 'last'} — a tiny |channels|-row frame."""
+    if model not in ("first", "last"):
+        raise ValueError(f"model must be 'first' or 'last', got {model}")
+    ch = f"{model}_touch"
+    return (
+        attributed.groupBy(F.col(ch).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("attributed_value"),
+        )
+        .withColumn("model", F.lit(model))
+    )

@@ -250,3 +250,47 @@ class TestCompositionQueries:
         hist = em.queries()["neardup_degree_hist"](spark, "/root/testdata/sf0.001").toPandas()
         # sum(degree * n_docs) == 2 * |pairs|  (every pair has 2 endpoints)
         assert int((hist["degree"] * hist["n_docs"]).sum()) == 2 * pairs.count()
+
+
+def test_touch_attribution_first_last_and_none(spark):
+    """A hand journey: view(1) click(2) purchase(3) error(4)
+    purchase(5); plus a user whose purchase has no prior touch."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.funnel import attribution_summary, touch_attribution
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:01:00", 1, "click", 0.0),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 10.0),
+        (4, "2024-01-01 10:03:00", 1, "error", 0.0),
+        (5, "2024-01-01 10:04:00", 1, "purchase", 5.0),
+        (6, "2024-01-01 09:00:00", 2, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    att = {
+        r["event_id"]: (r["first_touch"], r["last_touch"])
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "value", "purchase"
+        ).collect()
+    }
+    assert att[3] == ("view", "click")
+    assert att[5] == ("view", "error")   # conversions never self-credit
+    assert att[6] == ("(none)", "(none)")
+    summ = {
+        (r["model"], r["channel"]): (r["n_conversions"], r["attributed_value"])
+        for m in ("first", "last")
+        for r in attribution_summary(
+            touch_attribution(
+                df, "user_id", "ts", "event_type", "value", "purchase"
+            ),
+            "value",
+            m,
+        ).collect()
+    }
+    assert summ[("first", "view")] == (2, 15.0)
+    assert summ[("last", "click")] == (1, 10.0)
+    assert summ[("last", "error")] == (1, 5.0)
+    assert summ[("first", "(none)")] == (1, 7.0)
