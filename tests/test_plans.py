@@ -40,6 +40,8 @@ EAGER = {
     "snapshot_compaction",
     "features_delete",
     "snapshot_cdc_diff",
+    # round-5d: composes q_neardup_clusters (eager CC label propagation)
+    "dedup_shard_assign",
 }
 
 
@@ -126,3 +128,53 @@ def test_pit_feature_matrix_one_exchange_one_sort(spark):
     plan = _plan(spark, "pit_feature_matrix")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort [") == 1
+
+
+def _final_plan(df) -> str:
+    """Execute and return only the AQE FINAL plan section (toString
+    appends the initial plan after the `== Initial Plan ==` marker,
+    which double-counts every node)."""
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_corpus_datacard_shares_one_scan(spark):
+    """The five report sections must read the checkpointed base frame,
+    not re-scan the parquet per section (PLANS.md claim)."""
+    plan = _final_plan(em.queries()["corpus_datacard"](spark, SF_SMOKE))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_domain_mixture_plan_single_scan_reused_exchange(spark):
+    """One parquet scan; the per-source aggregate exchange is built
+    once and the totals side must consume it via ReusedExchange."""
+    plan = _final_plan(em.queries()["domain_mixture_plan"](spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1
+    assert "ReusedExchange" in plan
+
+
+def test_video_scenes_single_decode_pass(spark):
+    """Exactly one MapInPandas (the decode) in the final plan — the
+    scene window and aggregate must not re-decode."""
+    for name in ("video_scenes", "video_keyframes"):
+        plan = _final_plan(em.queries()[name](spark, SF_SMOKE))
+        assert plan.count("MapInPandas") == 1, name
+
+
+def test_embedding_quality_is_pure_jvm(spark):
+    """The hygiene screen is JVM array expressions — no Python node,
+    no exchange (narrow projection)."""
+    plan = _final_plan(em.queries()["embedding_quality"](spark, SF_SMOKE))
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def test_touch_attribution_single_window_no_join(spark):
+    """Both touch columns come from ONE window pass over one entity
+    shuffle — the plan must contain no join node."""
+    plan = _final_plan(em.queries()["touch_attribution"](spark, SF_SMOKE))
+    assert "Join" not in plan.replace("BroadcastHashJoin", "Join") or         "BroadcastHashJoin" not in plan  # no join of any kind expected
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
