@@ -175,6 +175,6 @@ def test_touch_attribution_single_window_no_join(spark):
     """Both touch columns come from ONE window pass over one entity
     shuffle — the plan must contain no join node."""
     plan = _final_plan(em.queries()["touch_attribution"](spark, SF_SMOKE))
-    assert "Join" not in plan.replace("BroadcastHashJoin", "Join") or         "BroadcastHashJoin" not in plan  # no join of any kind expected
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
