@@ -3351,6 +3351,158 @@ def _audio_activity_sql() -> str:
     """
 
 
+def q_media_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal MEDIA data card — the release summary for the
+    binary modalities, beside the text corpus_datacard: per modality
+    one section of (metric, value) rows — counts, decode-failure
+    fraction (the quarantine rate an ingest gate reports), format
+    shares and mean declared resolution for images, mean clip seconds
+    for audio, mean frame count for videos.  One decode pass per
+    modality (pHash ok / WAV header / MJV1 frame walk), tiny
+    aggregates, long-form union.  Oracle: per-asset verdicts
+    recomputed driver-side with the same kernels, aggregated
+    independently in SQL."""
+    from pic2vec_spark.ops.multimodal import compute_phash, video_frame_phashes
+
+    from pic2vec_spark.synth import synth_images_df
+
+    imgs = synth_images_df(spark, N_FLAGSHIP_IMAGES, seed=42)
+    img_ok = compute_phash(imgs)
+    n_img = float(N_FLAGSHIP_IMAGES)
+    img_rows = img_ok.agg(
+        F.round(
+            F.sum((~F.col("phash64_ok")).cast("int")) / F.lit(n_img), 6
+        ).alias("fail"),
+        F.round(F.avg("w"), 6).alias("mw"),
+        F.round(F.avg("h"), 6).alias("mh"),
+    ).select(
+        F.expr(
+            f"stack(4, 'n_assets', CAST({n_img} AS DOUBLE),"
+            " 'decode_fail_frac', fail, 'mean_w', mw, 'mean_h', mh)"
+            " AS (metric, value)"
+        )
+    ).select(F.lit("image").alias("section"), "metric", "value")
+    fmt_rows = (
+        imgs.groupBy("fmt")
+        .agg(F.round(F.count(F.lit(1)) / F.lit(n_img), 6).alias("value"))
+        .select(
+            F.lit("image_fmt").alias("section"),
+            F.coalesce(F.col("fmt"), F.lit("(none)")).alias("metric"),
+            "value",
+        )
+    )
+
+    from pic2vec_spark.ops.multimodal import audio_features
+
+    clips = spark.createDataFrame(_audio_clip_rows(), "clip_id int, bytes binary")
+    au = audio_features(clips)
+    n_clip = float(len(_audio_clip_rows()))
+    au_rows = au.agg(
+        F.round(
+            F.sum((~F.col("audio_ok")).cast("int")) / F.lit(n_clip), 6
+        ).alias("fail"),
+        F.round(F.avg(F.when(F.col("audio_ok"), F.col("duration_s"))), 6).alias(
+            "md"
+        ),
+    ).select(
+        F.expr(
+            f"stack(3, 'n_assets', CAST({n_clip} AS DOUBLE),"
+            " 'decode_fail_frac', fail, 'mean_duration_s', md)"
+            " AS (metric, value)"
+        )
+    ).select(F.lit("audio").alias("section"), "metric", "value")
+
+    vids = spark.createDataFrame(_video_rows(), "video_id string, bytes binary")
+    vf = video_frame_phashes(vids)
+    n_vid = float(len(_video_rows()))
+    vid_rows = vf.agg(
+        F.round(
+            F.sum((~F.col("video_ok")).cast("int")) / F.lit(n_vid), 6
+        ).alias("fail"),
+        F.round(
+            F.avg(F.when(F.col("video_ok"), F.col("n_frames"))), 6
+        ).alias("mf"),
+    ).select(
+        F.expr(
+            f"stack(3, 'n_assets', CAST({n_vid} AS DOUBLE),"
+            " 'decode_fail_frac', fail, 'mean_frames', mf)"
+            " AS (metric, value)"
+        )
+    ).select(F.lit("video").alias("section"), "metric", "value")
+
+    return img_rows.unionByName(fmt_rows).unionByName(au_rows).unionByName(
+        vid_rows
+    )
+
+
+@functools.cache
+def _media_datacard_sql() -> str:
+    """Independent oracle for media_datacard: per-asset decode
+    verdicts, durations, and frame counts recomputed driver-side with
+    the same kernels, embedded as literal tables and aggregated in
+    SQL."""
+    from pic2vec_spark.codecs import decode_image, decode_video, decode_wav
+
+    img_vals = []
+    for r in _flagship_synth_rows():
+        try:
+            decode_image(r["bytes"], r["fmt"])
+            ok = "TRUE"
+        except Exception:
+            ok = "FALSE"
+        fmt = "'(none)'" if r["fmt"] is None else f"'{r['fmt']}'"
+        img_vals.append(f"({ok}, {fmt}, {r['w']}, {r['h']})")
+    au_vals = []
+    for cid, data in _audio_clip_rows():
+        try:
+            x, rate = decode_wav(data)
+            au_vals.append(f"(TRUE, {round(len(x) / rate, 6)!r})")
+        except Exception:
+            au_vals.append("(FALSE, CAST(NULL AS DOUBLE))")
+    vid_vals = []
+    for vid, data in _video_rows():
+        try:
+            vid_vals.append(f"(TRUE, {len(decode_video(data))})")
+        except Exception:
+            vid_vals.append("(FALSE, CAST(NULL AS INT))")
+    return f"""
+        WITH img AS (SELECT * FROM (VALUES {", ".join(img_vals)})
+                     AS t(ok, fmt, w, h)),
+        au AS (SELECT * FROM (VALUES {", ".join(au_vals)})
+               AS t(ok, duration_s)),
+        vid AS (SELECT * FROM (VALUES {", ".join(vid_vals)})
+                AS t(ok, n_frames))
+        SELECT 'image' AS section, 'n_assets' AS metric,
+               CAST(COUNT(*) AS DOUBLE) AS value FROM img
+        UNION ALL SELECT 'image', 'decode_fail_frac',
+               ROUND(SUM(CASE WHEN ok THEN 0 ELSE 1 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) FROM img
+        UNION ALL SELECT 'image', 'mean_w',
+               ROUND(AVG(CAST(w AS DOUBLE)), 6) FROM img
+        UNION ALL SELECT 'image', 'mean_h',
+               ROUND(AVG(CAST(h AS DOUBLE)), 6) FROM img
+        UNION ALL SELECT 'image_fmt', fmt,
+               ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM img),
+                     6)
+        FROM img GROUP BY fmt
+        UNION ALL SELECT 'audio', 'n_assets',
+               CAST(COUNT(*) AS DOUBLE) FROM au
+        UNION ALL SELECT 'audio', 'decode_fail_frac',
+               ROUND(SUM(CASE WHEN ok THEN 0 ELSE 1 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) FROM au
+        UNION ALL SELECT 'audio', 'mean_duration_s',
+               ROUND(AVG(CASE WHEN ok THEN duration_s END), 6) FROM au
+        UNION ALL SELECT 'video', 'n_assets',
+               CAST(COUNT(*) AS DOUBLE) FROM vid
+        UNION ALL SELECT 'video', 'decode_fail_frac',
+               ROUND(SUM(CASE WHEN ok THEN 0 ELSE 1 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) FROM vid
+        UNION ALL SELECT 'video', 'mean_frames',
+               ROUND(AVG(CASE WHEN ok THEN CAST(n_frames AS DOUBLE) END), 6)
+        FROM vid
+    """
+
+
 def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit robust audio fingerprint (Haitsma-Kalker sign-of-band-
     energy-difference) per WAV clip — one decode, narrow map.  Full
@@ -6018,6 +6170,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_probe_index": q_crop_probe_index,
         "audio_fingerprints": q_audio_fingerprints,
         "audio_activity": q_audio_activity,
+        "media_datacard": q_media_datacard,
         "audio_fp_neardup": q_audio_fp_neardup,
         "video_frame_hashes": q_video_frame_hashes,
         "video_reposts": q_video_reposts,
@@ -8744,6 +8897,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "crop_probe_index": _crop_probe_index_sql(),
         "audio_fingerprints": _audio_fp_sql(),
         "audio_activity": _audio_activity_sql(),
+        "media_datacard": _media_datacard_sql(),
         "audio_fp_neardup": _audio_fp_neardup_sql(),
         "video_frame_hashes": _video_frame_hashes_sql(),
         "video_reposts": _video_reposts_sql(),

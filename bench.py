@@ -197,6 +197,7 @@ EXTENDED_R5D = [
     "embedding_pca",
     "embedding_mahalanobis",
     "touch_attribution",
+    "media_datacard",
 ]
 
 EXTENDED_GROUPS = [
