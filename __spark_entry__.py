@@ -1888,6 +1888,26 @@ def _datacard_sql(where: str) -> str:
     """.replace("{where}", where)
 
 
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable epoch schedule (ops/sampling.epoch_schedule): the
+    500k-token mixture plan decomposed per source into full passes +
+    one exact-integer-remainder partial epoch whose tokens are the
+    md5-rank prefix — BIGINT arithmetic end to end, schedule ≡
+    sampler by construction.  Oracle: generate_series over the plan
+    CTE + the running-sum prefix re-derived independently."""
+    from pic2vec_spark.ops.sampling import epoch_schedule, mixture_plan
+    from pic2vec_spark.ops.text import tokens
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    plan = mixture_plan(
+        docs, "source", "n_tok", alpha=MIXTURE_ALPHA, budget=MIXTURE_BUDGET
+    )
+    return epoch_schedule(docs, "source", "n_tok", "doc_id", plan)
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (ops/datacard.corpus_datacard): the one-table
     release summary — size (docs/tokens/chars), per-lang and
@@ -6090,6 +6110,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_plan": q_domain_mixture_plan,
         "corpus_datacard": q_corpus_datacard,
         "mixture_sampled_corpus": q_mixture_sampled_corpus,
+        "epoch_schedule": q_epoch_schedule,
         "datacard_diff": q_datacard_diff,
         "touch_attribution": q_touch_attribution,
         "value_imputed": q_value_imputed,
@@ -7977,6 +7998,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, n_tok FROM r WHERE run <= budget
     """
     d["corpus_datacard"] = _datacard_sql("TRUE")
+    d["epoch_schedule"] = rf"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        t AS (
+          SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM d GROUP BY 1
+        ),
+        s AS (
+          SELECT SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) AS z
+          FROM t
+        ),
+        plan AS (
+          SELECT source, n_tokens,
+                 CAST(FLOOR(ROUND({float(MIXTURE_BUDGET)}
+                                  * POW(CAST(n_tokens AS DOUBLE),
+                                        {MIXTURE_ALPHA})
+                                  / (SELECT z FROM s), 6)) AS BIGINT)
+                   AS target
+          FROM t
+        ),
+        f AS (
+          SELECT source, n_tokens,
+                 CAST(FLOOR(target / n_tokens) AS BIGINT) AS fullp,
+                 target - CAST(FLOOR(target / n_tokens) AS BIGINT)
+                          * n_tokens AS rem
+          FROM plan
+        ),
+        r AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('budget' || doc_id::VARCHAR), doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS run
+          FROM d
+        ),
+        pm AS (
+          SELECT r.source, CAST(SUM(r.n_tok) AS BIGINT) AS etok
+          FROM r JOIN f ON r.source = f.source
+          WHERE f.rem > 0 AND r.run <= f.rem
+          GROUP BY r.source
+        )
+        SELECT source,
+               CAST(unnest(generate_series(0, fullp - 1)) AS BIGINT)
+                 AS epoch_idx,
+               n_tokens AS epoch_tokens, FALSE AS is_partial
+        FROM f WHERE fullp > 0
+        UNION ALL
+        SELECT pm.source, f.fullp AS epoch_idx, pm.etok, TRUE
+        FROM pm JOIN f ON pm.source = f.source
+    """
     d["touch_attribution"] = """
         WITH c AS (
           SELECT user_id, ts, event_id, value FROM events

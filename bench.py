@@ -198,6 +198,7 @@ EXTENDED_R5D = [
     "embedding_mahalanobis",
     "touch_attribution",
     "media_datacard",
+    "epoch_schedule",
 ]
 
 EXTENDED_GROUPS = [

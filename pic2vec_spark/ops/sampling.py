@@ -443,3 +443,74 @@ def token_budget_sample(
         .filter(F.col("__run") <= F.col("__budget"))
         .drop("__run", "__budget")
     )
+
+
+def epoch_schedule(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    key_col: str,
+    plan: DataFrame,
+    salt: str = "budget",
+) -> DataFrame:
+    """Turn a :func:`mixture_plan` into the executable EPOCH SCHEDULE:
+    each domain's token target decomposes into ``floor(target /
+    n_tokens)`` full passes over the domain plus one partial epoch
+    holding the md5-rank prefix that fills the exact integer remainder
+    (``target − full·n_tokens`` — BIGINT arithmetic end to end, no
+    float epochs).  Output one row per (domain, epoch):
+    ``(domain, epoch_idx, epoch_tokens, is_partial)`` — the loop
+    spec a training job consumes; the partial epoch's member rows are
+    exactly :func:`token_budget_sample` at the remainder budget, so
+    schedule and sampler can never disagree.
+
+    Plan shape: the tiny plan frame explodes into epoch rows
+    (broadcast-sized); only the partial remainder touches the corpus —
+    one broadcast join + one per-domain rank window, the
+    token_budget_sample envelope.  Empty partial epochs (remainder
+    too small for even the first document) are dropped."""
+    p = plan.select(
+        domain_col,
+        F.col("n_tokens").cast("bigint").alias("__n"),
+        F.col("target_tokens").cast("bigint").alias("__t"),
+    )
+    full = (
+        p.withColumn("__full", F.floor(F.col("__t") / F.col("__n")))
+        .filter(F.col("__full") > 0)
+        .select(
+            domain_col,
+            F.explode(F.sequence(F.lit(0), F.col("__full") - 1)).alias(
+                "epoch_idx"
+            ),
+            F.col("__n").alias("epoch_tokens"),
+            F.lit(False).alias("is_partial"),
+        )
+    )
+    rem = p.select(
+        domain_col,
+        F.floor(F.col("__t") / F.col("__n")).alias("__full"),
+        (F.col("__t") - F.floor(F.col("__t") / F.col("__n")) * F.col("__n"))
+        .cast("bigint")
+        .alias("__rem"),
+    )
+    partial_members = token_budget_sample(
+        df,
+        domain_col,
+        token_col,
+        key_col,
+        rem.filter(F.col("__rem") > 0),
+        budget_col="__rem",
+        salt=salt,
+    )
+    partial = (
+        partial_members.groupBy(domain_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("epoch_tokens"))
+        .join(F.broadcast(rem.select(domain_col, "__full")), domain_col)
+        .select(
+            domain_col,
+            F.col("__full").alias("epoch_idx"),
+            "epoch_tokens",
+            F.lit(True).alias("is_partial"),
+        )
+    )
+    return full.unionByName(partial)

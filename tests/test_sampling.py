@@ -192,3 +192,36 @@ def test_token_budget_sample_greedy_prefix(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_epoch_schedule_exact_decomposition(spark):
+    """Integer decomposition: full epochs × n_tokens + partial prefix
+    sum, schedule agrees with token_budget_sample at the remainder."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.sampling import epoch_schedule, token_budget_sample
+
+    rows = [(i, "a", 10) for i in range(4)]  # n_tokens = 40
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+    plan = spark.createDataFrame(
+        [("a", 40, 95)], "source string, n_tokens bigint, target_tokens bigint"
+    )
+    out = sorted(
+        (r["epoch_idx"], r["epoch_tokens"], r["is_partial"])
+        for r in epoch_schedule(df, "source", "n_tok", "doc_id", plan).collect()
+    )
+    # 95 = 2 full passes of 40 + remainder 15 -> 1 doc (10 tokens)
+    assert out == [(0, 40, False), (1, 40, False), (2, 10, True)]
+    # partial tokens == token_budget_sample at the remainder budget
+    rem = plan.select("source", F.lit(15).cast("bigint").alias("target_tokens"))
+    got = token_budget_sample(df, "source", "n_tok", "doc_id", rem).agg(
+        F.sum("n_tok")
+    ).collect()[0][0]
+    assert got == 10
+    # an exact multiple has no partial row
+    plan2 = spark.createDataFrame(
+        [("a", 40, 80)], "source string, n_tokens bigint, target_tokens bigint"
+    )
+    out2 = epoch_schedule(df, "source", "n_tok", "doc_id", plan2).collect()
+    assert sorted(r["epoch_idx"] for r in out2) == [0, 1]
+    assert not any(r["is_partial"] for r in out2)
