@@ -1888,6 +1888,18 @@ def _datacard_sql(where: str) -> str:
     """.replace("{where}", where)
 
 
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus diagnostic (ops/text.zipf_fit): least-squares
+    slope/intercept of log(freq) vs log(rank) over the whole
+    vocabulary — the one-row corpus-health stat (natural text ≈ −1;
+    templated/duplicated corpora bend away).  One word groupBy + a
+    vocab-sized rank window + one regr_* aggregate.  Oracle: DuckDB
+    regr_slope/regr_intercept over the identical ranked frame."""
+    from pic2vec_spark.ops.text import zipf_fit
+
+    return zipf_fit(_documents(spark, sf_dir))
+
+
 def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule (ops/sampling.epoch_schedule): the
     500k-token mixture plan decomposed per source into full passes +
@@ -6111,6 +6123,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "mixture_sampled_corpus": q_mixture_sampled_corpus,
         "epoch_schedule": q_epoch_schedule,
+        "doc_zipf": q_doc_zipf,
         "datacard_diff": q_datacard_diff,
         "touch_attribution": q_touch_attribution,
         "value_imputed": q_value_imputed,
@@ -7998,6 +8011,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, n_tok FROM r WHERE run <= budget
     """
     d["corpus_datacard"] = _datacard_sql("TRUE")
+    d["doc_zipf"] = r"""
+        WITH w AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ),
+        fr AS (
+          SELECT w, COUNT(*) AS n FROM w WHERE w <> '' GROUP BY w
+        ),
+        rk AS (
+          SELECT ln(CAST(n AS DOUBLE)) AS ln_f,
+                 ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC)
+                         AS DOUBLE)) AS ln_r
+          FROM fr
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(regr_slope(ln_f, ln_r), 6) AS zipf_slope,
+               ROUND(regr_intercept(ln_f, ln_r), 6) AS zipf_intercept
+        FROM rk
+    """
     d["epoch_schedule"] = rf"""
         WITH d AS (
           SELECT doc_id, source,

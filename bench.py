@@ -199,6 +199,7 @@ EXTENDED_R5D = [
     "touch_attribution",
     "media_datacard",
     "epoch_schedule",
+    "doc_zipf",
 ]
 
 EXTENDED_GROUPS = [

@@ -1189,3 +1189,34 @@ def perplexity_buckets(
         )
         .drop("__th")
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf-law diagnostic over the corpus vocabulary: least-squares
+    slope/intercept of log(freq) against log(rank) — natural corpora
+    sit near slope −1; a synthetic, templated, or heavily duplicated
+    corpus bends away from it, which makes the single slope number a
+    cheap corpus-health row for the data card.  Ranks are
+    deterministic (count desc, then token asc).
+
+    Plan shape: one explode + word groupBy (map-side combined), one
+    rank window over the vocabulary (vocab-sized, not corpus-sized),
+    one regr_* aggregate to a single row.  At 10^12 tokens the only
+    corpus-scaled stage is the word count every tokenizer/TF-IDF op
+    here already pays."""
+    words = df.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    freqs = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    )
+    ranked = freqs.withColumn("r", rk).select(
+        F.log(F.col("n").cast("double")).alias("ln_f"),
+        F.log(F.col("r").cast("double")).alias("ln_r"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope("ln_f", "ln_r"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("ln_f", "ln_r"), 6).alias("zipf_intercept"),
+    )

@@ -117,3 +117,22 @@ def test_perplexity_buckets_label_guard(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id bigint, ppl double")
     with pytest.raises(ValueError, match="labels"):
         perplexity_buckets(df, labels=("a", "b"))
+
+
+def test_zipf_fit_exact_line(spark):
+    """A vocabulary planted exactly on freq = C/rank fits slope -1,
+    intercept ln(C)."""
+    import math
+
+    from pic2vec_spark.ops.text import zipf_fit
+
+    # freq = 24/rank at ranks 1..4 (24, 12, 8, 6): the log-log points
+    # are exactly linear with slope -1 and intercept ln(24)
+    words = []
+    for rank, freq in ((1, 24), (2, 12), (3, 8), (4, 6)):
+        words += [f"w{rank}"] * freq
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id bigint, text string")
+    row = zipf_fit(df).collect()[0]
+    assert row["n_types"] == 4
+    assert abs(row["zipf_slope"] - (-1.0)) < 1e-6
+    assert abs(row["zipf_intercept"] - math.log(24.0)) < 1e-6
