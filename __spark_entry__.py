@@ -1559,6 +1559,29 @@ def q_dedup_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard_id")
 
 
+TRIPLET_N_NEG = 4
+TRIPLET_POOL = 256
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive triplet mining
+    (ops/dedup.contrastive_triplets): simhash near-dup pairs as
+    anchor+positive, 4 md5-slot negatives each from the bounded
+    256-doc pool, with anchor-cluster members screened out (the
+    false-negative poison).  Oracle: the pair + recursive-CTE cluster
+    member oracles composed with the identical slot arithmetic."""
+    from pic2vec_spark.ops.dedup import contrastive_triplets
+
+    return contrastive_triplets(
+        q_simhash_neardup(spark, sf_dir),
+        _documents(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        clusters=q_neardup_clusters(spark, sf_dir),
+        n_neg=TRIPLET_N_NEG,
+        pool_size=TRIPLET_POOL,
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup recipe: keep ONE document per near-dup
     cluster (the min doc_id) plus every unpaired document — an
@@ -6093,6 +6116,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_consensus": q_neardup_consensus,
         "neardup_clusters": q_neardup_clusters,
         "dedup_shard_assign": q_dedup_shard_assign,
+        "contrastive_triplets": q_contrastive_triplets,
         "dedup_survivors": q_dedup_survivors,
         "cluster_safe_split": q_cluster_safe_split,
         "dedup_containment": q_dedup_containment,
@@ -7798,6 +7822,39 @@ def oracle_sql() -> dict[str, str]:
                               AS VARCHAR)), 1, 8) AS BIGINT)
                  % {DEDUP_N_SHARDS} AS shard_id
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """
+    d["contrastive_triplets"] = f"""
+        WITH cc AS ({cc}),
+        pool AS (
+          SELECT doc_id AS cand,
+                 ROW_NUMBER() OVER (
+                   ORDER BY md5('neg' || doc_id::VARCHAR), doc_id
+                 ) - 1 AS slot
+          FROM documents
+          ORDER BY md5('neg' || doc_id::VARCHAR), doc_id
+          LIMIT {TRIPLET_POOL}
+        ),
+        t AS (
+          SELECT p.id1 AS anchor, p.id2 AS positive, j.j AS neg_slot,
+                 CAST('0x' || substr(md5('neg' || p.id1::VARCHAR
+                        || chr(31) || j.j::VARCHAR), 1, 8) AS BIGINT)
+                   % {TRIPLET_POOL} AS slot
+          FROM ({d['simhash_neardup']}) p
+          CROSS JOIN (SELECT unnest(generate_series(0,
+                        {TRIPLET_N_NEG - 1})) AS j) j
+        ),
+        drawn AS (
+          SELECT t.anchor, t.positive, pool.cand AS negative, t.neg_slot
+          FROM t JOIN pool ON pool.slot = t.slot
+          WHERE pool.cand <> t.anchor AND pool.cand <> t.positive
+        )
+        SELECT d.anchor, d.positive, d.negative,
+               CAST(d.neg_slot AS INT) AS neg_slot
+        FROM drawn d
+        LEFT JOIN cc a ON a.doc_id = d.anchor
+        LEFT JOIN cc n ON n.doc_id = d.negative
+        WHERE a.cluster_id IS NULL OR n.cluster_id IS NULL
+           OR a.cluster_id <> n.cluster_id
     """
     d["dedup_survivors"] = f"""
         SELECT doc_id FROM documents

@@ -200,6 +200,7 @@ EXTENDED_R5D = [
     "media_datacard",
     "epoch_schedule",
     "doc_zipf",
+    "contrastive_triplets",
 ]
 
 EXTENDED_GROUPS = [

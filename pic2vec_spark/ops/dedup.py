@@ -683,3 +683,120 @@ def cluster_coherent_shards(
         .withColumn("shard_id", _hash_bucket(rep, salt, n_shards))
         .drop("__k", "__c")
     )
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    clusters: DataFrame | None = None,
+    cluster_col: str = "cluster_id",
+    n_neg: int = 4,
+    pool_size: int = 256,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic (anchor, positive, negative) triplet mining for
+    contrastive / metric-learning training data: every near-dup pair
+    contributes an anchor+positive, and each anchor draws ``n_neg``
+    negatives from a bounded md5-ranked corpus pool — slot ``j`` picks
+    pool index ``md5(anchor‖j) % pool_size``, RNG-free and stable
+    under retries.  A drawn negative is DROPPED (not refilled) when it
+    is the anchor or positive itself or — when ``clusters`` (the
+    near-dup CC assignment) is given — shares the anchor's cluster,
+    the false-negative poison every contrastive pipeline has to
+    screen.
+
+    Plan shape: the pool is a bounded TakeOrdered (the
+    sample_vectors contract — at 10^12 rows swap in a uniform sample)
+    broadcast into one narrow slot expansion (pairs × n_neg rows), a
+    broadcast pool join, and one broadcast cluster anti-condition —
+    no corpus-scaled shuffle beyond what produced the pairs."""
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    if pool_size < n_neg + 2:
+        raise ValueError(
+            f"pool_size must be >= n_neg + 2, got {pool_size}"
+        )
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    pool = (
+        corpus.select(F.col(key_col).alias("__cand"))
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .limit(pool_size)
+        .withColumn(
+            "__slot",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(
+                        F.concat(F.lit(salt), F.col("__cand").cast("string"))
+                    ).asc(),
+                    F.col("__cand").asc(),
+                )
+            )
+            - 1,
+        )
+    )
+    t = pairs.select(
+        F.col("id1").alias("anchor"), F.col("id2").alias("positive")
+    ).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("__j"),
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("anchor").cast("string"),
+                        F.lit("\x1f"),
+                        F.col("__j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % pool_size
+    )
+    drawn = t.withColumn("__slot", pick).join(
+        F.broadcast(pool), "__slot"
+    )
+    out = drawn.filter(
+        (F.col("__cand").cast("string") != F.col("anchor").cast("string"))
+        & (F.col("__cand").cast("string") != F.col("positive").cast("string"))
+    )
+    if clusters is not None:
+        a = clusters.select(
+            F.col(key_col).cast("string").alias("__ak"),
+            F.col(cluster_col).alias("__ac"),
+        )
+        c = clusters.select(
+            F.col(key_col).cast("string").alias("__ck"),
+            F.col(cluster_col).alias("__cc"),
+        )
+        out = (
+            out.join(
+                F.broadcast(a),
+                F.col("anchor").cast("string") == F.col("__ak"),
+                "left",
+            )
+            .join(
+                F.broadcast(c),
+                F.col("__cand").cast("string") == F.col("__ck"),
+                "left",
+            )
+            .filter(
+                F.col("__ac").isNull()
+                | F.col("__cc").isNull()
+                | (F.col("__ac") != F.col("__cc"))
+            )
+            .drop("__ak", "__ac", "__ck", "__cc")
+        )
+    return out.select(
+        "anchor",
+        "positive",
+        F.col("__cand").alias("negative"),
+        F.col("__j").alias("neg_slot"),
+    )

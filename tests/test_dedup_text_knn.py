@@ -1428,3 +1428,46 @@ def test_pca_fit_recovers_principal_axis(spark):
         [(0, [1.0, 2.0]), (1, None)], "vec_id bigint, embedding array<double>"
     )
     assert pca_project(bad, mu, comps).count() == 0
+
+
+def test_contrastive_triplets_screen_and_determinism(spark):
+    """Negatives never equal anchor/positive and never share the
+    anchor's cluster; draws are deterministic and partition-invariant;
+    guards fire."""
+    from pyspark.sql import functions as F
+
+    from pic2vec_spark.ops.dedup import contrastive_triplets
+
+    corpus = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(0, 1, 2), (10, 11, 1)], "id1 bigint, id2 bigint, hamming int"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (10, 10), (11, 10)], "doc_id bigint, cluster_id bigint"
+    )
+    out = contrastive_triplets(
+        pairs, corpus, "doc_id", clusters=clusters, n_neg=3, pool_size=16
+    ).collect()
+    assert 0 < len(out) <= 6
+    for r in out:
+        assert r["negative"] != r["anchor"] and r["negative"] != r["positive"]
+    # cluster screen: anchor 0's cluster {0,1} never appears as negative
+    for r in out:
+        if r["anchor"] == 0:
+            assert r["negative"] not in (0, 1)
+        if r["anchor"] == 10:
+            assert r["negative"] not in (10, 11)
+    again = contrastive_triplets(
+        pairs.repartition(5), corpus.repartition(7), "doc_id",
+        clusters=clusters, n_neg=3, pool_size=16,
+    ).collect()
+    key = lambda r: (r["anchor"], r["neg_slot"])
+    assert sorted((key(r), r["negative"]) for r in out) == sorted(
+        (key(r), r["negative"]) for r in again
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        contrastive_triplets(pairs, corpus, "doc_id", n_neg=0)
+    with _pt.raises(ValueError):
+        contrastive_triplets(pairs, corpus, "doc_id", n_neg=4, pool_size=4)
