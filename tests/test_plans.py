@@ -40,8 +40,9 @@ EAGER = {
     "snapshot_compaction",
     "features_delete",
     "snapshot_cdc_diff",
-    # round-5d: composes q_neardup_clusters (eager CC label propagation)
+    # round-5d: compose q_neardup_clusters (eager CC label propagation)
     "dedup_shard_assign",
+    "contrastive_triplets",
 }
 
 
