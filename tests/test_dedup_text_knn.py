@@ -1471,3 +1471,31 @@ def test_contrastive_triplets_screen_and_determinism(spark):
         contrastive_triplets(pairs, corpus, "doc_id", n_neg=0)
     with _pt.raises(ValueError):
         contrastive_triplets(pairs, corpus, "doc_id", n_neg=4, pool_size=4)
+
+
+def test_video_scenes_degenerate_inputs(spark):
+    """Single-frame videos are one 1-frame scene; videos dropped by the
+    decoder contribute nothing; keyframe of a 1-frame scene is that
+    frame."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_video
+    from pic2vec_spark.ops.multimodal import (
+        scene_keyframes,
+        video_frame_phashes,
+        video_scenes,
+    )
+
+    rng = np.random.default_rng(5)
+    one = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)]
+    rows = [
+        ("single", bytearray(encode_video(one, "bmp"))),
+        ("junk", bytearray(b"xx")),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    hashes = video_frame_phashes(df).filter("video_ok")
+    sc = video_scenes(hashes).collect()
+    assert len(sc) == 1 and sc[0]["video_id"] == "single"
+    assert (sc[0]["scene_id"], sc[0]["n_frames"]) == (0, 1)
+    kf = scene_keyframes(hashes).collect()
+    assert len(kf) == 1 and kf[0]["keyframe_idx"] == 0

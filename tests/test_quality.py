@@ -236,3 +236,26 @@ def test_embedding_quality_verdicts(spark):
     # no UDF: the plan is pure JVM expressions
     plan = embedding_quality(df, expected_dim=2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_corpus_datacard_no_dups_and_single_doc(spark):
+    """dup fraction is exactly 0 on an all-distinct corpus; a one-doc
+    corpus produces a complete card with share 1.0 everywhere."""
+    from pic2vec_spark.ops.datacard import corpus_datacard
+
+    rows = [(i, f"unique text {i}", "en", "web") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    out = {
+        (r["section"], r["metric"]): r["value"]
+        for r in corpus_datacard(df).collect()
+    }
+    assert out[("dup", "exact_dup_frac")] == 0.0
+    one = {
+        (r["section"], r["metric"]): r["value"]
+        for r in corpus_datacard(df.limit(1)).collect()
+    }
+    assert one[("size", "n_docs")] == 1.0
+    assert one[("lang", "en")] == 1.0 and one[("source", "web")] == 1.0
+    assert one[("length", "min_tokens")] == one[("length", "max_tokens")]

@@ -225,3 +225,22 @@ def test_epoch_schedule_exact_decomposition(spark):
     out2 = epoch_schedule(df, "source", "n_tok", "doc_id", plan2).collect()
     assert sorted(r["epoch_idx"] for r in out2) == [0, 1]
     assert not any(r["is_partial"] for r in out2)
+
+
+def test_mixture_plan_partition_invariance_and_single_domain(spark):
+    """The plan is identical under any partitioning, and a one-domain
+    corpus gets weight 1.0 / the full budget."""
+    from pic2vec_spark.ops.sampling import mixture_plan
+
+    rows = [(i, "a" if i % 3 else "b", 5 + i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok int")
+    a = sorted(map(tuple, mixture_plan(df, "source", "n_tok", alpha=0.4,
+                                       budget=1000).collect()))
+    b = sorted(map(tuple, mixture_plan(df.repartition(13), "source", "n_tok",
+                                       alpha=0.4, budget=1000).collect()))
+    assert a == b
+    one = mixture_plan(
+        df.filter("source = 'b'"), "source", "n_tok", alpha=0.4, budget=1000
+    ).collect()[0]
+    assert one["weight"] == 1.0 and one["target_tokens"] == 1000
+    assert one["raw_share"] == 1.0
