@@ -1499,3 +1499,20 @@ def test_video_scenes_degenerate_inputs(spark):
     assert (sc[0]["scene_id"], sc[0]["n_frames"]) == (0, 1)
     kf = scene_keyframes(hashes).collect()
     assert len(kf) == 1 and kf[0]["keyframe_idx"] == 0
+
+
+def test_audio_activity_all_silence_and_tiny_budget_schedule(spark):
+    """An all-zero clip is ONE silence span (rms.max()=0 -> nothing
+    clears the relative floor)."""
+    import numpy as np
+
+    from pic2vec_spark.codecs import encode_wav
+    from pic2vec_spark.ops.multimodal import audio_activity_spans
+
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(np.zeros(1600), 8000)))],
+        "clip_id int, bytes binary",
+    )
+    out = audio_activity_spans(df).collect()
+    assert len(out) == 1
+    assert not out[0]["is_active"] and out[0]["n_frames"] == 10

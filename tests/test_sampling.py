@@ -244,3 +244,21 @@ def test_mixture_plan_partition_invariance_and_single_domain(spark):
     ).collect()[0]
     assert one["weight"] == 1.0 and one["target_tokens"] == 1000
     assert one["raw_share"] == 1.0
+
+
+def test_epoch_schedule_remainder_smaller_than_any_doc(spark):
+    """A remainder too small for even the first ranked doc yields no
+    partial row — the schedule never overshoots its integer target."""
+    from pic2vec_spark.ops.sampling import epoch_schedule
+
+    df = spark.createDataFrame(
+        [(0, "a", 10), (1, "a", 10)], "doc_id bigint, source string, n_tok int"
+    )
+    plan = spark.createDataFrame(
+        [("a", 20, 45)], "source string, n_tokens bigint, target_tokens bigint"
+    )
+    out = epoch_schedule(df, "source", "n_tok", "doc_id", plan).collect()
+    # 45 = 2 full passes of 20 + remainder 5 < any doc -> no partial
+    assert sorted(r["epoch_idx"] for r in out) == [0, 1]
+    assert not any(r["is_partial"] for r in out)
+    assert sum(r["epoch_tokens"] for r in out) == 40 <= 45
